@@ -1,0 +1,83 @@
+"""File sources: batch/streaming readers over parquet/json fixtures, plus
+the driver testdata tables.
+
+The production source in the reference is a Pulsar consumer
+(MessageProcessor.java:102, environment.conf:4-11). On Spark that is a
+one-line swap: ``spark.readStream.format("pulsar")`` (StreamNative
+connector) or ``format("kafka")`` — see ``read_hfp_stream(fmt=...)``. The
+connector jars aren't in this container, so tests use the file stream,
+which exercises the identical downstream plan (decode -> transform ->
+foreachBatch); offsets/acks live in the checkpoint either way (SURVEY §2.4
+M3 mapping).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transitlog_hfp_sink_spark.schema import HFP_RAW_SCHEMA
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def read_hfp_batch(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Batch read of HFP_RAW_SCHEMA-shaped fixtures."""
+    if fmt == "json":
+        return spark.read.schema(HFP_RAW_SCHEMA).json(path)
+    return spark.read.schema(HFP_RAW_SCHEMA).parquet(path)
+
+
+def read_hfp_stream(
+    spark: SparkSession,
+    path_or_topic: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming read.
+
+    fmt="parquet"/"json": file-drop stream over fixtures (tests/dev).
+    fmt="pulsar": StreamNative connector — options should carry
+      ``service.url``, ``topic`` (=hfp-data), ``subscriptionName``
+      (environment.conf:4-11). Rate limiting via maxEntriesPerTrigger
+      replaces the reference's queue-full drop (SURVEY §2.2 F2).
+    fmt="kafka": options carry kafka.bootstrap.servers / subscribe;
+      maxOffsetsPerTrigger is the rate limit.
+    """
+    if fmt in ("parquet", "json"):
+        reader = spark.readStream.schema(HFP_RAW_SCHEMA).format(fmt)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(path_or_topic)
+    reader = spark.readStream.format(fmt)
+    if fmt == "pulsar":
+        reader = reader.option("topic", path_or_topic)
+    elif fmt == "kafka":
+        reader = reader.option("subscribe", path_or_topic)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
