@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query at sf0.001 (smoke check).
+queries()      — one callable per implemented operator (SURVEY.md §2 +
+                 north-star extensions), (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query; approximate/sketch
+                 operators (MinHash/SimHash/SRP-LSH) are intentionally
+                 omitted -> rows-only check; their recall is asserted
+                 against exact ground truth in tests/test_dedup.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic HFP stream -> engine transform -> ongoing VP
+    events per route/oday (the downstream query the reference's hypertable
+    layout serves)."""
+    from transitlog_hfp_sink_spark.queries.hfp import q_hfp_vp_per_route
+
+    return q_hfp_vp_per_route(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from transitlog_hfp_sink_spark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from transitlog_hfp_sink_spark.queries import oracle_sql as _o
+
+    return _o()

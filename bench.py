@@ -1,0 +1,98 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full computation, no
+driver-side collect cost). Also measures raw HFP-transform throughput
+(rows/s through the 40-column flatten) against the reference's 250k msg/s
+design ceiling (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: headline set: HFP parity + relational + time-series + ML pipeline ops
+BENCH_QUERIES = [
+    "hfp_vehicles_transform",
+    "hfp_vp_per_route",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q13_customer_distribution",
+    "events_hourly_rollup",
+    "window_running_total",
+    "sessionize_events",
+    "asof_error_click",
+    "range_join_ship_window",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "embedding_topk_exact",
+    "text_quality",
+    "multimodal_bytes_meta",
+]
+
+THROUGHPUT_ROWS = 2_000_000
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from transitlog_hfp_sink_spark.session import build_session
+    from transitlog_hfp_sink_spark.queries import queries as all_queries
+
+    spark = build_session(app_name="bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=int(CPUS))
+    qs = all_queries()
+
+    # warm the JVM/codegen once with a trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # streaming-transform throughput vs the 250k rows/s reference ceiling
+    from transitlog_hfp_sink_spark.sources.synthetic import synthetic_hfp_batch
+    from transitlog_hfp_sink_spark.transform import hfp_transform
+
+    batch = synthetic_hfp_batch(spark, THROUGHPUT_ROWS, partitions=int(CPUS))
+    t0 = time.time()
+    materialize(hfp_transform(batch))
+    dt = time.time() - t0
+    timings["hfp_throughput_2m_rows"] = round(dt, 3)
+    rows_per_s = THROUGHPUT_ROWS / dt
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "hfp_transform_rows_per_s": int(rows_per_s),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same semantics:
+
+- brute_force_topk: exact. Broadcast the (small) query set, one map-only
+  pass over the corpus computing cosines, then a per-query top-k. At
+  100 TB the corpus never shuffles except for the final k rows/query
+  (window on query_id, which is tiny) — this is the correct exact plan.
+
+- lsh_topk: approximate scale path. Random-hyperplane signatures bucket
+  the corpus (map-only, deterministic seeded planes); queries probe only
+  their own bucket(s) via an equi-join on the signature, exact cosine
+  re-rank inside the bucket. Recall is tunable with bits/probes.
+
+All math is built-in expressions: cast array<float> -> array<double>,
+F.zip_with product + F.aggregate sum, so the dot product runs in codegen.
+A pandas-UDF matmul variant only wins when k*dim is large; measured at
+sf0.1 the expression path is faster for dim=64 (no Arrow transfer).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows
+    (excluding self-matches on equal ids). Deterministic tie-break on
+    neighbor id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    )
+    scored = c.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rp_signature(vec_col: Column | str, dim: int, bits: int = 16, seed: int = 11) -> Column:
+    """Random-hyperplane (SRP) LSH signature as a bit string."""
+    v = _as_double(vec_col)
+    planes = _hyperplanes(dim, bits, seed)
+    bit_cols = []
+    for plane in planes:
+        p = F.array(*[F.lit(x) for x in plane])
+        bit_cols.append(F.when(dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 12,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the SRP bucket; exact cosine
+    re-rank within bucket. At 100 TB the corpus-side signature is computed
+    once and persisted/bucketed; queries hash-join into their bucket."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv"),
+        rp_signature(vec_col, dim, bits, seed).alias("__sig"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("__qv"),
+        rp_signature(vec_col, dim, bits, seed).alias("__sig"),
+    )
+    scored = c.join(F.broadcast(q), on="__sig").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP bucketing + exact
+    verify — the embedding leg of the dedup family."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        rp_signature(vec_col, dim, bits, seed).alias("sig"),
+    )
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), on=[F.col("a.sig") == F.col("b.sig"), F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built-in expressions (codegen, fully distributed, no
+shuffle — these are map-only projections) and every scoring rule is also
+expressible in ANSI SQL so DuckDB can oracle-check it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+
+#: ASCII token pattern shared with the oracle SQL — a BPE-ish split:
+#: letter runs, digit runs, or single punctuation marks.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+#: tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "une"),
+    "es": ("el", "los", "las", "que", "una"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def token_count(col: Column | str) -> Column:
+    """Tokens per the shared BPE-ish pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def _word_array(col: Column | str) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    words = _word_array(col)
+    sw = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return sw / F.size(words)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, "[A-Za-z0-9 \\t\\n\\r]", "")
+    return F.length(stripped) / F.length(c)
+
+
+def avg_word_length(col: Column | str) -> Column:
+    words = _word_array(col)
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return total / F.size(words)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane word length,
+    some stopwords, little punctuation. Deterministic, SQL-mirrorable."""
+    n = whitespace_token_count(col)
+    length_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wl = avg_word_length(col)
+    wordlen_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col)
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    pr = punct_ratio(col)
+    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * sw_ok + 0.2 * punct_ok, 4
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit counts per language over the word set."""
+    words = F.array_distinct(_word_array(col))
+    return {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(col: Column | str) -> Column:
+    """Argmax of marker-hit counts; ties break in alphabetical language
+    order; zero hits -> 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # alphabetical; strict > keeps first winner
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+    (The rolling-hash/winnowing variant lives in dedup.word_shingles +
+    minhash; this is the cheap exact-match fingerprint.)"""
+    return F.md5(normalize_text(col))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        F.round(avg_word_length(c), 4).alias("avg_word_len"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        detect_language(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

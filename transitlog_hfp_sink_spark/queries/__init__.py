@@ -1,0 +1,38 @@
+"""Query registry — the driver contract surface.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string (or None for genuinely
+non-SQL-expressible / approximate operators, which get a rows-only check).
+
+Cross-engine determinism rules (every query obeys them):
+- double sums go through DECIMAL casts (exact, order-independent), then
+  cast back to DOUBLE — Spark's partial-agg order differs from DuckDB's,
+  so raw double sums would differ in final bits.
+- avg = exact decimal sum / count, divided in DOUBLE.
+- top-k always tie-breaks on a unique key so the selected SET is stable.
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transitlog_hfp_sink_spark.queries import hfp, ml, relational, timeseries
+
+_MODULES = (hfp, relational, timeseries, ml)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update({k: v for k, v in m.ORACLES.items() if v is not None})
+    return out

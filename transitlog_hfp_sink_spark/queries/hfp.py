@@ -1,0 +1,278 @@
+"""HFP parity queries, oracle-checked end to end.
+
+The driver testdata has no hfp_raw table, so these queries SYNTHESIZE a
+deterministic HFP stream from the ``events`` table (same formulas on both
+engines: event_id drives enum picks, null injection, and the malformed
+values that exercise every safe-parse path), then run the REAL engine
+transform (transform.hfp_flatten / hfp_split) on the Spark side while the
+oracle re-derives the 40-column contract in pure SQL. A value-hash match
+here is a full end-to-end check of SURVEY §2.3 P1-P40 + §2.2 F1/F3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.sources.files import read_table
+from transitlog_hfp_sink_spark.transform import hfp_flatten
+
+JOURNEY = ["journey", "deadrun", "signoff"]
+EVENT18 = [
+    "VP", "DUE", "ARR", "ARS", "PDE", "DEP", "PAS", "WAIT", "DOO",
+    "DOC", "TLR", "TLA", "DA", "DOUT", "BA", "BOUT", "VJA", "VJOUT",
+]
+MODES = ["bus", "train", "tram", "metro", "ferry"]
+LOCS = ["GPS", "ODO", "MAN", "NA"]
+
+TIME_RE = r"^([01]?\d|2[0-3]):([0-5]\d)(:[0-5]\d)?$"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side synthesis (events -> HFP_RAW-shaped nested rows)
+# ---------------------------------------------------------------------------
+
+def _pick(i, values):
+    """values[i % len] as a chained CASE (mirrors the SQL builder exactly)."""
+    expr = F.lit(values[-1])
+    for idx in range(len(values) - 2, -1, -1):
+        expr = F.when(i % len(values) == idx, F.lit(values[idx])).otherwise(expr)
+    return expr
+
+
+def _null_at(i, mod, at, expr):
+    return F.when(i % mod == at, F.lit(None)).otherwise(expr)
+
+
+def synth_hfp(events: DataFrame) -> DataFrame:
+    i = F.col("event_id")
+    ts = F.col("ts")
+    uid = F.col("user_id")
+    oper = (uid % 60).cast("int")
+    veh = (uid % 1500).cast("int")
+    hhmm = F.concat(
+        (i % 24).cast("string"), F.lit(":"), F.lpad((i % 60).cast("string"), 2, "0")
+    )
+    latd = _null_at(i, 27, 3, F.lit(60.0) + (i % 1000) / F.lit(2000.0))
+    lond = _null_at(i, 27, 3, F.lit(24.5) + (i % 1000) / F.lit(1000.0))
+    route = _null_at(i, 23, 9, F.concat(F.lit("2"), (i % 550).cast("string")))
+    stop_s = _null_at(i, 11, 2, (F.lit(1000) + i % 500).cast("string"))
+    return events.select(
+        (i % 53 != 17).alias("schema_valid"),
+        F.struct(
+            (F.unix_millis(ts) + (i % 5000)).alias("received_at"),
+            F.lit("/hfp/").alias("topic_prefix"),
+            F.lit("v2").alias("topic_version"),
+            _pick(i, JOURNEY).alias("journey_type"),
+            F.when(i % 10 == 0, F.lit("upcoming")).otherwise(F.lit("ongoing")).alias("temporal_type"),
+            _null_at(i, 29, 7, _pick(i, EVENT18)).alias("event_type"),
+            _null_at(i, 31, 8, _pick(i, MODES)).alias("transport_mode"),
+            oper.alias("operator_id"),
+            veh.alias("vehicle_number"),
+            F.concat(
+                F.lpad(oper.cast("string"), 4, "0"),
+                F.lit("/"),
+                F.lpad(veh.cast("string"), 5, "0"),
+            ).alias("unique_vehicle_id"),
+            route.alias("route_id"),
+            _null_at(i, 19, 3, (i % 2 + 1).cast("int")).alias("direction_id"),
+            _null_at(i, 17, 4, F.concat(F.lit("H"), (i % 9).cast("string"))).alias("headsign"),
+            F.when(i % 37 == 5, F.lit("25:99")).otherwise(_null_at(i, 13, 6, hhmm)).alias("start_time"),
+            stop_s.alias("next_stop"),
+            _null_at(i, 21, 1, (i % 6).cast("int")).alias("geohash_level"),
+            latd.alias("latitude"),
+            lond.alias("longitude"),
+        ).alias("topic"),
+        F.struct(
+            _null_at(i, 23, 11, (F.lit(500) + i % 55).cast("string")).alias("desi"),
+            F.when(i % 37 == 5, F.lit("X")).otherwise(
+                _null_at(i, 19, 7, (i % 2 + 1).cast("string"))
+            ).alias("dir"),
+            _null_at(i, 31, 2, oper).alias("oper"),
+            veh.alias("veh"),
+            F.when(i % 101 == 13, F.lit("bad-tst")).otherwise(
+                F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+            ).alias("tst"),
+            F.unix_seconds(ts).alias("tsi"),
+            _null_at(i, 13, 1, F.col("value")).alias("spd"),
+            _null_at(i, 17, 8, (i % 360).cast("int")).alias("hdg"),
+            latd.alias("lat"),
+            lond.alias("long"),
+            _null_at(i, 15, 4, (i % 50) / F.lit(10.0) - 2.5).alias("acc"),
+            _null_at(i, 14, 5, (i % 600 - 300).cast("int")).alias("dl"),
+            _null_at(i, 16, 6, ((i * 13) % 100000).cast("double")).alias("odo"),
+            F.when(i % 37 == 5, F.lit("2")).otherwise(
+                _null_at(i, 12, 7, (i % 2).cast("string"))
+            ).alias("drst"),
+            F.when(i % 37 == 5, F.lit("2024-13-45")).otherwise(
+                _null_at(i, 18, 9, F.date_format(ts, "yyyy-MM-dd"))
+            ).alias("oday"),
+            _null_at(i, 22, 10, (i % 100000).cast("int")).alias("jrn"),
+            _null_at(i, 24, 11, (i % 550).cast("int")).alias("line"),
+            F.when(i % 37 == 5, F.lit("99:99")).otherwise(_null_at(i, 13, 8, hhmm)).alias("start"),
+            _null_at(i, 26, 12, _pick(i, LOCS)).alias("loc"),
+            _null_at(i, 11, 2, (F.lit(1000) + i % 500).cast("int")).alias("stop"),
+            route.alias("route"),
+            _null_at(i, 20, 13, (i % 101).cast("int")).alias("occu"),
+        ).alias("payload"),
+    )
+
+
+def synth_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> synthetic raw -> ENGINE transform -> valid vehicles rows."""
+    raw = synth_hfp(read_table(spark, sf_dir, "events"))
+    flat = hfp_flatten(raw.where(F.col("schema_valid")))
+    return flat.where(F.col("tst").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# SQL-side synthesis (the independent oracle)
+# ---------------------------------------------------------------------------
+
+def _sql_pick(i: str, values: list[str]) -> str:
+    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in enumerate(values))
+    return f"(CASE ({i} % {len(values)}) {whens} END)"
+
+
+def _sql_null_at(i: str, mod: int, at: int, expr: str) -> str:
+    return f"(CASE WHEN {i} % {mod} = {at} THEN NULL ELSE {expr} END)"
+
+
+def _sql_safe_time(e: str) -> str:
+    pat = TIME_RE
+    return (
+        f"(CASE WHEN {e} IS NOT NULL AND regexp_matches({e}, '{pat}') THEN "
+        f"lpad(regexp_extract({e}, '{pat}', 1), 2, '0') || ':' || "
+        f"regexp_extract({e}, '{pat}', 2) ELSE NULL END)"
+    )
+
+
+def hfp_cte() -> str:
+    """WITH-clause SQL producing the same 40 valid columns from events."""
+    i, uid = "event_id", "user_id"
+    oper = f"CAST({uid} % 60 AS INTEGER)"
+    veh = f"CAST({uid} % 1500 AS INTEGER)"
+    hhmm = f"(CAST({i} % 24 AS VARCHAR) || ':' || lpad(CAST({i} % 60 AS VARCHAR), 2, '0'))"
+    latd = _sql_null_at(i, 27, 3, f"(60.0 + ({i} % 1000) / 2000.0)")
+    lond = _sql_null_at(i, 27, 3, f"(24.5 + ({i} % 1000) / 1000.0)")
+    route = _sql_null_at(i, 23, 9, f"('2' || CAST({i} % 550 AS VARCHAR))")
+    start_raw = f"(CASE WHEN {i} % 37 = 5 THEN '25:99' ELSE {_sql_null_at(i, 13, 6, hhmm)} END)"
+    pstart_raw = f"(CASE WHEN {i} % 37 = 5 THEN '99:99' ELSE {_sql_null_at(i, 13, 8, hhmm)} END)"
+    dir_raw = f"(CASE WHEN {i} % 37 = 5 THEN 'X' ELSE {_sql_null_at(i, 19, 7, f'CAST({i} % 2 + 1 AS VARCHAR)')} END)"
+    drst_raw = f"(CASE WHEN {i} % 37 = 5 THEN '2' ELSE {_sql_null_at(i, 12, 7, f'CAST({i} % 2 AS VARCHAR)')} END)"
+    oday_fmt = _sql_null_at(i, 18, 9, "strftime(ts, '%Y-%m-%d')")
+    oday_raw = f"(CASE WHEN {i} % 37 = 5 THEN '2024-13-45' ELSE {oday_fmt} END)"
+    tst_raw = f"(CASE WHEN {i} % 101 = 13 THEN 'bad-tst' ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END)"
+    drst_int = f"TRY_CAST({drst_raw} AS INTEGER)"
+    return f"""
+hfp_vehicles AS (
+  SELECT
+    epoch_ms(epoch_ms(ts) + ({i} % 5000))                       AS received_at,
+    '/hfp/'                                                     AS topic_prefix,
+    'v2'                                                        AS topic_version,
+    {_sql_pick(i, JOURNEY)}                                     AS journey_type,
+    ({i} % 10 <> 0)                                             AS is_ongoing,
+    {_sql_null_at(i, 29, 7, _sql_pick(i, EVENT18))}             AS event_type,
+    {_sql_null_at(i, 31, 8, _sql_pick(i, MODES))}               AS mode,
+    {oper}                                                      AS owner_operator_id,
+    {veh}                                                       AS vehicle_number,
+    (lpad(CAST({uid} % 60 AS VARCHAR), 4, '0') || '/' ||
+     lpad(CAST({uid} % 1500 AS VARCHAR), 5, '0'))               AS unique_vehicle_id,
+    {route}                                                     AS route_id,
+    {_sql_null_at(i, 19, 3, f'CAST({i} % 2 + 1 AS INTEGER)')}   AS direction_id,
+    {_sql_null_at(i, 17, 4, f"('H' || CAST({i} % 9 AS VARCHAR))")} AS headsign,
+    {_sql_safe_time(start_raw)}                                 AS journey_start_time,
+    {_sql_null_at(i, 11, 2, f'CAST(1000 + {i} % 500 AS VARCHAR)')} AS next_stop_id,
+    {_sql_null_at(i, 21, 1, f'CAST({i} % 6 AS INTEGER)')}       AS geohash_level,
+    {latd}                                                      AS topic_latitude,
+    {lond}                                                      AS topic_longitude,
+    {_sql_null_at(i, 23, 11, f'CAST(500 + {i} % 55 AS VARCHAR)')} AS desi,
+    TRY_CAST({dir_raw} AS INTEGER)                              AS dir,
+    {_sql_null_at(i, 31, 2, oper)}                              AS oper,
+    {veh}                                                       AS veh,
+    TRY_CAST({tst_raw} AS TIMESTAMP)                            AS tst,
+    CAST(floor(epoch(ts)) AS BIGINT)                            AS tsi,
+    {_sql_null_at(i, 13, 1, 'value')}                           AS spd,
+    {_sql_null_at(i, 17, 8, f'CAST({i} % 360 AS INTEGER)')}     AS hdg,
+    {latd}                                                      AS lat,
+    {lond}                                                      AS long,
+    {_sql_null_at(i, 15, 4, f'(({i} % 50) / 10.0 - 2.5)')}      AS acc,
+    {_sql_null_at(i, 14, 5, f'CAST({i} % 600 - 300 AS INTEGER)')} AS dl,
+    {_sql_null_at(i, 16, 6, f'CAST(({i} * 13) % 100000 AS DOUBLE)')} AS odo,
+    (CASE WHEN {drst_int} IN (0, 1) THEN {drst_int} = 1 ELSE NULL END) AS drst,
+    TRY_CAST({oday_raw} AS DATE)                                AS oday,
+    {_sql_null_at(i, 22, 10, f'CAST({i} % 100000 AS INTEGER)')} AS jrn,
+    {_sql_null_at(i, 24, 11, f'CAST({i} % 550 AS INTEGER)')}    AS line,
+    {_sql_safe_time(pstart_raw)}                                AS start,
+    {_sql_null_at(i, 26, 12, _sql_pick(i, LOCS))}               AS loc,
+    {_sql_null_at(i, 11, 2, f'CAST(1000 + {i} % 500 AS INTEGER)')} AS stop,
+    {route}                                                     AS route,
+    {_sql_null_at(i, 20, 13, f'CAST({i} % 101 AS INTEGER)')}    AS occu
+  FROM events
+  WHERE {i} % 53 <> 17
+    AND TRY_CAST({tst_raw} AS TIMESTAMP) IS NOT NULL
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+def q_hfp_vehicles_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 40-column transform (SURVEY §2.3 P1-P40 + F1/F3)."""
+    return synth_vehicles(spark, sf_dir)
+
+
+def q_hfp_vp_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship downstream query: ongoing VP events per route per oday —
+    the groupBy/agg/sort workload the hypertable layout serves (SURVEY §7.2)."""
+    v = synth_vehicles(spark, sf_dir)
+    return (
+        v.where((F.col("event_type") == "VP") & F.col("is_ongoing"))
+        .groupBy("route_id", "oday")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("unique_vehicle_id").alias("n_vehicles"),
+        )
+    )
+
+
+def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once idempotency (SURVEY §2.4 M3): replay the whole stream
+    (input twice), dedup on the natural key, count per journey_type —
+    stable under replay."""
+    v = synth_vehicles(spark, sf_dir)
+    replay = v.unionAll(v)
+    return (
+        replay.select("unique_vehicle_id", "tst", "event_type", "journey_type")
+        .distinct()
+        .groupBy("journey_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+QUERIES = {
+    "hfp_vehicles_transform": q_hfp_vehicles_transform,
+    "hfp_vp_per_route": q_hfp_vp_per_route,
+    "hfp_dedup_replay": q_hfp_dedup_replay,
+}
+
+ORACLES = {
+    "hfp_vehicles_transform": f"WITH {hfp_cte()} SELECT * FROM hfp_vehicles",
+    "hfp_vp_per_route": f"""
+WITH {hfp_cte()}
+SELECT route_id, oday, count(*) AS n_events,
+       count(DISTINCT unique_vehicle_id) AS n_vehicles
+FROM hfp_vehicles
+WHERE event_type = 'VP' AND is_ongoing
+GROUP BY route_id, oday
+""",
+    "hfp_dedup_replay": f"""
+WITH {hfp_cte()}
+SELECT journey_type, count(*) AS n_unique FROM (
+  SELECT DISTINCT unique_vehicle_id, tst, event_type, journey_type FROM (
+    SELECT * FROM hfp_vehicles UNION ALL SELECT * FROM hfp_vehicles
+  )
+) GROUP BY journey_type
+""",
+}

@@ -1,0 +1,252 @@
+"""Training-data-pipeline queries: dedup family, similarity search, text
+analysis, multimodal plumbing — over the documents/embeddings tables.
+
+Exact variants are oracle-checked against DuckDB; the sketch/LSH variants
+(MinHash, SimHash, SRP buckets) are approximate by design and get the
+driver's rows-only check — their recall is asserted against the exact
+ground truth in tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators import dedup as dd
+from transitlog_hfp_sink_spark.operators import similarity as sim
+from transitlog_hfp_sink_spark.operators import textanalysis as ta
+from transitlog_hfp_sink_spark.operators.multimodal import (
+    documents_as_media,
+    extract_bytes_meta,
+)
+from transitlog_hfp_sink_spark.sources.files import read_table
+
+#: shared normalize expression in DuckDB SQL (mirrors dedup.normalize_text;
+#: NOTE the 'g' flag — Spark regexp_replace is global by default)
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({SQL_NORM.format(c='text')}) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard for pairs blocked on source — ground truth
+    for the sketches; threshold keeps the output to true near-dups."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["source"], shingle_n=1, threshold=0.5
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH w AS (
+  SELECT doc_id AS id, source,
+         list_distinct(string_split({SQL_NORM.format(c='text')}, ' ')) AS sh
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM w a JOIN w b ON a.source = b.source AND a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (approximate -> rows-only check)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (approximate -> rows-only check)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.simhash_near_dups(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for the first 32 vectors as queries
+    over the whole corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk(emb, queries, k=3)
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 32),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM q JOIN c ON neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed approximate top-3 (rows-only; recall tested vs exact)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_topk(emb, queries, dim=64, k=3, bits=6)
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP buckets (rows-only).
+
+    The synthetic corpus has no true near-dups (max pairwise cos ~0.48),
+    so the threshold sits at the top ~1% of the cosine distribution to
+    show the operator returning candidates."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, threshold=0.3, dim=64, bits=4)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ta.analyze_documents(docs, "text", "doc_id")
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    for lang, markers in ta.LANG_MARKERS.items()
+}
+
+_SCORES_SQL = ",\n    ".join(
+    f"len(list_intersect(words, {arr})) AS s_{lang}" for lang, arr in _MARKER_SQL.items()
+)
+
+_LANG_CASE = """
+CASE
+  WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+  WHEN s_en > 0 AND s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+  WHEN s_es > 0 AND s_es >= greatest(s_fr, s_zh) THEN 'es'
+  WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+  WHEN s_zh > 0 THEN 'zh'
+  ELSE 'und'
+END
+"""
+
+_SW_ARR = "[" + ", ".join(f"'{w}'" for w in ta.STOPWORDS) + "]"
+
+ORACLE_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {SQL_NORM.format(c='text')} AS norm,
+         string_split({SQL_NORM.format(c='text')}, ' ') AS words,
+         string_split_regex(trim(text), '\\s+') AS ws_tokens
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, norm,
+    len(regexp_extract_all(text, '{ta.TOKEN_PATTERN}')) AS n_tokens,
+    length(text) AS n_chars,
+    CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) AS awl,
+    CAST(len(list_filter(words, w -> list_contains({_SW_ARR}, w))) AS DOUBLE) / len(words) AS swr,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) AS pr,
+    len(ws_tokens) AS n_ws,
+    {_SCORES_SQL.replace('words', 'list_distinct(words)')}
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_chars AS INTEGER) AS n_chars,
+  round(awl, 4) AS avg_word_len,
+  round(swr, 4) AS stopword_ratio,
+  round(pr, 4) AS punct_ratio,
+  round(CAST(0.3 * (CASE WHEN n_ws BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
+  {_LANG_CASE} AS lang_pred,
+  md5(norm) AS fingerprint
+FROM feat
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        ta.detect_language(F.col("text")).alias("lang_pred"),
+    )
+
+
+ORACLE_LANGID = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_SCORES_SQL.replace('words', f"list_distinct(string_split({SQL_NORM.format(c='text')}, ' '))")}
+  FROM documents
+)
+SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM scored
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end to end: documents -> opaque bytes ->
+    mapInPandas (Arrow-batched) byte metadata."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return extract_bytes_meta(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact_documents": q_dedup_exact,
+    "dedup_jaccard_pairs": q_jaccard_pairs,
+    "dedup_minhash_lsh": q_minhash_pairs,
+    "dedup_simhash": q_simhash_pairs,
+    "embedding_topk_exact": q_embedding_topk,
+    "embedding_topk_lsh": q_embedding_lsh_topk,
+    "embedding_neardup_pairs": q_embedding_neardups,
+    "text_quality": q_text_quality,
+    "langid_documents": q_langid,
+    "multimodal_bytes_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "dedup_exact_documents": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard_pairs": ORACLE_JACCARD,
+    "dedup_minhash_lsh": None,  # approximate: rows-only check; recall vs exact in tests
+    "dedup_simhash": None,  # approximate: rows-only check
+    "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
+    "embedding_topk_lsh": None,  # approximate: rows-only check
+    "embedding_neardup_pairs": None,  # approximate: rows-only check
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "langid_documents": ORACLE_LANGID,
+    "multimodal_bytes_meta": ORACLE_MULTIMODAL,
+}

@@ -1,0 +1,276 @@
+"""Time-series surface over the events stream table: the query workload
+the reference's hypertable exists for (SURVEY §2.5), plus the streaming
+semantics the reference lacks (§2.4 end note): windows, sessions, as-of
+joins, and a real Structured Streaming rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.asof import asof_join
+from transitlog_hfp_sink_spark.operators.range_join import range_join
+from transitlog_hfp_sink_spark.operators.sessionize import session_stats
+from transitlog_hfp_sink_spark.sources.files import read_table
+
+_DEC = "decimal(30,12)"
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket('1 hour') continuous-aggregate workload (Q1 pruning +
+    partial agg; group keys align with the storage partition layout)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")).alias("avg_value"),
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative sum + row_number — trajectory-style windowing
+    (same shuffle shape as per-vehicle odometer analysis on vehicles)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(wn).alias("seq"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+ORACLE_RUNNING = """
+SELECT user_id, event_id, ts,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def q_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/top-k per group with deterministic tie-break."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+ORACLE_TOP3 = """
+SELECT event_type, rnk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats."""
+    ev = read_table(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts", gap_seconds=1800, value="value")
+
+
+ORACLE_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'error' event, the latest prior-or-equal
+    'click' by the same user (point-in-time enrichment — the stop/schedule
+    enrichment pattern for HFP trajectories)."""
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        errors, clicks, on="user_id", left_time="ts", right_time="click_ts",
+        direction="backward", suffix="",
+    )
+    return joined.select("event_id", "user_id", "ts", "click_ts")
+
+
+ORACLE_ASOF = """
+SELECT e.event_id, e.user_id, e.ts, c.click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.click_ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: lineitems shipped within [orderdate, orderdate+90d)
+    of their own order, aggregated per priority."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_orderdate",
+        "o_orderpriority",
+        F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate")).alias("o_cutoff"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    joined = range_join(
+        li, orders, point_col="l_shipdate", lo_col="o_orderdate", hi_col="o_cutoff",
+        on=["l_orderkey"],
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_RANGE = """
+SELECT o_orderpriority, count(*) AS n_items,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-parse workload on a string payload column (the events analog of
+    the HFP dir/drst/oday parses): extract k from the JSON-ish props,
+    malformed/missing -> NULL, aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_PROPS = """
+SELECT event_type,
+  count(k) AS n_parsed,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup executed as a REAL Structured Streaming query:
+    file-stream the events parquet (availableNow), windowed agg into a
+    memory sink, return the result table. Deterministic -> shares the
+    batch oracle. Demonstrates that the engine's transforms are
+    batch/stream agnostic."""
+    import tempfile
+    import uuid
+
+    # raw on-disk schema (ts = int64 nanos under the legacy conf); convert
+    # exactly as the batch reader does so stream and batch results align
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources need a directory: point at sf_dir with a glob
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAMING = """
+SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+QUERIES = {
+    "events_hourly_rollup": q_hourly_rollup,
+    "window_running_total": q_running_total,
+    "window_top3_per_type": q_top3_per_type,
+    "sessionize_events": q_sessionize,
+    "asof_error_click": q_asof_error_click,
+    "range_join_ship_window": q_range_join,
+    "props_parse_agg": q_props_parse,
+    "streaming_hourly_rollup": q_streaming_rollup,
+}
+
+ORACLES = {
+    "events_hourly_rollup": ORACLE_HOURLY,
+    "window_running_total": ORACLE_RUNNING,
+    "window_top3_per_type": ORACLE_TOP3,
+    "sessionize_events": ORACLE_SESSIONS,
+    "asof_error_click": ORACLE_ASOF,
+    "range_join_ship_window": ORACLE_RANGE,
+    "props_parse_agg": ORACLE_PROPS,
+    "streaming_hourly_rollup": ORACLE_STREAMING,
+}

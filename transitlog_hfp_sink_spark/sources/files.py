@@ -34,8 +34,25 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """One driver testdata table (TESTDATA.md).
+
+    events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw int64 nanos (legacy conf) and convert
+    with exact integer math (DIV 1000 -> micros), matching DuckDB's
+    truncation semantics for TIMESTAMP_NS.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
