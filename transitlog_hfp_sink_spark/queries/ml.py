@@ -66,17 +66,23 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (approximate -> rows-only check)."""
+    """MinHash+LSH near-dup pairs (approximate -> rows-only check).
+
+    3-gram shingles: the synthetic corpus shares a ~50-word vocabulary, so
+    unigram Jaccard makes every pair a 'near-dup' (LSH degenerates to the
+    cross product); trigram shingles are discriminative."""
     docs = read_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.5
+        docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (approximate -> rows-only check)."""
     docs = read_table(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(docs, "text", "doc_id", max_hamming=8)
+    return dd.simhash_near_dups(
+        docs, "text", "doc_id", max_hamming=3, shingle_n=3
+    )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
