@@ -1,0 +1,93 @@
+"""Similarity search: brute-force exactness, SRP-LSH recall, plan shape."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transitlog_hfp_sink_spark.operators import similarity as sim
+
+DIM = 16
+
+
+def _vec(rng):
+    return [rng.gauss(0, 1) for _ in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(11)
+    rows = [(i, _vec(rng)) for i in range(120)]
+    # planted: vec 100 is a tiny perturbation of vec 0 -> top-1 of each other
+    rows[100] = (100, [x + 0.01 for x in rows[0][1]])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_matches_python(corpus):
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.brute_force_topk(corpus, queries, k=3)
+    rows = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in got.collect()}
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+    for q in range(5):
+        scored = sorted(
+            ((round(_cos(data[q], data[c]), 6), -c) for c in data if c != q), reverse=True
+        )
+        for rank in range(1, 4):
+            cos, negc = scored[rank - 1]
+            assert rows[(q, rank)] == (-negc, pytest.approx(cos, abs=2e-6))
+
+
+def test_planted_neighbor_is_top1(corpus):
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.brute_force_topk(corpus, queries, k=1).first()
+    assert got["neighbor_id"] == 100
+    assert got["cos_sim"] > 0.999
+
+
+def test_lsh_recall_vs_exact(corpus):
+    queries = corpus.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(corpus, queries, k=1)
+    approx = sim.lsh_topk(corpus, queries, dim=DIM, k=1, bits=4, tables=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # random gaussian data is the no-locality worst case; 4 tables x 4
+    # bits gives 1-(1-p)^4 recall — modest here, near-1.0 for true dups
+    assert len(a & e) / len(e) >= 0.3
+    assert any(q == 0 and n == 100 for q, n in a)
+
+
+def test_brute_force_broadcasts_queries(corpus):
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = explain_str(sim.brute_force_topk(corpus, queries, k=3), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neardup_pairs_symmetric_free(corpus):
+    pairs = sim.embedding_neardup_pairs(corpus, threshold=0.9, dim=DIM, bits=2)
+    rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert all(a < b for a, b in rows)  # no mirrored duplicates
+    assert (0, 100) in rows

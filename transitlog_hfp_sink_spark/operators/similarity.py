@@ -99,32 +99,62 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     bits: int = 12,
+    tables: int = 1,
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the SRP bucket; exact cosine
-    re-rank within bucket. At 100 TB the corpus-side signature is computed
-    once and persisted/bucketed; queries hash-join into their bucket."""
+    """Approximate top-k: candidates share an SRP bucket in ANY of
+    `tables` independent hash tables; exact cosine re-rank on the
+    candidate union. Per-table hit probability for angle θ is
+    (1-θ/π)^bits; L tables lift recall to 1-(1-p)^L — the standard
+    recall/compute dial.
+
+    At 100 TB: corpus signatures are computed once (map-only) and
+    persisted bucketed by signature; queries broadcast and hash-join into
+    their buckets — the corpus is never shuffled at query time.
+    """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv"),
-        rp_signature(vec_col, dim, bits, seed).alias("__sig"),
+        *[
+            rp_signature(vec_col, dim, bits, seed + t).alias(f"__sig{t}")
+            for t in range(tables)
+        ],
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv"),
-        rp_signature(vec_col, dim, bits, seed).alias("__sig"),
+        *[
+            rp_signature(vec_col, dim, bits, seed + t).alias(f"__sig{t}")
+            for t in range(tables)
+        ],
     )
-    scored = c.join(F.broadcast(q), on="__sig").where(
-        F.col("neighbor_id") != F.col("query_id")
+    # one row per (side, table) via posexplode keeps a single equi-join
+    c_b = c.select(
+        "neighbor_id", "__cv",
+        F.posexplode(F.array(*[F.col(f"__sig{t}") for t in range(tables)])).alias(
+            "__t", "__sig"
+        ),
+    )
+    q_b = q.select(
+        "query_id", "__qv",
+        F.posexplode(F.array(*[F.col(f"__sig{t}") for t in range(tables)])).alias(
+            "__t", "__sig"
+        ),
+    )
+    cands = (
+        c_b.join(F.broadcast(q_b), on=["__t", "__sig"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.select(
+        cands.select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
