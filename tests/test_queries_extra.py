@@ -1,0 +1,73 @@
+"""Checks for queries whose contract is not SQL-oracle-expressible:
+approx sketches vs their exact twins, and registry hygiene."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.02 must land within ~3x rsd of the exact count."""
+    from transitlog_hfp_sink_spark.queries.surface import (
+        q_approx_distinct,
+        q_distinct_counts,
+    )
+
+    exact = {
+        r["event_type"]: r["n_users"] for r in q_distinct_counts(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_distinct(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel_err <= 0.06, (k, exact[k], approx[k])
+
+
+def test_lsh_topk_subset_of_exact_scores(spark, sf_dir):
+    """Approx ANN: every reported (query, neighbor, cos) must carry the
+    same cosine the exact path computes (re-rank is exact; only the
+    candidate set is approximate)."""
+    from transitlog_hfp_sink_spark.queries.ml import (
+        q_embedding_topk,
+        q_embedding_lsh_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in q_embedding_topk(spark, sf_dir).collect()
+    }
+    # exact top-3 is a small set; recompute full scores for containment
+    from transitlog_hfp_sink_spark.operators import similarity as sim
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    all_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+    for r in q_embedding_lsh_topk(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in all_scores:
+            assert r["cos_sim"] == pytest.approx(all_scores[key], abs=1e-6)
+
+
+def test_registry_names_are_wellformed():
+    from transitlog_hfp_sink_spark.queries import oracle_sql, queries
+
+    qs, os_ = queries(), oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 35
+    # every non-oracled query is a documented approximate/sketch op
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embedding_topk_lsh",
+        "embedding_neardup_pairs",
+        "approx_distinct_users",
+    }

@@ -1,0 +1,110 @@
+"""Streaming pipeline: end-to-end micro-batching, dead-letter routing,
+checkpoint recovery (at-least-once, SURVEY §2.4 M3), and the throughput
+target from BASELINE.md (>=250k rows/s through the transform)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.schema import HFP_RAW_SCHEMA
+from transitlog_hfp_sink_spark.sources import read_hfp_stream
+from transitlog_hfp_sink_spark.streaming import HfpPipeline
+from tests.hfp_fixtures import make_hfp_rows
+
+
+def _wait(predicate, timeout_s=60.0, poll=0.3):
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if predicate():
+            return True
+        time.sleep(poll)
+    return False
+
+
+@pytest.fixture()
+def drops_dir(spark, tmp_path):
+    raw = spark.createDataFrame(make_hfp_rows(400), schema=HFP_RAW_SCHEMA)
+    path = str(tmp_path / "drops")
+    raw.repartition(8).write.parquet(path)
+    return path
+
+
+def test_stream_end_to_end_with_dead_letter(spark, tmp_path, drops_dir):
+    out = str(tmp_path / "out")
+    dead = str(tmp_path / "dead")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out)
+
+    pipe = HfpPipeline(
+        sink=sink, checkpoint=str(tmp_path / "ckpt"), trigger_seconds=0.5,
+        dead_letter_path=dead, dedup=True,
+    )
+    q = pipe.start(read_hfp_stream(spark, drops_dir, max_files_per_trigger=3))
+    try:
+        assert _wait(
+            lambda: q.lastProgress is not None
+            and sum(p["numInputRows"] for p in q.recentProgress) >= 400
+        )
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert len(got.columns) == 40
+    assert got.where(F.col("tst").isNull()).count() == 0
+    reasons = {r[0] for r in spark.read.parquet(dead).select("reject_reason").distinct().collect()}
+    assert "invalid_protobuf_schema" in reasons
+
+
+def test_stream_checkpoint_recovery_no_reprocess(spark, tmp_path, drops_dir):
+    """Stop the query, restart from the same checkpoint with MORE input:
+    only the new files are processed (offsets persisted — the engine-side
+    equivalent of ack-after-commit)."""
+    out = str(tmp_path / "out")
+    counts = []
+
+    def sink(df, batch_id):
+        n = df.count()
+        df.write.mode("append").parquet(out)
+        # count recorded only after the write commits — stopping the query
+        # right after _wait must not interrupt an in-flight batch write
+        counts.append((batch_id, n))
+
+    ckpt = str(tmp_path / "ckpt")
+    pipe = HfpPipeline(sink=sink, checkpoint=ckpt, trigger_seconds=0.3)
+    stream = read_hfp_stream(spark, drops_dir, max_files_per_trigger=8)
+    q = pipe.start(stream)
+    try:
+        assert _wait(lambda: sum(n for _, n in counts) >= 390)
+    finally:
+        q.stop()
+    first_total = spark.read.parquet(out).count()
+
+    # add new input, restart from the same checkpoint
+    extra = spark.createDataFrame(make_hfp_rows(100, seed=99), schema=HFP_RAW_SCHEMA)
+    extra.coalesce(1).write.mode("append").parquet(drops_dir)
+    q2 = pipe.start(read_hfp_stream(spark, drops_dir, max_files_per_trigger=8))
+    try:
+        assert _wait(lambda: spark.read.parquet(out).count() > first_total)
+        time.sleep(1.0)
+    finally:
+        q2.stop()
+    final_total = spark.read.parquet(out).count()
+    # ~110 new raw rows (100 + replay tail), minus dead-letter rejects;
+    # crucially NOT first_total*2 — the original files were not reprocessed
+    assert final_total - first_total < 150
+
+
+def test_transform_throughput_meets_reference_ceiling(spark):
+    """BASELINE.md: the reference's design ceiling is 250k msg/s. The
+    engine's transform must sustain that on this box (steady state)."""
+    from transitlog_hfp_sink_spark.sources.synthetic import synthetic_hfp_batch
+    from transitlog_hfp_sink_spark.transform import hfp_transform
+
+    n = 1_000_000
+    batch = synthetic_hfp_batch(spark, n, partitions=8)
+    hfp_transform(batch).write.format("noop").mode("overwrite").save()  # warmup
+    t0 = time.time()
+    hfp_transform(batch).write.format("noop").mode("overwrite").save()
+    rate = n / (time.time() - t0)
+    assert rate >= 250_000, f"{rate:,.0f} rows/s"

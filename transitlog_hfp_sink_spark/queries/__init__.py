@@ -19,9 +19,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transitlog_hfp_sink_spark.queries import hfp, ml, relational, timeseries
+from transitlog_hfp_sink_spark.queries import hfp, ml, relational, surface, timeseries
 
-_MODULES = (hfp, relational, timeseries, ml)
+_MODULES = (hfp, relational, timeseries, surface, ml)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

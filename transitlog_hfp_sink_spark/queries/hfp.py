@@ -251,10 +251,54 @@ def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hfp_hourly_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup over the vehicles stream: events + active vehicles
+    per 1-hour chunk (the TimescaleDB continuous-aggregate workload on the
+    hypertable time dimension, SURVEY §2.5 Q1)."""
+    v = synth_vehicles(spark, sf_dir)
+    return v.groupBy(F.date_trunc("hour", "received_at").alias("chunk")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("unique_vehicle_id").alias("n_vehicles"),
+    )
+
+
+def q_hfp_odometer_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vehicle trajectory analysis (the Q2 space-dimension workload):
+    odometer span + observed event count per vehicle per oday."""
+    v = synth_vehicles(spark, sf_dir)
+    return (
+        v.where(F.col("odo").isNotNull() & F.col("oday").isNotNull())
+        .groupBy("unique_vehicle_id", "oday")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.max("odo") - F.min("odo"), 4).alias("odo_span"),
+            F.max("spd").alias("max_spd"),
+        )
+    )
+
+
+def q_hfp_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial bounding-box scan (the lat/long btree workload, SURVEY
+    §2.5 Q4): events inside a box, counted per route. On the parquet
+    layout this is pure min/max-stat pruning on two double columns."""
+    v = synth_vehicles(spark, sf_dir)
+    return (
+        v.where(
+            (F.col("lat") >= 60.1) & (F.col("lat") < 60.3)
+            & (F.col("long") >= 24.6) & (F.col("long") < 25.0)
+        )
+        .groupBy("route_id")
+        .agg(F.count("*").alias("n_in_box"))
+    )
+
+
 QUERIES = {
     "hfp_vehicles_transform": q_hfp_vehicles_transform,
     "hfp_vp_per_route": q_hfp_vp_per_route,
     "hfp_dedup_replay": q_hfp_dedup_replay,
+    "hfp_hourly_vehicles": q_hfp_hourly_vehicles,
+    "hfp_odometer_progress": q_hfp_odometer_progress,
+    "hfp_geo_bbox": q_hfp_geo_bbox,
 }
 
 ORACLES = {
@@ -274,5 +318,27 @@ SELECT journey_type, count(*) AS n_unique FROM (
     SELECT * FROM hfp_vehicles UNION ALL SELECT * FROM hfp_vehicles
   )
 ) GROUP BY journey_type
+""",
+    "hfp_hourly_vehicles": f"""
+WITH {hfp_cte()}
+SELECT date_trunc('hour', received_at) AS chunk, count(*) AS n_events,
+       count(DISTINCT unique_vehicle_id) AS n_vehicles
+FROM hfp_vehicles GROUP BY 1
+""",
+    "hfp_odometer_progress": f"""
+WITH {hfp_cte()}
+SELECT unique_vehicle_id, oday, count(*) AS n_obs,
+       round(max(odo) - min(odo), 4) AS odo_span,
+       max(spd) AS max_spd
+FROM hfp_vehicles
+WHERE odo IS NOT NULL AND oday IS NOT NULL
+GROUP BY unique_vehicle_id, oday
+""",
+    "hfp_geo_bbox": f"""
+WITH {hfp_cte()}
+SELECT route_id, count(*) AS n_in_box
+FROM hfp_vehicles
+WHERE lat >= 60.1 AND lat < 60.3 AND long >= 24.6 AND long < 25.0
+GROUP BY route_id
 """,
 }

@@ -231,7 +231,25 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing over opaque payloads: one row per
+    sampled frame index (deterministic byte-length-derived frame counts;
+    the demux codec is the stubbed slot — SURVEY north-star multimodal)."""
+    from transitlog_hfp_sink_spark.operators.multimodal import frame_sample_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    return frame_sample_plan(documents_as_media(docs), every_n=30)
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, CAST(octet_length(encode(text)) // 1000 AS INTEGER) + 1, 30)) AS INTEGER) AS frame_idx
+FROM documents
+"""
+
+
 QUERIES = {
+    "multimodal_frame_sample": q_frame_sample,
     "dedup_exact_documents": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_lsh": q_minhash_pairs,
@@ -245,6 +263,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_minhash_lsh": None,  # approximate: rows-only check; recall vs exact in tests

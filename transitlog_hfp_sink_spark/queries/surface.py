@@ -1,0 +1,161 @@
+"""Standard-surface coverage: scalar functions, anti joins, exact/approx
+distinct, percentiles, pivot — the SURVEY §2.6 gap list as first-class,
+oracle-checked queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.sources.files import read_table
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/date scalar-function showcase (map-only projection)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("price_ln"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod5"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("OTHER")).alias("brand_or_other"),
+    )
+
+
+ORACLE_SCALAR = """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  substring(p_type, 1, 5) AS type_prefix,
+  p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+  round(sqrt(p_retailprice), 6) AS price_sqrt,
+  round(ln(p_retailprice + 1.0), 6) AS price_ln,
+  CAST(p_size % 5 AS INTEGER) AS size_mod5,
+  CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+FROM part
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join: customers with no order since 2000
+    (the recency filter keeps the result non-empty — every customer has
+    SOME order in the synthetic data, which would make the plain variant
+    a trivially-empty check)."""
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx distinct — the at-scale form of q_distinct_counts
+    (no shuffle of the distinct keys). Approximate -> rows-only check; the
+    <2% error bound vs exact is asserted in tests/test_queries_extra.py."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order value."""
+    orders = read_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p25"),
+        F.round(F.element_at(pct, 2), 4).alias("p50"),
+        F.round(F.element_at(pct, 3), 4).alias("p75"),
+        F.round(F.element_at(pct, 4), 4).alias("p90"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-decile, event counts by type as columns."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_decile", (F.col("user_id") % 10).cast("int"))
+        .groupBy("user_decile")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_PIVOT_COLS = ",\n  ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}" for t in _EVENT_TYPES
+)
+
+ORACLE_PIVOT = f"""
+SELECT CAST(user_id % 10 AS INTEGER) AS user_decile,
+  {_PIVOT_COLS}
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "scalar_functions": q_scalar_functions,
+    "anti_join_customers": q_anti_join,
+    "distinct_counts": q_distinct_counts,
+    "approx_distinct_users": q_approx_distinct,
+    "percentiles_orders": q_percentiles,
+    "pivot_event_counts": q_pivot,
+}
+
+ORACLES = {
+    "scalar_functions": ORACLE_SCALAR,
+    "anti_join_customers": ORACLE_ANTI,
+    "distinct_counts": ORACLE_DISTINCT,
+    "approx_distinct_users": None,  # HLL sketch: rows-only; error bound in tests
+    "percentiles_orders": ORACLE_PERCENTILES,
+    "pivot_event_counts": ORACLE_PIVOT,
+}
