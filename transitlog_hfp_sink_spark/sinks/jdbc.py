@@ -42,7 +42,18 @@ MAX_CONSECUTIVE_FAILURES = 10
 
 @dataclass
 class JdbcVehiclesSink:
-    """foreachBatch-compatible JDBC writer with circuit breaker.
+    """foreachBatch-compatible JDBC writer with bounded in-batch retry.
+
+    Failure-policy mapping (SURVEY §2.4 M4/M5, adapted to Spark's commit
+    protocol): the reference swallows a failed flush, loses those rows to
+    the app, and relies on Pulsar ackTimeout redelivery; after 10
+    consecutive failures it crashes (QueueWriter.java:143-161). In
+    Structured Streaming, swallowing a failed batch would COMMIT its
+    offsets — permanent loss, strictly worse than the reference. So the
+    sink retries the write in-batch up to max_retries and then raises,
+    which fails the query WITHOUT committing offsets: on restart the batch
+    replays from the checkpoint. Same bounded-failure crash behavior, a
+    strictly stronger at-least-once guarantee.
 
     Usage::
 
@@ -57,7 +68,9 @@ class JdbcVehiclesSink:
     batchsize: int = 10_000
     num_partitions: int | None = None
     single_transaction: bool = False
-    _consecutive_failures: int = 0
+    max_retries: int = MAX_CONSECUTIVE_FAILURES
+    retry_backoff_s: float = 1.0
+    attempts_log: list = field(default_factory=list)
 
     def jdbc_properties(self) -> dict:
         props = dict(self.properties)
@@ -68,29 +81,37 @@ class JdbcVehiclesSink:
         props.setdefault("batchsize", str(self.batchsize))
         return props
 
+    def _write_once(self, df: DataFrame) -> None:
+        df.write.mode("append").options(**self.jdbc_properties()).jdbc(
+            self.url, self.table
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
         df = batch_df
         if self.single_transaction:
             df = df.coalesce(1)  # whole-micro-batch atomicity (M4)
         elif self.num_partitions:
             df = df.repartition(self.num_partitions)  # bound DB connections
-        try:
-            df.write.mode("append").options(**self.jdbc_properties()).jdbc(
-                self.url, self.table
-            )
-            self._consecutive_failures = 0
-        except Exception:
-            self._consecutive_failures += 1
-            logger.exception(
-                "vehicles JDBC write failed (batch=%s, consecutive=%d)",
-                batch_id,
-                self._consecutive_failures,
-            )
-            if self._consecutive_failures >= MAX_CONSECUTIVE_FAILURES:
-                # mirror QueueWriter.java:159-161 — kill the query; the
-                # orchestrator's restart policy takes over
-                raise
-            raise
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                self._write_once(df)
+                self.attempts_log.append((batch_id, attempt, True))
+                return
+            except Exception:
+                self.attempts_log.append((batch_id, attempt, False))
+                logger.exception(
+                    "vehicles JDBC write failed (batch=%s, attempt=%d/%d)",
+                    batch_id,
+                    attempt,
+                    self.max_retries,
+                )
+                if attempt == self.max_retries:
+                    # mirror QueueWriter.java:159-161 — kill the query; the
+                    # orchestrator restarts it and the batch replays
+                    raise
+                time.sleep(self.retry_backoff_s)
 
 
 def create_vehicles_ddl(dialect: str = "spark") -> str:
