@@ -108,3 +108,51 @@ def test_transform_throughput_meets_reference_ceiling(spark):
     hfp_transform(batch).write.format("noop").mode("overwrite").save()
     rate = n / (time.time() - t0)
     assert rate >= 250_000, f"{rate:,.0f} rows/s"
+
+
+def test_stateful_sessionize_state_spans_micro_batches(spark, tmp_path):
+    """A session crossing a micro-batch boundary must stay ONE session:
+    per-user state carries (start, last_ts, n, sum) across batches."""
+    import datetime as dt
+
+    from transitlog_hfp_sink_spark.streaming.stateful import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d = str(tmp_path / "drops")
+    schema = "user_id long, ts timestamp, value double"
+    # batch 1: two events 10:00, 10:10 (open session)
+    spark.createDataFrame(
+        [(1, base, 1.0), (1, base + dt.timedelta(minutes=10), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    # batch 2: 10:20 (continues session), 11:30 (new session after gap)
+    spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=20), 3.0),
+            (1, base + dt.timedelta(minutes=90), 4.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    # flush_final=False: unbounded semantics — only sessions CLOSED by a
+    # gap are emitted; the session spanning the two files must come out as
+    # one row (state carried across batches), the 11:30 one stays open
+    q = (
+        streaming_sessionize(stream, gap_seconds=1800, flush_final=False)
+        .writeStream.format("memory")
+        .queryName("span_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("span_test").collect()
+    assert len(rows) == 1
+    (s1,) = rows
+    assert s1["n_events"] == 3 and s1["total_value"] == 6.0  # spans both files
+    assert str(s1["session_end"]) == "2024-01-01 10:20:00"

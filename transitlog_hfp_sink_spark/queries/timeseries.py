@@ -253,7 +253,51 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    gap-sessionization with per-user state in the engine's state store,
+    run bounded (availableNow) so it is deterministic and shares the batch
+    session oracle. The reference has no stateful operators at all
+    (SURVEY §2.4) — this is north-star surface."""
+    import tempfile
+    import uuid
+
+    from transitlog_hfp_sink_spark.streaming.stateful import streaming_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    sessions = streaming_sessionize(stream, gap_seconds=1800, flush_final=True)
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 QUERIES = {
+    "streaming_sessionize_state": q_streaming_sessionize,
     "events_hourly_rollup": q_hourly_rollup,
     "window_running_total": q_running_total,
     "window_top3_per_type": q_top3_per_type,
@@ -265,6 +309,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_sessionize_state": ORACLE_SESSIONS,
     "events_hourly_rollup": ORACLE_HOURLY,
     "window_running_total": ORACLE_RUNNING,
     "window_top3_per_type": ORACLE_TOP3,
