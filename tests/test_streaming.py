@@ -156,3 +156,62 @@ def test_stateful_sessionize_state_spans_micro_batches(spark, tmp_path):
     (s1,) = rows
     assert s1["n_events"] == 3 and s1["total_value"] == 6.0  # spans both files
     assert str(s1["session_end"]) == "2024-01-01 10:20:00"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data handling (absent in the reference, SURVEY §2.4 end note):
+    a watermarked windowed count must exclude an event arriving after the
+    watermark passed its window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    d = str(tmp_path / "drops")
+    schema = "user_id long, ts timestamp, value double"
+    # batch 1: two rows in window 10:00 + one at 12:00 (watermark -> 11:50)
+    spark.createDataFrame(
+        [(1, base, 1.0), (1, base + dt.timedelta(minutes=5), 1.0),
+         (1, base + dt.timedelta(hours=2), 1.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("bucket"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0.5 seconds")
+        .start()
+    )
+    try:
+        # wait until the first file is consumed (watermark now 11:50)
+        assert _wait(
+            lambda: q.lastProgress is not None
+            and sum(p["numInputRows"] for p in q.recentProgress) >= 3
+        )
+        # NOW drop the late row for window 10:00 — beyond the watermark
+        spark.createDataFrame(
+            [(1, base + dt.timedelta(minutes=2), 1.0)], schema
+        ).coalesce(1).write.mode("append").parquet(d)
+        assert _wait(
+            lambda: q.lastProgress is not None
+            and sum(p["numInputRows"] for p in q.recentProgress) >= 4
+        )
+        assert _wait(
+            lambda: any(
+                str(r["bucket"]) == "2024-01-01 10:00:00"
+                for r in spark.table("wm_test").collect()
+            )
+        )
+    finally:
+        q.stop()
+    got = {str(r["bucket"]): r["n"] for r in spark.table("wm_test").collect()}
+    # the 10:00 window was finalized with its 2 on-time rows; the late
+    # third row was dropped, not re-emitted
+    assert got.get("2024-01-01 10:00:00") == 2

@@ -292,8 +292,58 @@ def q_hfp_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hfp_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vehicle trajectory length: sum of euclidean steps (degree
+    space) between consecutive positions — lag window ordered by
+    (tst, jrn). One shuffle on the vehicle key; steps rounded to 8
+    decimals then decimal-summed so the aggregate is order-independent.
+    (A haversine variant slots into the same step expression; sqrt-only
+    keeps the oracle bit-exact since IEEE sqrt is correctly rounded.)"""
+    from pyspark.sql import Window
+
+    v = synth_vehicles(spark, sf_dir)
+    v = v.where(
+        F.col("jrn").isNotNull() & F.col("lat").isNotNull() & F.col("long").isNotNull()
+    )
+    w = Window.partitionBy("unique_vehicle_id").orderBy(
+        F.col("tst").asc(), F.col("jrn").asc()
+    )
+    dlat = F.col("lat") - F.lag("lat").over(w)
+    dlon = F.col("long") - F.lag("long").over(w)
+    step = F.round(F.sqrt(dlat * dlat + dlon * dlon), 8).cast("decimal(20,10)")
+    stepped = v.select("unique_vehicle_id", step.alias("step"))
+    return stepped.groupBy("unique_vehicle_id").agg(
+        F.round(F.sum("step").cast("double"), 6).alias("trajectory_len"),
+        F.count("step").alias("n_steps"),
+    )
+
+
+ORACLE_TRAJECTORY = f"""
+WITH {{cte}},
+pos AS (
+  SELECT unique_vehicle_id, tst, jrn, lat, long
+  FROM hfp_vehicles
+  WHERE jrn IS NOT NULL AND lat IS NOT NULL AND long IS NOT NULL
+),
+steps AS (
+  SELECT unique_vehicle_id,
+    CAST(round(sqrt(
+      (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) +
+      (long - lag(long) OVER w) * (long - lag(long) OVER w)), 8)
+      AS DECIMAL(20,10)) AS step
+  FROM pos
+  WINDOW w AS (PARTITION BY unique_vehicle_id ORDER BY tst ASC, jrn ASC)
+)
+SELECT unique_vehicle_id,
+       round(CAST(sum(step) AS DOUBLE), 6) AS trajectory_len,
+       count(step) AS n_steps
+FROM steps GROUP BY unique_vehicle_id
+"""
+
+
 QUERIES = {
     "hfp_vehicles_transform": q_hfp_vehicles_transform,
+    "hfp_trajectory_length": q_hfp_trajectory_length,
     "hfp_vp_per_route": q_hfp_vp_per_route,
     "hfp_dedup_replay": q_hfp_dedup_replay,
     "hfp_hourly_vehicles": q_hfp_hourly_vehicles,
@@ -341,4 +391,5 @@ FROM hfp_vehicles
 WHERE lat >= 60.1 AND lat < 60.3 AND long >= 24.6 AND long < 25.0
 GROUP BY route_id
 """,
+    "hfp_trajectory_length": ORACLE_TRAJECTORY.format(cte=hfp_cte()),
 }
