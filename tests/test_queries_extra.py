@@ -68,6 +68,7 @@ def test_registry_names_are_wellformed():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "embedding_topk_lsh",
+        "embedding_topk_ivf",
         "embedding_neardup_pairs",
         "approx_distinct_users",
     }

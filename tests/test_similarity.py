@@ -91,3 +91,23 @@ def test_neardup_pairs_symmetric_free(corpus):
     rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert all(a < b for a, b in rows)  # no mirrored duplicates
     assert (0, 100) in rows
+
+
+def test_ivf_recall_and_structure(corpus):
+    """IVF: planted near-identical pair must be found; recall vs exact
+    must beat random-list probing (nprobe/n_lists)."""
+    from pyspark.sql import functions as F
+
+    queries = corpus.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = sim.ivf_centroids(corpus, n_lists=8, seed=5)
+    assert len(cents) == 8 and len(cents[0]) == DIM
+    got = sim.ivf_topk(corpus, queries, k=1, n_lists=8, nprobe=3, centroids=cents)
+    rows = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(corpus, queries, k=1).collect()
+    }
+    assert (0, 100) in rows  # near-identical pair lands in the same list
+    assert len(rows & exact) / len(exact) >= 3 / 8  # beats random probing

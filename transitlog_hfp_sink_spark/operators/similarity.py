@@ -192,3 +192,94 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
     )
     return pairs
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 17,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids with distributed k-means
+    (pyspark.ml). Training is one-time index-build cost; at 100 TB train
+    on a sample (k-means centroids converge on ~100k points) and broadcast
+    the centroid table — it is tiny (n_lists x dim doubles)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(_as_double(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _nearest_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest centroid ids — pure expressions over a
+    broadcast centroid literal (no UDF, no shuffle)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+    ordered = F.array_sort(
+        pairs, lambda a, b: F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1).otherwise(0)
+    )
+    return F.slice(F.transform(ordered, lambda p: p["i"]), 1, nprobe)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus rows are bucketed by
+    nearest k-means centroid (the inverted lists); each query probes its
+    nprobe nearest lists and re-ranks exactly by cosine.
+
+    Scale shape: list assignment is map-only and persisted with the index;
+    the query join is an equi-join on list_id with the (small) query side
+    broadcast, so the corpus is never shuffled at query time. Recall rises
+    with nprobe (nprobe = n_lists -> exact search).
+    """
+    cents = centroids if centroids is not None else ivf_centroids(corpus, n_lists, vec_col, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__cv"),
+        # corpus rows live in exactly their nearest list
+        F.element_at(_nearest_lists(_as_double(vec_col), cents, 1), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(vec_col).alias("__qv"),
+        F.explode(_nearest_lists(_as_double(vec_col), cents, nprobe)).alias("list_id"),
+    )
+    cands = c.join(F.broadcast(q), on="list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

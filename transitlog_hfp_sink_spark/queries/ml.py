@@ -124,6 +124,18 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(emb, queries, dim=64, k=3, bits=6)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: k-means inverted lists (pyspark.ml trained
+    coarse quantizer), nprobe-list probing, exact cosine re-rank — the
+    index-based ANN scale path (rows-only; recall vs exact asserted in
+    tests/test_similarity.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, k=3, n_lists=16, nprobe=4)
+
+
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP buckets (rows-only).
 
@@ -256,6 +268,7 @@ QUERIES = {
     "dedup_simhash": q_simhash_pairs,
     "embedding_topk_exact": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_lsh_topk,
+    "embedding_topk_ivf": q_embedding_ivf_topk,
     "embedding_neardup_pairs": q_embedding_neardups,
     "text_quality": q_text_quality,
     "langid_documents": q_langid,
@@ -270,6 +283,7 @@ ORACLES = {
     "dedup_simhash": None,  # approximate: rows-only check
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
     "embedding_topk_lsh": None,  # approximate: rows-only check
+    "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
     "embedding_neardup_pairs": None,  # approximate: rows-only check
     "text_quality": ORACLE_TEXT_QUALITY,
     "langid_documents": ORACLE_LANGID,
