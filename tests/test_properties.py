@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis): the safe-parse family must agree
+with a pure-Python reference on arbitrary inputs — the fuzzing the
+reference never had (SURVEY §5)."""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+TIME_RE = re.compile(r"^([01]?\d|2[0-3]):([0-5]\d)(:[0-5]\d)?$")
+
+
+def py_safe_parse_time(s):
+    if s is None:
+        return None
+    m = TIME_RE.match(s)
+    if not m:
+        return None
+    return f"{int(m.group(1)):02d}:{m.group(2)}"
+
+
+def py_safe_parse_int(s):
+    if s is None:
+        return None
+    try:
+        return int(s.strip())
+    except ValueError:
+        return None
+
+
+# strategy: plausible-ish time strings + pure noise
+time_like = st.one_of(
+    st.from_regex(r"[0-9]{1,3}:[0-9]{2}(:[0-9]{2})?", fullmatch=True),
+    st.text(alphabet="0123456789:x. -", min_size=0, max_size=10),
+)
+
+int_like = st.one_of(
+    st.integers(-(2**31), 2**31 - 1).map(str),
+    st.text(alphabet="0123456789-+x. ", min_size=0, max_size=12),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(time_like, min_size=1, max_size=50))
+def test_safe_parse_time_matches_python(spark, values):
+    from transitlog_hfp_sink_spark.functions.timeparse import safe_parse_time
+
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [r["t"] for r in df.select(safe_parse_time("raw").alias("t")).collect()]
+    assert got == [py_safe_parse_time(v) for v in values]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(int_like, min_size=1, max_size=50))
+def test_try_cast_int_matches_python(spark, values):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [r["i"] for r in df.select(F.col("raw").try_cast("int").alias("i")).collect()]
+    assert got == [py_safe_parse_int(v) for v in values]
