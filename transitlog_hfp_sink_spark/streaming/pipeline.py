@@ -86,14 +86,20 @@ class HfpPipeline:
     dedup: bool = False
 
     def _foreach_batch(self, raw_df: DataFrame, batch_id: int) -> None:
-        valid, dead = hfp_split(raw_df)
-        if self.dedup:
-            valid = valid.dropDuplicates(
-                ["unique_vehicle_id", "tst", "event_type", "journey_type"]
-            )
-        self.sink(valid, batch_id)
-        if self.dead_letter_path is not None:
-            dead.write.mode("append").parquet(self.dead_letter_path)
+        # the valid write + two dead-letter branches would each rescan the
+        # micro-batch source (3x read amplification) — pin it once
+        raw_df.persist()
+        try:
+            valid, dead = hfp_split(raw_df)
+            if self.dedup:
+                valid = valid.dropDuplicates(
+                    ["unique_vehicle_id", "tst", "event_type", "journey_type"]
+                )
+            self.sink(valid, batch_id)
+            if self.dead_letter_path is not None:
+                dead.write.mode("append").parquet(self.dead_letter_path)
+        finally:
+            raw_df.unpersist()
 
     def start(self, raw_stream: DataFrame) -> StreamingQuery:
         stream = raw_stream
