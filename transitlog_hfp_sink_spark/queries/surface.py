@@ -142,7 +142,62 @@ FROM events GROUP BY 1
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user_decile): all 4 grouping-set combos."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_decile", (F.col("user_id") % 10).cast("int"))
+        .cube("event_type", "user_decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_decile, count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, (CAST(user_id % 10 AS INTEGER)))
+"""
+
+
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, events + value-sum in the trailing
+    hour (event-time range frame over unix seconds)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(30,12)")).over(w).cast("double").alias(
+            "sum_trailing_1h"
+        ),
+    )
+
+
+ORACLE_MOVING = """
+SELECT user_id, event_id, ts,
+  count(*) OVER w AS n_trailing_1h,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "cube_events": q_cube,
+    "window_moving_1h": q_moving_window,
     "scalar_functions": q_scalar_functions,
     "anti_join_customers": q_anti_join,
     "distinct_counts": q_distinct_counts,
@@ -152,6 +207,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cube_events": ORACLE_CUBE,
+    "window_moving_1h": ORACLE_MOVING,
     "scalar_functions": ORACLE_SCALAR,
     "anti_join_customers": ORACLE_ANTI,
     "distinct_counts": ORACLE_DISTINCT,
