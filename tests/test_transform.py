@@ -166,3 +166,27 @@ def test_transform_is_codegen_only(vehicles):
     plan = vehicles._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_json_decode_roundtrip(spark, raw_df):
+    """Wire decode (S1): rows -> JSON -> decode -> identical transform
+    output; malformed JSON lands on the dead-letter side."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.sources.decode import (
+        decode_hfp_json,
+        encode_hfp_json,
+    )
+
+    wire = encode_hfp_json(raw_df)
+    decoded = decode_hfp_json(wire)
+    direct = hfp_transform(raw_df)
+    via_wire = hfp_transform(decoded)
+    assert via_wire.count() == direct.count()
+    a = direct.orderBy("unique_vehicle_id", "tst", "event_type").collect()
+    b = via_wire.orderBy("unique_vehicle_id", "tst", "event_type").collect()
+    assert a == b
+
+    garbage = spark.createDataFrame([("{not json",), ("",)], "value string")
+    dec = decode_hfp_json(garbage)
+    assert dec.where(F.col("schema_valid")).count() == 0
