@@ -296,7 +296,33 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB continuous-aggregate parity: the hourly rollup
+    maintained INCREMENTALLY over three overlapping micro-batches (each
+    revisits existing hours, forcing partial-merge + targeted partition
+    overwrite), then read back. Converges to the plain batch rollup, so
+    it shares that oracle."""
+    import tempfile
+
+    from transitlog_hfp_sink_spark.streaming.rollup_sink import ContinuousRollupSink
+
+    ev = read_table(spark, sf_dir, "events")
+    sink = ContinuousRollupSink(
+        spark=spark,
+        path=tempfile.mkdtemp(prefix="rollup-") + "/store",
+        ts_col="ts",
+        value_col="value",
+        dims=["event_type"],
+    )
+    for i in range(3):
+        sink(ev.where(F.col("event_id") % 3 == i), i)
+    return sink.read().select(
+        "bucket", "event_type", "n", "sum_value", "avg_value"
+    )
+
+
 QUERIES = {
+    "continuous_rollup_events": q_continuous_rollup,
     "streaming_sessionize_state": q_streaming_sessionize,
     "events_hourly_rollup": q_hourly_rollup,
     "window_running_total": q_running_total,
@@ -309,6 +335,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "continuous_rollup_events": ORACLE_HOURLY,
     "streaming_sessionize_state": ORACLE_SESSIONS,
     "events_hourly_rollup": ORACLE_HOURLY,
     "window_running_total": ORACLE_RUNNING,
