@@ -82,8 +82,8 @@ class HfpPipeline:
     checkpoint: str
     trigger_seconds: float = 1.0  # M1 default dumpInterval (environment.conf:18)
     dead_letter_path: str | None = None
-    watermark: str | None = None  # e.g. "10 minutes" to bound dedup state
-    dedup: bool = False
+    dedup: bool = False  # natural-key dedup per micro-batch; for cross-batch
+    # dedup use dropDuplicatesWithinWatermark on the transformed stream
 
     def _foreach_batch(self, raw_df: DataFrame, batch_id: int) -> None:
         # the valid write + two dead-letter branches would each rescan the
@@ -102,15 +102,8 @@ class HfpPipeline:
             raw_df.unpersist()
 
     def start(self, raw_stream: DataFrame) -> StreamingQuery:
-        stream = raw_stream
-        if self.watermark:
-            # event-time bound for stateful ops; the raw stream has no
-            # timestamp column yet, so watermark applies post-transform when
-            # dedup is done stream-side. For foreachBatch the per-batch
-            # dropDuplicates above suffices (batch-scoped state).
-            pass
         return (
-            stream.writeStream.foreachBatch(self._foreach_batch)
+            raw_stream.writeStream.foreachBatch(self._foreach_batch)
             .option("checkpointLocation", self.checkpoint)
             .trigger(processingTime=f"{self.trigger_seconds} seconds")
             .start()
