@@ -121,3 +121,29 @@ def test_sketches_are_codegen_only(corpus):
         dd.minhash_lsh_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.5)
     )
     assert not has_python_eval(dd.simhash_near_dups(corpus, "text", "doc_id"))
+
+
+def test_winnow_fingerprints_identity_and_planted(spark, corpus):
+    """Winnowing: identical docs -> identical fingerprint sets; planted
+    near-dups share many fingerprints; unrelated docs share few."""
+    from transitlog_hfp_sink_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_near_dups,
+    )
+
+    fp = winnow_fingerprints(corpus, "text", "doc_id", k=8, window=4).cache()
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert sets[0] == sets[200]  # exact dup (case differs -> normalized)
+    # planted near-dup (4 word edits of ~80): high containment
+    inter = len(sets[8] & sets[9]) / min(len(sets[8]), len(sets[9]))
+    assert inter >= 0.5, inter
+    # unrelated random docs: low containment
+    inter_far = len(sets[1] & sets[2]) / min(len(sets[1]), len(sets[2]))
+    assert inter_far < 0.3, inter_far
+
+    pairs = winnow_near_dups(corpus, "text", "doc_id", min_shared=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 200) in got
+    assert (8, 9) in got

@@ -67,6 +67,7 @@ def test_registry_names_are_wellformed():
     assert rows_only == {
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_winnow_pairs",
         "embedding_topk_lsh",
         "embedding_topk_ivf",
         "embedding_neardup_pairs",

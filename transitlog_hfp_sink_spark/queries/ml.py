@@ -85,6 +85,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprint near-dups (MOSS-style; rows-only —
+    fingerprint selection depends on the hash function, so there is no
+    engine-independent oracle; identity/containment contracts are in
+    tests/test_dedup.py)."""
+    from transitlog_hfp_sink_spark.operators.winnow import winnow_near_dups
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_near_dups(docs, "text", "doc_id", k=8, window=4, min_shared=10)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-3 for the first 32 vectors as queries
     over the whole corpus."""
@@ -266,6 +277,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_lsh": q_minhash_pairs,
     "dedup_simhash": q_simhash_pairs,
+    "dedup_winnow_pairs": q_winnow_pairs,
     "embedding_topk_exact": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_lsh_topk,
     "embedding_topk_ivf": q_embedding_ivf_topk,
@@ -281,6 +293,7 @@ ORACLES = {
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_minhash_lsh": None,  # approximate: rows-only check; recall vs exact in tests
     "dedup_simhash": None,  # approximate: rows-only check
+    "dedup_winnow_pairs": None,  # hash-dependent selection: rows-only; contracts in tests
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
     "embedding_topk_lsh": None,  # approximate: rows-only check
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
