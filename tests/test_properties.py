@@ -58,3 +58,37 @@ def test_try_cast_int_matches_python(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "raw string")
     got = [r["i"] for r in df.select(F.col("raw").try_cast("int").alias("i")).collect()]
     assert got == [py_safe_parse_int(v) for v in values]
+
+
+def py_norm_words(text):
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    return set(norm.split(" "))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc XYZ.,123", min_size=1, max_size=40),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_jaccard_pairs_match_python(spark, texts):
+    """ngram_jaccard_pairs (unigram, unblocked) vs pure-Python set math on
+    arbitrary messy text."""
+    from transitlog_hfp_sink_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", None, 1, 0.0).collect()
+    }
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            wa, wb = py_norm_words(texts[a]), py_norm_words(texts[b])
+            expect = round(len(wa & wb) / len(wa | wb), 6) if wa | wb else None
+            if expect is None:
+                continue
+            assert got.get((a, b)) == pytest.approx(expect, abs=1e-6), (a, b)

@@ -215,3 +215,27 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window was finalized with its 2 on-time rows; the late
     # third row was dropped, not re-emitted
     assert got.get("2024-01-01 10:00:00") == 2
+
+
+def test_rate_logging_listener_captures_progress(spark, tmp_path, drops_dir):
+    """M6 parity: the listener must record per-batch input rows/rates."""
+    from transitlog_hfp_sink_spark.streaming import RateLoggingListener
+
+    listener = RateLoggingListener()
+    spark.streams.addListener(listener)
+    try:
+        out = str(tmp_path / "out")
+        pipe = HfpPipeline(
+            sink=lambda df, bid: df.write.mode("append").parquet(out),
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_seconds=0.3,
+        )
+        q = pipe.start(read_hfp_stream(spark, drops_dir, max_files_per_trigger=8))
+        try:
+            assert _wait(lambda: sum(p["numInputRows"] for p in listener.progress) >= 400)
+        finally:
+            q.stop()
+        assert any(p["numInputRows"] > 0 for p in listener.progress)
+        assert all("batchId" in p for p in listener.progress)
+    finally:
+        spark.streams.removeListener(listener)
