@@ -13,7 +13,7 @@ from transitlog_hfp_sink_spark.streaming import HfpPipeline
 from tests.hfp_fixtures import make_hfp_rows
 
 
-def _wait(predicate, timeout_s=60.0, poll=0.3):
+def _wait(predicate, timeout_s=90.0, poll=0.3):
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         if predicate():
