@@ -118,6 +118,52 @@ GROUP BY user_id, session_id
 """
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the engine-provided
+    session operator; complements the lag+cumsum batch twin and the
+    custom stateful streaming op). Window end = last event + gap."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
 def q_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each 'error' event, the latest prior-or-equal
     'click' by the same user (point-in-time enrichment — the stop/schedule
@@ -328,6 +374,7 @@ QUERIES = {
     "window_running_total": q_running_total,
     "window_top3_per_type": q_top3_per_type,
     "sessionize_events": q_sessionize,
+    "session_window_native": q_session_window_native,
     "asof_error_click": q_asof_error_click,
     "range_join_ship_window": q_range_join,
     "props_parse_agg": q_props_parse,
@@ -341,6 +388,7 @@ ORACLES = {
     "window_running_total": ORACLE_RUNNING,
     "window_top3_per_type": ORACLE_TOP3,
     "sessionize_events": ORACLE_SESSIONS,
+    "session_window_native": ORACLE_SESSION_WINDOW,
     "asof_error_click": ORACLE_ASOF,
     "range_join_ship_window": ORACLE_RANGE,
     "props_parse_agg": ORACLE_PROPS,
