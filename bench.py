@@ -79,6 +79,37 @@ def main() -> None:
     timings["hfp_throughput_2m_rows"] = round(dt, 3)
     rows_per_s = THROUGHPUT_ROWS / dt
 
+    # sustained STREAMING rate: rate source -> full pipeline (split +
+    # transform) across real trigger cycles; avg of the engine's own
+    # processedRowsPerSecond over completed batches
+    from transitlog_hfp_sink_spark.sources.synthetic import synthetic_hfp_stream
+    from transitlog_hfp_sink_spark.transform import hfp_split
+    import tempfile
+
+    def _noop_sink(df, batch_id):
+        df.write.format("noop").mode("overwrite").save()
+
+    raw_stream = synthetic_hfp_stream(spark, rows_per_second=600_000)
+
+    def _stream_batch(df, bid):
+        valid, _ = hfp_split(df)
+        _noop_sink(valid, bid)
+
+    sq = (
+        raw_stream.writeStream.foreachBatch(_stream_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench-ckpt-"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    time.sleep(15)
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in sq.recentProgress
+        if p.get("numInputRows", 0) > 0 and p.get("processedRowsPerSecond")
+    ]
+    sq.stop()
+    streaming_rate = int(sum(rates[2:]) / max(len(rates[2:]), 1)) if len(rates) > 2 else 0
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         materialize(qs[name](spark, SF_DIR))
@@ -95,6 +126,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "hfp_transform_rows_per_s": int(rows_per_s),
+                "hfp_streaming_pipeline_rows_per_s": streaming_rate,
             }
         )
     )
