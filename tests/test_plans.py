@@ -51,7 +51,8 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
     similarity search)."""
     from transitlog_hfp_sink_spark.queries import queries
 
-    allowed_bnlj = {"embedding_topk_exact", "embedding_topk_lsh"}
+    # q22: scalar-subquery-as-1-row-broadcast-cross-join is intentional
+    allowed_bnlj = {"embedding_topk_exact", "embedding_topk_lsh", "q22_idle_customers"}
     for name, fn in queries().items():
         if name == "streaming_hourly_rollup":
             continue  # starts a stream; plan checked via its batch twin
@@ -93,3 +94,34 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_pruned = q.count()
     assert 0 < n_pruned < n_all
+
+
+def test_tpch_extra_plan_shapes(spark, sf_dir):
+    """The adapted TPC-H tail (queries/tpch_extra.py): subquery rewrites
+    must keep the scale-friendly physical shape."""
+    from transitlog_hfp_sink_spark.queries import tpch_extra as tx
+
+    # q6: all three predicates reach the parquet scan
+    pf = pushed_filters(tx.q6_forecast_revenue(spark, sf_dir))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+
+    # q17: correlated-avg rewrite = two broadcast joins into lineitem,
+    # no shuffle join on the fact table
+    p17 = explain_str(tx.q17_small_quantity(spark, sf_dir), "simple")
+    assert p17.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p17
+
+    # q18: HAVING-IN rewrite runs as a broadcast left-semi join
+    p18 = explain_str(tx.q18_large_volume(spark, sf_dir), "simple")
+    assert "LeftSemi" in p18
+
+    # q21: EXISTS/NOT-EXISTS rewrite = ONE window shuffle over l_orderkey,
+    # not an agg + self-join pair
+    p21 = explain_str(tx.q21_waiting_supplier(spark, sf_dir), "formatted")
+    assert "Window" in p21
+    assert p21.count("SortMergeJoin") <= 1  # only lineitem x orders
+
+    # q8/q7: every dimension (incl. both nation aliases) broadcasts
+    p8 = explain_str(tx.q8_market_share(spark, sf_dir), "simple")
+    assert p8.count("BroadcastHashJoin") >= 5

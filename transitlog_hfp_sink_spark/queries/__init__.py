@@ -19,9 +19,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from transitlog_hfp_sink_spark.queries import hfp, ml, relational, surface, timeseries
+from transitlog_hfp_sink_spark.queries import (
+    hfp,
+    ml,
+    relational,
+    surface,
+    timeseries,
+    tpch_extra,
+)
 
-_MODULES = (hfp, relational, timeseries, surface, ml)
+_MODULES = (hfp, relational, tpch_extra, timeseries, surface, ml)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
