@@ -51,8 +51,13 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
     similarity search)."""
     from transitlog_hfp_sink_spark.queries import queries
 
-    # q22: scalar-subquery-as-1-row-broadcast-cross-join is intentional
-    allowed_bnlj = {"embedding_topk_exact", "embedding_topk_lsh", "q22_idle_customers"}
+    # q11/q22: scalar-subquery-as-1-row-broadcast-cross-join is intentional
+    allowed_bnlj = {
+        "embedding_topk_exact",
+        "embedding_topk_lsh",
+        "q11_important_parts",
+        "q22_idle_customers",
+    }
     for name, fn in queries().items():
         if name == "streaming_hourly_rollup":
             continue  # starts a stream; plan checked via its batch twin

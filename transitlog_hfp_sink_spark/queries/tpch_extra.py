@@ -13,6 +13,14 @@ model):
 - CASE-ratio aggregation       -> exact decimal sums          (q8, q14)
 - disjunctive predicate push   -> OR of range triples         (q19)
 - multi-alias dimension joins  -> nation x2 self-alias        (q7, q8)
+- correlated MIN subquery      -> window MIN per group        (q2)
+- HAVING vs scalar total       -> 1-row broadcast cross-join  (q11)
+- null-aware NOT IN            -> left_anti join              (q16)
+- nested IN subqueries         -> two semi-join stages        (q20)
+
+q2/q11/q16/q20 need the partsupp table the driver data lacks; the
+part-supplier relation is derived from lineitem instead (the shapes —
+and their Spark rewrites — are unchanged).
 
 Cross-engine determinism: every double sum goes through DECIMAL (exact,
 order-independent); year() is cast to INT in the oracles (DuckDB returns
@@ -573,7 +581,191 @@ GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# q2 (adapted: no partsupp -> the supplier-part offer relation is derived
+# from lineitem; "cost" is the best observed unit price): min-cost supplier
+# per qualifying part. The correlated MIN subquery becomes a window MIN
+# over l_partkey; the part filter broadcasts into lineitem BEFORE the
+# offer aggregation so the window only sees qualifying parts.
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 10) & (F.col("p_type") == "SMALL")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_brand")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_price", F.min("unit_price").over(w)).where(
+        F.col("unit_price") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "unit_price",
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q2 = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, unit_price
+FROM part
+JOIN offers ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size = 10 AND p_type = 'SMALL'
+  AND unit_price = (
+    SELECT min(o2.unit_price) FROM offers o2 WHERE o2.l_partkey = p_partkey
+  )
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 (adapted: "stock value" per part is its lineitem revenue): parts
+# holding more than 0.06% of total value. HAVING-vs-scalar-total becomes a
+# 1-row broadcast cross-join; the threshold multiplication happens in
+# DOUBLE on the exact decimal total (deterministic both engines).
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("part_value")
+    )
+    threshold = li.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") * F.lit(0.0006)).alias("cutoff")
+    )
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .where(F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+ORACLE_Q11 = """
+SELECT l_partkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.0006
+  FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 (adapted: part-supplier pairs derived from lineitem; "complaint"
+# suppliers are those with negative account balance): supplier counts per
+# part attribute. NOT IN becomes a left_anti join (s_suppkey is non-null,
+# so anti-join and null-aware NOT IN coincide; asserted in the oracle by
+# construction).
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(40)
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 40
+"""
+
+
+# --------------------------------------------------------------------------
+# q20 (adapted: "availqty" is shipped volume from lineitem): suppliers in
+# one nation who moved >50 units of some PROMO part in 1996. The nested
+# IN subqueries become two broadcast semi-join stages.
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_16")
+    qual = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("moved"))
+        .where(F.col("moved") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(qual), sup.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_16'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0
+  )
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q20_promo_suppliers": q20_promo_suppliers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -590,6 +782,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": ORACLE_Q2,
+    "q11_important_parts": ORACLE_Q11,
+    "q16_supplier_counts": ORACLE_Q16,
+    "q20_promo_suppliers": ORACLE_Q20,
     "q6_forecast_revenue": ORACLE_Q6,
     "q7_volume_shipping": ORACLE_Q7,
     "q8_market_share": ORACLE_Q8,
