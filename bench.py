@@ -116,6 +116,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # TPC-H power run: all 22 query shapes (q1..q22, adapted — see
+    # queries/tpch_extra.py) back-to-back at this SF; reported as its own
+    # metric so the headline total stays comparable across rounds
+    tpch = [n for n in qs if n.startswith("q") and n[1].isdigit()]
+    t0 = time.time()
+    for name in sorted(tpch):
+        materialize(qs[name](spark, SF_DIR))
+    tpch_total = round(time.time() - t0, 3)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else SF_DIR)
     print(
         json.dumps(
@@ -127,6 +136,8 @@ def main() -> None:
                 "sf": sf,
                 "hfp_transform_rows_per_s": int(rows_per_s),
                 "hfp_streaming_pipeline_rows_per_s": streaming_rate,
+                "tpch_22_shapes_total_s": tpch_total,
+                "tpch_22_shapes_count": len(tpch),
             }
         )
     )

@@ -13,6 +13,8 @@ PICKS = {
     "events_hourly_rollup": "rollup: partial (map-side) + final HashAggregate pair",
     "dedup_minhash_lsh": "LSH: explode+agg signatures, band equi-join, no cartesian",
     "embedding_topk_exact": "brute-force ANN: broadcast queries, map-only scoring, tiny top-k window",
+    "q17_small_quantity": "correlated-avg rewrite: two broadcast joins into the fact, no shuffle join",
+    "q21_waiting_supplier": "EXISTS/NOT-EXISTS rewrite: one window shuffle on l_orderkey, dims broadcast",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):

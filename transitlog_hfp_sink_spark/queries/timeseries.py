@@ -367,7 +367,42 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (plans/skew.py) over the hot
+    event_type keys — must be RESULT-IDENTICAL to a plain GROUP BY (the
+    oracle is the unsalted SQL). Decimal partials merge exactly, so the
+    salt only changes the shuffle shape, never the values."""
+    from transitlog_hfp_sink_spark.plans.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "v_dec", F.col("value").cast(_DEC)
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"v_dec": "sum", "event_id": "count", "value": "max"},
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_v_dec").cast("double").alias("total_value"),
+        F.col("count_event_id").alias("n_events"),
+        F.col("max_value").alias("max_value"),
+    )
+
+
+ORACLE_SALTED = """
+SELECT event_type,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS total_value,
+  CAST(count(event_id) AS BIGINT) AS n_events,
+  max(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "salted_skew_agg": q_salted_agg,
     "continuous_rollup_events": q_continuous_rollup,
     "streaming_sessionize_state": q_streaming_sessionize,
     "events_hourly_rollup": q_hourly_rollup,
@@ -382,6 +417,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_skew_agg": ORACLE_SALTED,
     "continuous_rollup_events": ORACLE_HOURLY,
     "streaming_sessionize_state": ORACLE_SESSIONS,
     "events_hourly_rollup": ORACLE_HOURLY,
