@@ -1,0 +1,76 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.sampling import (
+    hash_sample,
+    sample_key,
+    stratified_take,
+)
+from transitlog_hfp_sink_spark.sources.files import read_table
+
+
+def test_hash_sample_deterministic_and_unbiased(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    s1 = hash_sample(docs, "doc_id", keep_below="40")
+    s2 = hash_sample(docs, "doc_id", keep_below="40")
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # same rows every run
+    n, total = len(ids1), docs.count()
+    # 64/256 = 25% nominal; md5 uniformity gives a loose binomial band
+    assert 0.15 < n / total < 0.35, (n, total)
+
+
+def test_hash_sample_salt_gives_independent_split(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", "80", salt="train").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", "80", salt="val").collect()}
+    assert a != b
+    # ~50% each, overlap ~25% of total if independent
+    total = docs.count()
+    overlap = len(a & b) / total
+    assert 0.10 < overlap < 0.40, overlap
+
+
+def test_hash_sample_is_scan_level_filter(spark, sf_dir):
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = explain_str(hash_sample(docs, "doc_id", "40"), "simple")
+    assert "Exchange" not in plan  # pure per-row filter, no shuffle
+
+
+def test_stratified_take_caps_and_is_uniform(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_take(docs, ["lang"], "doc_id", n_per_stratum=10)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    src_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per.items():
+        assert n == min(10, src_sizes[lang]), (lang, n)
+    # deterministic: same selection twice
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_take(docs, ["lang"], "doc_id", n_per_stratum=10).collect()
+    )
+    assert a == b
+
+
+def test_sample_key_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    got = {
+        r.doc_id: r.k
+        for r in docs.select("doc_id", sample_key("doc_id", "s").alias("k")).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, k in got.items():
+        (want,) = con.execute(
+            "SELECT md5('s' || CAST(? AS VARCHAR))", [doc_id]
+        ).fetchone()
+        assert k == want, doc_id

@@ -9,7 +9,7 @@ ground truth in tests/test_dedup.py instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transitlog_hfp_sink_spark.operators import dedup as dd
@@ -274,7 +274,123 @@ FROM documents
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample of documents — md5-keyed, so re-runs
+    (and the DuckDB oracle) select the SAME rows. Pure filter, no
+    shuffle (operators/sampling.py)."""
+    from transitlog_hfp_sink_spark.operators.sampling import hash_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", keep_below="40").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified cap: at most 40 docs per language,
+    chosen by the md5 permutation — reproducible class balancing for
+    training sets. One window shuffle on the stratum key."""
+    from transitlog_hfp_sink_spark.operators.sampling import stratified_take
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_take(
+        docs, ["lang"], "doc_id", n_per_stratum=40, salt="v1"
+    ).select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5('v1' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+)
+WHERE rn <= 40
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE declarative plan:
+    exact dedup (keep lowest doc_id per normalized fingerprint) ->
+    cheap quality gates (whitespace token count, punctuation ratio) ->
+    deterministic 50% sample -> stratified cap of 50 docs per lang.
+    Two window shuffles + the dedup agg; every stage is the md5-keyed
+    deterministic variant so the final SET is cross-engine exact."""
+    from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+    from transitlog_hfp_sink_spark.operators.sampling import (
+        hash_sample,
+        stratified_take,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    w_dedup = Window.partitionBy("fingerprint")
+    n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9 \t\n\r]", "")).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    deduped = (
+        docs.select("doc_id", "lang", "text", fp)
+        .withColumn("keep_id", F.min("doc_id").over(w_dedup))
+        .where(F.col("doc_id") == F.col("keep_id"))
+    )
+    gated = deduped.where(n_ws.between(10, 10000) & (punct_ratio <= 0.2))
+    sampled = hash_sample(gated, "doc_id", keep_below="80", salt="cur")
+    return (
+        stratified_take(sampled, ["lang"], "doc_id", n_per_stratum=50, salt="cur")
+        .select("doc_id", "lang", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CURATION = f"""
+WITH deduped AS (
+  SELECT doc_id, lang, text,
+    md5({SQL_NORM.format(c='text')}) AS fingerprint,
+    min(doc_id) OVER (PARTITION BY md5({SQL_NORM.format(c='text')})) AS keep_id
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, lang, fingerprint FROM deduped
+  WHERE doc_id = keep_id
+    AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
+    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+),
+sampled AS (
+  SELECT * FROM gated
+  WHERE substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+)
+SELECT doc_id, lang, fingerprint
+FROM (
+  SELECT doc_id, lang, fingerprint,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM sampled
+)
+WHERE rn <= 50
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "deterministic_sample_docs": q_hash_sample,
+    "stratified_sample_docs": q_stratified_sample,
+    "curation_pipeline_docs": q_curation_pipeline,
     "multimodal_frame_sample": q_frame_sample,
     "dedup_exact_documents": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
@@ -291,6 +407,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "deterministic_sample_docs": ORACLE_HASH_SAMPLE,
+    "stratified_sample_docs": ORACLE_STRATIFIED,
+    "curation_pipeline_docs": ORACLE_CURATION,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
