@@ -49,3 +49,30 @@ def register_udfs(spark: SparkSession) -> None:
     """Expose the UDFs to spark.sql (SQL-surface parity)."""
     spark.udf.register("haversine_km", haversine_km)
     spark.udf.register("geometric_mean", geometric_mean)
+
+
+def make_word_counts_udtf():
+    """Python UDTF (table function) surface: per-document word histogram,
+    consumed via LATERAL join in spark.sql. Arrow-batched where the
+    runtime supports it. Built lazily (decorator needs no session, but
+    keeping construction in a factory mirrors the lazy-lit rule used
+    across the query modules)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: bigint")
+    class WordCounts:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for w, c in Counter(re.split(r"\s+", text.strip())).items():
+                if w:
+                    yield w, int(c)
+
+    return WordCounts
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    spark.udtf.register("word_counts", make_word_counts_udtf())

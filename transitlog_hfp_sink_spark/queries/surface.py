@@ -195,7 +195,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 """
 
 
+def q_udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join (functions/udfs.py): per-document
+    word histogram. The UDTF is the genuine table-function API (not an
+    explode rewrite) — the oracle is DuckDB unnest + GROUP BY, proving
+    the Python surface agrees with the relational semantics."""
+    from transitlog_hfp_sink_spark.functions.udfs import register_udtfs
+
+    register_udtfs(spark)
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_udtf_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word, w.n
+        FROM documents_udtf_v d, LATERAL word_counts(d.text) w
+        """
+    )
+
+
+ORACLE_UDTF_WORDS = """
+SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY doc_id, word
+"""
+
+
 QUERIES = {
+    "udtf_word_counts": q_udtf_word_counts,
     "cube_events": q_cube,
     "window_moving_1h": q_moving_window,
     "scalar_functions": q_scalar_functions,
@@ -207,6 +238,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udtf_word_counts": ORACLE_UDTF_WORDS,
     "cube_events": ORACLE_CUBE,
     "window_moving_1h": ORACLE_MOVING,
     "scalar_functions": ORACLE_SCALAR,
