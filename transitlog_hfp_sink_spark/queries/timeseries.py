@@ -401,7 +401,35 @@ GROUP BY event_type
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VARIANT column, variant_get typed extraction — the engine's schema-
+    on-read surface for evolving JSON payloads (vs the fixed-schema
+    from_json in sources/decode.py). At scale this beats repeated
+    regexp/JSON string parsing: one parse, binary-encoded traversal."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_VARIANT = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  count(*) AS n,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY k_bucket
+"""
+
+
 QUERIES = {
+    "variant_extract_agg": q_variant_extract,
     "salted_skew_agg": q_salted_agg,
     "continuous_rollup_events": q_continuous_rollup,
     "streaming_sessionize_state": q_streaming_sessionize,
@@ -417,6 +445,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "variant_extract_agg": ORACLE_VARIANT,
     "salted_skew_agg": ORACLE_SALTED,
     "continuous_rollup_events": ORACLE_HOURLY,
     "streaming_sessionize_state": ORACLE_SESSIONS,
