@@ -342,6 +342,83 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the Structured Streaming
+    capability the reference's single-stream sink never needed): clicks
+    joined to the errors that follow within 6 h for the same user, both
+    sides watermarked so state is bounded — at scale the join keeps only
+    6 h + 1 h watermark of per-key state, not the full history. Run
+    bounded (availableNow) so it is deterministic and shares a batch
+    self-join oracle."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return s
+
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        _stream()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        "click_id", "error_id", F.col("c_user").alias("user_id"), "click_ts", "error_ts"
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAM_JOIN = """
+SELECT l.event_id AS click_id, r.event_id AS error_id, l.user_id,
+       l.ts AS click_ts, r.ts AS error_ts
+FROM events l
+JOIN events r ON l.user_id = r.user_id
+  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+WHERE l.event_type = 'click' AND r.event_type = 'error'
+"""
+
+
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimescaleDB continuous-aggregate parity: the hourly rollup
     maintained INCREMENTALLY over three overlapping micro-batches (each
@@ -431,6 +508,7 @@ GROUP BY k_bucket
 QUERIES = {
     "variant_extract_agg": q_variant_extract,
     "salted_skew_agg": q_salted_agg,
+    "streaming_stream_join": q_streaming_stream_join,
     "continuous_rollup_events": q_continuous_rollup,
     "streaming_sessionize_state": q_streaming_sessionize,
     "events_hourly_rollup": q_hourly_rollup,
@@ -447,6 +525,7 @@ QUERIES = {
 ORACLES = {
     "variant_extract_agg": ORACLE_VARIANT,
     "salted_skew_agg": ORACLE_SALTED,
+    "streaming_stream_join": ORACLE_STREAM_JOIN,
     "continuous_rollup_events": ORACLE_HOURLY,
     "streaming_sessionize_state": ORACLE_SESSIONS,
     "events_hourly_rollup": ORACLE_HOURLY,
