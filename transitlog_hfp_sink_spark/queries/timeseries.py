@@ -39,6 +39,37 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_hourly_rollup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup through THREE engines in one entry (registry
+    consolidation, round 2): plain batch, a real Structured Streaming run
+    (availableNow file stream -> windowed agg -> memory sink), and the
+    incremental ContinuousRollupSink (TimescaleDB continuous-aggregate
+    parity), tagged by ``engine``. All three converge to the same rows, so
+    the oracle is the batch rollup repeated with tags — any divergence in
+    the streaming/incremental machinery flips the entry red."""
+    batch = q_hourly_rollup(spark, sf_dir).select(
+        F.lit("batch").alias("engine"), "bucket", "event_type", "n",
+        "sum_value", "avg_value",
+    )
+    streamed = q_streaming_rollup(spark, sf_dir).select(
+        F.lit("streaming").alias("engine"), "bucket", "event_type", "n",
+        "sum_value",
+        # same double op as the batch leg: (decimal-sum cast double) / count
+        (F.col("sum_value") / F.col("n")).alias("avg_value"),
+    )
+    continuous = q_continuous_rollup(spark, sf_dir).select(
+        F.lit("continuous").alias("engine"), "bucket", "event_type", "n",
+        "sum_value", "avg_value",
+    )
+    return batch.unionByName(streamed).unionByName(continuous)
+
+
+ORACLE_HOURLY_ALL = "\nUNION ALL\n".join(
+    f"SELECT '{tag}' AS engine, * FROM ({ORACLE_HOURLY}) AS t_{tag}"
+    for tag in ("batch", "streaming", "continuous")
+)
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user cumulative sum + row_number — trajectory-style windowing
     (same shuffle shape as per-vehicle odometer analysis on vehicles)."""
@@ -68,6 +99,52 @@ FROM events
 """
 
 
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS and RANGE window frames in ONE per-event pass (registry
+    consolidation, round 2 — formerly window_running_total +
+    window_moving_1h): per-user running sum / row_number (ROWS frame) and
+    trailing-1h count/sum (event-time RANGE frame). Both frames partition
+    on user_id, so Catalyst plans a single exchange; the two sort orders
+    (ts,event_id vs unix(ts)) are per-partition sorts, no extra shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(wn).alias("seq"),
+        F.sum(F.col("value").cast(_DEC)).over(w_rows).cast("double").alias("running_value"),
+        F.count("*").over(w_range).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast(_DEC)).over(w_range).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+ORACLE_WINDOW_FRAMES = """
+SELECT user_id, event_id, ts,
+  CAST(row_number() OVER wo AS INTEGER) AS seq,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) OVER wr AS DOUBLE) AS running_value,
+  count(*) OVER wt AS n_trailing_1h,
+  CAST(sum(CAST(value AS DECIMAL(30,12))) OVER wt AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW
+  wo AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+  wr AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  wt AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/top-k per group with deterministic tie-break."""
     ev = read_table(spark, sf_dir, "events")
@@ -82,7 +159,7 @@ def q_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOP3 = """
-SELECT event_type, rnk, event_id, value FROM (
+SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id, value FROM (
   SELECT event_type, event_id, value,
     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
   FROM events
@@ -91,9 +168,55 @@ SELECT event_type, rnk, event_id, value FROM (
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30 min) + per-session stats."""
+    """Gap-based sessionization (30 min), BOTH batch implementations in one
+    entry (registry consolidation, round 2): the lag+cumsum plan
+    (operators/sessionize.py) tagged ``manual`` and Spark's native
+    ``session_window`` aggregation tagged ``native``, unioned. Each leg
+    keeps its own semantics (manual: session_end = last event, second
+    resolution; native: session_end = last event + gap, microsecond
+    resolution) and its own oracle leg. session_id is the per-user ordinal
+    in both (native derives it with a row_number over session_start —
+    negligible: runs on the already-aggregated session rows)."""
     ev = read_table(spark, sf_dir, "events")
-    return session_stats(ev, key="user_id", ts="ts", gap_seconds=1800, value="value")
+    manual = session_stats(
+        ev, key="user_id", ts="ts", gap_seconds=1800, value="value"
+    ).select(
+        F.lit("manual").alias("impl"),
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "total_value",
+    )
+    wn = Window.partitionBy("user_id").orderBy(F.col("session_start").asc())
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .withColumn("session_id", F.row_number().over(wn).cast("bigint"))
+        .select(
+            F.lit("native").alias("impl"),
+            "user_id",
+            "session_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+    return manual.unionByName(native)
 
 
 ORACLE_SESSIONS = """
@@ -107,13 +230,60 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    -- DuckDB types windowed sum(int) as HUGEINT (arrow decimal128); Spark
+    -- emits BIGINT — the driver hash is type-sensitive, so cast here.
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4) AS total_value
 FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+ORACLE_SESSIONS_BOTH = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+),
+flagged_us AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions_us AS (
+  SELECT user_id, ts, value,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged_us
+)
+SELECT 'manual' AS impl, user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+UNION ALL
+SELECT 'native' AS impl, user_id, session_id,
+       min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4) AS total_value
+FROM sessions_us
 GROUP BY user_id, session_id
 """
 
@@ -505,36 +675,61 @@ GROUP BY k_bucket
 """
 
 
+def q_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both semi-structured extraction surfaces over the props payload in
+    one entry (registry consolidation, round 2 — formerly
+    variant_extract_agg + props_parse_agg): the Spark-4 VARIANT path
+    (parse_json once, binary traversal via variant_get) tagged
+    ``variant``, and the regexp + try_cast safe-parse path tagged
+    ``regexp``. Harmonized schema (impl, key, n, sum_value); each leg
+    keeps its own grouping semantics and oracle leg."""
+    variant = q_variant_extract(spark, sf_dir).select(
+        F.lit("variant").alias("impl"),
+        F.col("k_bucket").cast("string").alias("key"),
+        "n",
+        "sum_value",
+    )
+    rex = q_props_parse(spark, sf_dir).select(
+        F.lit("regexp").alias("impl"),
+        F.col("event_type").alias("key"),
+        F.col("n_parsed").alias("n"),
+        F.col("sum_k").cast("double").alias("sum_value"),
+    )
+    return variant.unionByName(rex)
+
+
+ORACLE_SEMISTRUCTURED = f"""
+SELECT 'variant' AS impl, CAST(k_bucket AS VARCHAR) AS key, n, sum_value
+FROM ({ORACLE_VARIANT}) AS v_t
+UNION ALL
+SELECT 'regexp' AS impl, event_type AS key, n_parsed AS n,
+       CAST(sum_k AS DOUBLE) AS sum_value
+FROM ({ORACLE_PROPS}) AS p_t
+"""
+
+
 QUERIES = {
-    "variant_extract_agg": q_variant_extract,
+    "semistructured_extract": q_semistructured,
     "salted_skew_agg": q_salted_agg,
     "streaming_stream_join": q_streaming_stream_join,
-    "continuous_rollup_events": q_continuous_rollup,
     "streaming_sessionize_state": q_streaming_sessionize,
-    "events_hourly_rollup": q_hourly_rollup,
-    "window_running_total": q_running_total,
+    "events_hourly_rollup": q_hourly_rollup_all,
+    "window_frames": q_window_frames,
     "window_top3_per_type": q_top3_per_type,
     "sessionize_events": q_sessionize,
-    "session_window_native": q_session_window_native,
     "asof_error_click": q_asof_error_click,
     "range_join_ship_window": q_range_join,
-    "props_parse_agg": q_props_parse,
-    "streaming_hourly_rollup": q_streaming_rollup,
 }
 
 ORACLES = {
-    "variant_extract_agg": ORACLE_VARIANT,
+    "semistructured_extract": ORACLE_SEMISTRUCTURED,
     "salted_skew_agg": ORACLE_SALTED,
     "streaming_stream_join": ORACLE_STREAM_JOIN,
-    "continuous_rollup_events": ORACLE_HOURLY,
     "streaming_sessionize_state": ORACLE_SESSIONS,
-    "events_hourly_rollup": ORACLE_HOURLY,
-    "window_running_total": ORACLE_RUNNING,
+    "events_hourly_rollup": ORACLE_HOURLY_ALL,
+    "window_frames": ORACLE_WINDOW_FRAMES,
     "window_top3_per_type": ORACLE_TOP3,
-    "sessionize_events": ORACLE_SESSIONS,
-    "session_window_native": ORACLE_SESSION_WINDOW,
+    "sessionize_events": ORACLE_SESSIONS_BOTH,
     "asof_error_click": ORACLE_ASOF,
     "range_join_ship_window": ORACLE_RANGE,
-    "props_parse_agg": ORACLE_PROPS,
-    "streaming_hourly_rollup": ORACLE_STREAMING,
 }
