@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-#: headline set: HFP parity + relational + time-series + ML pipeline ops
+#: headline set: HFP parity + relational + time-series + ML pipeline ops.
+#: Registry entries that were consolidated in round 2 (events_hourly_rollup,
+#: sessionize_events, window_frames bundle several engines/impls per entry
+#: for the correctness gate) are benched through their BATCH leg callables
+#: so the per-name timings stay comparable with BENCH_r01.
 BENCH_QUERIES = [
     "hfp_vehicles_transform",
     "hfp_vp_per_route",
@@ -43,6 +47,26 @@ BENCH_QUERIES = [
     "text_quality",
     "multimodal_bytes_meta",
 ]
+
+
+def bench_overrides():
+    """name -> callable for consolidated registry entries (batch legs)."""
+    from transitlog_hfp_sink_spark.operators.sessionize import session_stats
+    from transitlog_hfp_sink_spark.queries.timeseries import (
+        q_hourly_rollup,
+        q_running_total,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    def _sessionize_batch(spark, sf_dir):
+        ev = read_table(spark, sf_dir, "events")
+        return session_stats(ev, key="user_id", ts="ts", gap_seconds=1800, value="value")
+
+    return {
+        "events_hourly_rollup": q_hourly_rollup,
+        "window_running_total": q_running_total,
+        "sessionize_events": _sessionize_batch,
+    }
 
 THROUGHPUT_ROWS = 2_000_000
 
@@ -110,20 +134,32 @@ def main() -> None:
     sq.stop()
     streaming_rate = int(sum(rates[2:]) / max(len(rates[2:]), 1)) if len(rates) > 2 else 0
 
+    overrides = bench_overrides()
     for name in BENCH_QUERIES:
+        fn = overrides.get(name) or qs[name]
         t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
+        materialize(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
 
     # TPC-H power run: all 22 query shapes (q1..q22, adapted — see
-    # queries/tpch_extra.py) back-to-back at this SF; reported as its own
-    # metric so the headline total stays comparable across rounds
-    tpch = [n for n in qs if n.startswith("q") and n[1].isdigit()]
+    # queries/tpch_extra.py; the 17 tail shapes live behind the
+    # tpch_power_run registry entry) back-to-back at this SF, timed
+    # PER QUERY so regressions are attributable across rounds
+    from transitlog_hfp_sink_spark.queries import relational, tpch_extra
+
+    tpch_fns = {
+        n: f
+        for n, f in {**relational.QUERIES, **tpch_extra.QUERIES}.items()
+        if n.startswith("q") and n[1].isdigit()
+    }
+    tpch_timings: dict[str, float] = {}
     t0 = time.time()
-    for name in sorted(tpch):
-        materialize(qs[name](spark, SF_DIR))
+    for name in sorted(tpch_fns):
+        tq0 = time.time()
+        materialize(tpch_fns[name](spark, SF_DIR))
+        tpch_timings[name] = round(time.time() - tq0, 3)
     tpch_total = round(time.time() - t0, 3)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else SF_DIR)
     print(
@@ -137,7 +173,8 @@ def main() -> None:
                 "hfp_transform_rows_per_s": int(rows_per_s),
                 "hfp_streaming_pipeline_rows_per_s": streaming_rate,
                 "tpch_22_shapes_total_s": tpch_total,
-                "tpch_22_shapes_count": len(tpch),
+                "tpch_22_shapes_count": len(tpch_fns),
+                "tpch_queries": tpch_timings,
             }
         )
     )

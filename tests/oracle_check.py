@@ -1,10 +1,16 @@
 """Local mirror of the driver's t2 correctness gate.
 
 Runs every __spark_entry__.queries() entry at sf0.01 (or $SF_DIR) and
-compares row count, column names, and values against oracle_sql() via
-DuckDB: columns sorted by name, rows sorted by string repr, exact equality
-(no tolerance — queries are designed for bit-identical results via the
-DECIMAL-sum idiom). Queries without an oracle get a rows-only check.
+compares row count, column names, COLUMN TYPES, and values against
+oracle_sql() via DuckDB: columns sorted by name, rows sorted by string
+repr, exact equality (no tolerance — queries are designed for
+bit-identical results via the DECIMAL-sum idiom). Queries without an
+oracle get a rows-only check.
+
+The type check mirrors the driver's type-sensitive value hash (round-1
+lesson: DuckDB windowed sum(int) is HUGEINT -> arrow decimal128, Spark
+emits bigint — values stringified equal, hashes differ). Spark dtypes and
+DuckDB arrow types are both mapped to a canonical name and must agree.
 
 Usage: python tests/oracle_check.py [query_name ...]
 """
@@ -25,6 +31,57 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+
+def canon_spark_dtype(dt: str) -> str:
+    dt = dt.lower()
+    m = {
+        "tinyint": "int8", "smallint": "int16", "int": "int32",
+        "bigint": "int64", "float": "float32", "double": "float64",
+        "string": "string", "boolean": "bool", "date": "date",
+        "binary": "binary",
+    }
+    if dt in m:
+        return m[dt]
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith("array") or dt.startswith("map") or dt.startswith("struct"):
+        return dt.replace(" ", "")
+    return dt
+
+
+def canon_arrow_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{canon_arrow_type(t.value_type)}>"
+    return str(t)
 
 
 def canon(val):
@@ -77,9 +134,12 @@ def main(only: list[str]) -> int:
             n_pass += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.schema.names
+            otypes = {f.name: canon_arrow_type(f.type) for f in tbl.schema}
+            orows = list(zip(*[col.to_pylist() for col in tbl.columns])) if tbl.num_columns else []
+            if tbl.num_rows and not orows:
+                orows = [()] * tbl.num_rows
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -89,6 +149,13 @@ def main(only: list[str]) -> int:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = {c: canon_spark_dtype(t) for c, t in sdf.dtypes}
+            for c in scols:
+                if stypes.get(c) != otypes.get(c):
+                    problems.append(
+                        f"type mismatch {c}: spark={stypes.get(c)} oracle={otypes.get(c)}"
+                    )
         if not problems:
             sk, ok_ = frame_key(srows, scols), frame_key(orows, ocols)
             if sk != ok_:

@@ -57,10 +57,12 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         "embedding_topk_lsh",
         "q11_important_parts",
         "q22_idle_customers",
+        "tpch_power_run",  # contains q11/q22's 1-row broadcast cross-joins
     }
     for name, fn in queries().items():
-        if name == "streaming_hourly_rollup":
-            continue  # starts a stream; plan checked via its batch twin
+        if name == "events_hourly_rollup":
+            continue  # runs streaming/incremental legs; batch twin's plan
+            # is asserted in test_window_and_agg_queries_have_partial_agg
         df = fn(spark, sf_dir)
         plan = explain_str(df, "simple")
         assert "CartesianProduct" not in plan, name

@@ -20,12 +20,16 @@ def py_safe_parse_time(s):
 
 
 def py_safe_parse_int(s):
+    """Python model of safeParseInt: Java Integer.parseInt throws on
+    int32 overflow (-> null), and Spark ``try_cast(... AS INT)`` matches
+    that — so the model must return None outside [-2^31, 2^31-1]."""
     if s is None:
         return None
     try:
-        return int(s.strip())
+        v = int(s.strip())
     except ValueError:
         return None
+    return v if -(2**31) <= v <= 2**31 - 1 else None
 
 
 # strategy: plausible-ish time strings + pure noise

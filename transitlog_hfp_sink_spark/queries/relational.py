@@ -237,6 +237,45 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE grouping-set families in one entry (registry
+    consolidation, round 2 — formerly rollup_grouping_sets +
+    surface.cube_events): the lineitem ROLLUP tagged ``rollup`` and the
+    events CUBE (surface.q_cube) tagged ``cube``, harmonized to
+    (shape, d1, d2, n, agg_value). NULL grouping-set dims stay NULL."""
+    from transitlog_hfp_sink_spark.queries.surface import q_cube
+
+    roll = q_grouping_sets(spark, sf_dir).select(
+        F.lit("rollup").alias("shape"),
+        F.col("l_returnflag").alias("d1"),
+        F.col("l_linestatus").alias("d2"),
+        "n",
+        F.col("sum_qty").alias("agg_value"),
+    )
+    cube = q_cube(spark, sf_dir).select(
+        F.lit("cube").alias("shape"),
+        F.col("event_type").alias("d1"),
+        F.col("user_decile").cast("string").alias("d2"),
+        "n",
+        F.col("sum_value").alias("agg_value"),
+    )
+    return roll.unionByName(cube)
+
+
+def _oracle_rollup_cube() -> str:
+    from transitlog_hfp_sink_spark.queries.surface import ORACLE_CUBE
+
+    return f"""
+SELECT 'rollup' AS shape, l_returnflag AS d1, l_linestatus AS d2, n,
+       sum_qty AS agg_value
+FROM ({ORACLE_GROUPING_SETS}) AS r_t
+UNION ALL
+SELECT 'cube' AS shape, event_type AS d1, CAST(user_decile AS VARCHAR) AS d2,
+       n, sum_value AS agg_value
+FROM ({ORACLE_CUBE}) AS c_t
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers that placed an order EXCEPT the BUILDING
     segment; plus INTERSECT leg folded in via a union of tagged legs."""
@@ -277,7 +316,7 @@ QUERIES = {
     "q4_order_priority": q_order_priority,
     "q13_customer_distribution": q_customer_distribution,
     "top_brands_revenue": q_top_brands,
-    "rollup_grouping_sets": q_grouping_sets,
+    "rollup_cube_grouping": q_rollup_cube,
     "set_ops_customers": q_set_ops,
 }
 
@@ -288,6 +327,6 @@ ORACLES = {
     "q4_order_priority": ORACLE_PRIORITY,
     "q13_customer_distribution": ORACLE_CUSTDIST,
     "top_brands_revenue": ORACLE_TOP_BRANDS,
-    "rollup_grouping_sets": ORACLE_GROUPING_SETS,
+    "rollup_cube_grouping": _oracle_rollup_cube(),
     "set_ops_customers": ORACLE_SET_OPS,
 }

@@ -225,10 +225,11 @@ GROUP BY doc_id, word
 """
 
 
+# Registry consolidation (round 2): cube_events merged into relational's
+# rollup_cube_grouping; window_moving_1h merged into timeseries'
+# window_frames. The callables (q_cube, q_moving_window) stay importable.
 QUERIES = {
     "udtf_word_counts": q_udtf_word_counts,
-    "cube_events": q_cube,
-    "window_moving_1h": q_moving_window,
     "scalar_functions": q_scalar_functions,
     "anti_join_customers": q_anti_join,
     "distinct_counts": q_distinct_counts,
@@ -239,8 +240,6 @@ QUERIES = {
 
 ORACLES = {
     "udtf_word_counts": ORACLE_UDTF_WORDS,
-    "cube_events": ORACLE_CUBE,
-    "window_moving_1h": ORACLE_MOVING,
     "scalar_functions": ORACLE_SCALAR,
     "anti_join_customers": ORACLE_ANTI,
     "distinct_counts": ORACLE_DISTINCT,
