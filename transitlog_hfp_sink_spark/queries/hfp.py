@@ -223,6 +223,29 @@ def q_hfp_vehicles_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_vehicles(spark, sf_dir)
 
 
+def q_hfp_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINARY protobuf wire path, end to end: synthesize raw HFP rows,
+    encode them to protobuf wire bytes (invalid-schema rows become
+    undecodable bytes), decode with the pure-Python wire codec
+    (sources/protowire.py — the dependency-free twin of
+    decode_hfp_protobuf/from_protobuf), then run the SAME 40-column
+    flatten. The wire roundtrip is bitwise lossless (doubles travel as
+    IEEE-754 fixed64), so this shares hfp_vehicles_transform's full
+    oracle — the hash gate certifies the binary decode, the dead-letter
+    path for corrupt bytes, AND the flatten in one entry
+    (MessageProcessor.java:118-119; QueueWriter.java:57-137)."""
+    from transitlog_hfp_sink_spark.sources.protowire import (
+        decode_hfp_wire,
+        encode_hfp_wire,
+    )
+
+    raw = synth_hfp(read_table(spark, sf_dir, "events"))
+    wire = encode_hfp_wire(raw)
+    decoded = decode_hfp_wire(wire)
+    flat = hfp_flatten(decoded.where(F.col("schema_valid")))
+    return flat.where(F.col("tst").isNotNull())
+
+
 def q_hfp_vp_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship downstream query: ongoing VP events per route per oday —
     the groupBy/agg/sort workload the hypertable layout serves (SURVEY §7.2)."""
@@ -343,6 +366,7 @@ FROM steps GROUP BY unique_vehicle_id
 
 QUERIES = {
     "hfp_vehicles_transform": q_hfp_vehicles_transform,
+    "hfp_protobuf_roundtrip": q_hfp_protobuf_roundtrip,
     "hfp_trajectory_length": q_hfp_trajectory_length,
     "hfp_vp_per_route": q_hfp_vp_per_route,
     "hfp_dedup_replay": q_hfp_dedup_replay,
@@ -353,6 +377,9 @@ QUERIES = {
 
 ORACLES = {
     "hfp_vehicles_transform": f"WITH {hfp_cte()} SELECT * FROM hfp_vehicles",
+    # wire encode->decode is lossless, so the binary path shares the full
+    # 40-column oracle of the transform
+    "hfp_protobuf_roundtrip": f"WITH {hfp_cte()} SELECT * FROM hfp_vehicles",
     "hfp_vp_per_route": f"""
 WITH {hfp_cte()}
 SELECT route_id, oday, count(*) AS n_events,
