@@ -85,3 +85,41 @@ def test_rollup_replay_guard(spark, sf_dir, tmp_path):
     sink(ev, 0)  # replay of the same batch id
     after = sink.read().agg(F.sum("n")).first()[0]
     assert before == after == ev.count()
+
+
+def test_replay_after_lost_meta_does_not_double_count(spark, sf_dir, tmp_path):
+    """Crash window: partition overwrite committed but the meta high-water
+    write was lost. The replayed batch (same id) must detect its own
+    last_batch_id stamp in the data and skip the merge."""
+    import os
+
+    ev = read_table(spark, sf_dir, "events").cache()
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    sink = ContinuousRollupSink(
+        spark=spark, path=str(tmp_path / "rollup"),
+        ts_col="ts", value_col="value", dims=["event_type"],
+    )
+    sink(b1, 0)
+    total = sink.read().agg(F.sum("n")).first()[0]
+    # simulate the crash-between-steps: data committed, meta lost
+    os.remove(sink._meta_path())
+    sink(b1, 0)  # replay with the same batch_id
+    assert sink.read().agg(F.sum("n")).first()[0] == total
+    # and the high-water mark was re-established
+    assert sink._last_committed() == 0
+    ev.unpersist()
+
+
+def test_conf_restored_after_write(spark, sf_dir, tmp_path):
+    """__call__ must not leak partitionOverwriteMode=dynamic session-wide."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    ev = read_table(spark, sf_dir, "events").limit(100)
+    sink = ContinuousRollupSink(
+        spark=spark, path=str(tmp_path / "rollup"),
+        ts_col="ts", value_col="value", dims=["event_type"],
+    )
+    sink(ev, 0)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -111,3 +111,26 @@ def test_ivf_recall_and_structure(corpus):
     }
     assert (0, 100) in rows  # near-identical pair lands in the same list
     assert len(rows & exact) / len(exact) >= 3 / 8  # beats random probing
+
+
+def test_ivf_centroids_sampled_training_keeps_recall(corpus):
+    """Index-build scale path: forcing the bounded-sample branch
+    (max_train_rows << corpus size) must still produce a usable coarse
+    quantizer — the planted near-dup pair is found and recall beats
+    random probing, i.e. sampling changes the centroids, not the
+    operator's quality envelope."""
+    from pyspark.sql import functions as F
+
+    cents = sim.ivf_centroids(corpus, n_lists=8, seed=5, max_train_rows=120)
+    assert len(cents) == 8 and len(cents[0]) == DIM
+    queries = corpus.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.ivf_topk(corpus, queries, k=1, n_lists=8, nprobe=3, centroids=cents)
+    rows = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(corpus, queries, k=1).collect()
+    }
+    assert (0, 100) in rows
+    assert len(rows & exact) / len(exact) >= 3 / 8

@@ -20,6 +20,13 @@ PICKS = {
 def main(sf_dir="/root/testdata/sf0.01"):
     spark = build_session(master="local[8]", shuffle_partitions=8)
     qs = queries()
+    # events_hourly_rollup's registry entry executes its streaming +
+    # incremental legs on construction; snapshot the batch leg's plan
+    from transitlog_hfp_sink_spark.queries.timeseries import q_hourly_rollup
+    qs["events_hourly_rollup"] = q_hourly_rollup
+    # the TPC-H tail lives behind tpch_power_run; snapshot members directly
+    from transitlog_hfp_sink_spark.queries import tpch_extra
+    qs.update(tpch_extra.QUERIES)
     out = ["# PLANS — physical-plan snapshots (sf0.01, local[8])", "",
            "Auto-generated evidence that headline queries compile to the plans",
            "the 100 TB design calls for. Regenerate: `python tools/gen_plans.py`.", ""]

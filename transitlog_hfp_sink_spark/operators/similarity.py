@@ -200,15 +200,29 @@ def ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 17,
     max_iter: int = 20,
+    max_train_rows: int = 100_000,
 ) -> list[list[float]]:
     """Train IVF coarse-quantizer centroids with distributed k-means
-    (pyspark.ml). Training is one-time index-build cost; at 100 TB train
-    on a sample (k-means centroids converge on ~100k points) and broadcast
-    the centroid table — it is tiny (n_lists x dim doubles)."""
+    (pyspark.ml) on a BOUNDED SAMPLE of the corpus: k-means centroids
+    converge on ~100k points, so the index-build cost stays flat as the
+    corpus grows (at 100 TB a full-corpus iterative ML job per index build
+    would dominate everything). The sample is deterministic (seeded) and
+    the fraction is derived from a cheap count; corpora at or below
+    max_train_rows train on everything, so small-scale results are
+    unchanged. The centroid table is tiny (n_lists x dim doubles) and is
+    broadcast by the callers."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(array_to_vector(_as_double(vec_col)).alias("features"))
+    n = feats.count()
+    if n > max_train_rows:
+        # oversample slightly so the sampled count stays >= ~max_train_rows
+        feats = feats.sample(
+            withReplacement=False,
+            fraction=min(1.0, 1.05 * max_train_rows / n),
+            seed=seed,
+        )
     model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -49,11 +49,25 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-safe equi-join: the (large, skewed) left side gets a random-ish
-    but DETERMINISTIC salt; the (smaller) right side is replicated `salt`
-    times so every salted left key finds its match. Use when the right
-    side is too big to broadcast but small enough to replicate xsalt.
+    """Skew-safe equi-join: the (large, skewed) left side gets a salt that
+    is stable for the duration of the join (derived from partition layout
+    via monotonically_increasing_id, so NOT reproducible across runs —
+    irrelevant for join results, which never depend on which salt bucket a
+    row landed in); the (smaller) right side is replicated `salt` times so
+    every salted left key finds its match. Use when the right side is too
+    big to broadcast but small enough to replicate xsalt.
+
+    Only left-preserving joins are valid: with how='right'/'full'/
+    'right_semi' an unmatched right row would be emitted once PER REPLICA
+    (salt duplicates). Those shapes should salt the other side or rely on
+    AQE skew-join handling.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join replicates the right side; how={how!r} would "
+            f"duplicate unmatched right rows. Allowed: {sorted(allowed)}"
+        )
     l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )

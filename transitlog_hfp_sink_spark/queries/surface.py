@@ -185,14 +185,6 @@ def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MOVING = """
-SELECT user_id, event_id, ts,
-  count(*) OVER w AS n_trailing_1h,
-  CAST(sum(CAST(value AS DECIMAL(30,12))) OVER w AS DOUBLE) AS sum_trailing_1h
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-"""
 
 
 def q_udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

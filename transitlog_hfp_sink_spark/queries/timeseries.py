@@ -89,14 +89,6 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_RUNNING = """
-SELECT user_id, event_id, ts,
-  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS seq,
-  CAST(sum(CAST(value AS DECIMAL(30,12))) OVER (
-    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-FROM events
-"""
 
 
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,29 +301,6 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SESSION_WINDOW = """
-WITH flagged AS (
-  SELECT user_id, ts, value,
-    CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-         THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
-),
-sessions AS (
-  SELECT user_id, ts, value,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM flagged
-)
-SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
-       count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
-FROM sessions
-GROUP BY user_id, sid
-"""
 
 
 def q_asof_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,12 +430,6 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-ORACLE_STREAMING = """
-SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
-  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY date_trunc('hour', ts), event_type
-"""
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

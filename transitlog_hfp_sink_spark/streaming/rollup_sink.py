@@ -45,6 +45,10 @@ class ContinuousRollupSink:
     ts_col: str
     value_col: str
     dims: list[str]
+    #: above this many touched hour-buckets the sink stops materializing
+    #: the bucket list on the driver and filters via a broadcast semi-join
+    #: (a replay of a huge historical batch must not blow the driver)
+    max_touched_list: int = 4096
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_last_committed_batch")
@@ -56,27 +60,72 @@ class ContinuousRollupSink:
         except (FileNotFoundError, ValueError):
             return -1
 
+    def _touched_filter(self, touched: list) -> F.Column:
+        """Partition-pruning filter for the touched buckets: equality on
+        the PARTITION columns (bucket_date grouped with its hours), so the
+        self-read lists only the touched hour directories instead of
+        scanning the whole store."""
+        by_date: dict = {}
+        for b in touched:
+            by_date.setdefault(b.date(), []).append(b.hour)
+        cond = F.lit(False)
+        for d, hours in by_date.items():
+            cond = cond | (
+                (F.col("bucket_date") == F.lit(d))
+                & F.col("bucket_hour").isin(sorted(set(hours)))
+            )
+        return cond
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        # replay guard: after a failure/restart, Structured Streaming
-        # re-delivers the last uncommitted batch with the SAME batch_id;
-        # merging it twice would double-count, so skip batch ids at or
-        # below the high-water mark (standard foreachBatch idempotency)
+        # replay guard, step 1 (fast path): after a failure/restart,
+        # Structured Streaming re-delivers the last uncommitted batch with
+        # the SAME batch_id; skip ids at or below the high-water mark
         if batch_id <= self._last_committed():
             return
         batch_df.persist()
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         try:
             batch = batch_df.withColumn(
                 "bucket", F.date_trunc("hour", F.col(self.ts_col))
             )
             new_partials = _aggregate_partials(batch, self.dims, self.value_col)
-            touched = [r["bucket"] for r in new_partials.select("bucket").distinct().collect()]
+            touched = [
+                r["bucket"]
+                for r in new_partials.select("bucket")
+                .distinct()
+                .limit(self.max_touched_list + 1)
+                .collect()
+            ]
             if not touched:
                 return
             merged = new_partials
             if os.path.exists(self.path):
-                existing = self.spark.read.parquet(self.path).where(
-                    F.col("bucket").isin(touched)
-                )
+                store = self.spark.read.parquet(self.path)
+                if len(touched) > self.max_touched_list:
+                    # giant replay: no driver-side bucket list; restrict the
+                    # store via a broadcast semi-join on the batch partials
+                    existing = store.join(
+                        F.broadcast(new_partials.select("bucket").distinct()),
+                        on="bucket",
+                        how="left_semi",
+                    )
+                else:
+                    existing = store.where(self._touched_filter(touched))
+                # replay guard, step 2 (crash-safe): the partition
+                # overwrite below and the meta-file write are two steps; if
+                # we crashed between them, the data already carries this
+                # batch (every row written in a batch is stamped with
+                # last_batch_id, and the partition overwrite commits as one
+                # job) — merging again would double-count, so only bump the
+                # high-water mark and stop.
+                if "last_batch_id" in existing.columns:
+                    prev_max = existing.agg(F.max("last_batch_id")).first()[0]
+                    if prev_max is not None and prev_max >= batch_id:
+                        with open(self._meta_path(), "w") as f:
+                            f.write(str(batch_id))
+                        return
                 merged = (
                     existing.select("bucket", *self.dims, "n", "sum_value_dec")
                     .unionByName(new_partials)
@@ -86,10 +135,15 @@ class ContinuousRollupSink:
                         F.sum("sum_value_dec").alias("sum_value_dec"),
                     )
                 )
-            out = merged.withColumn("bucket_date", F.to_date("bucket")).withColumn(
-                "bucket_hour", F.hour("bucket")
+            out = (
+                merged.withColumn("bucket_date", F.to_date("bucket"))
+                .withColumn("bucket_hour", F.hour("bucket"))
+                .withColumn("last_batch_id", F.lit(batch_id))
             )
-            # overwrite ONLY the touched partitions
+            # overwrite ONLY the touched partitions. The read-then-overwrite
+            # of the same path is safe ONLY under dynamic overwrite (file
+            # deletion deferred to job commit); static mode would drop the
+            # untouched partitions — hence set + restore around the write.
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             out.write.mode("overwrite").partitionBy("bucket_date", "bucket_hour").parquet(
                 self.path
@@ -97,6 +151,9 @@ class ContinuousRollupSink:
             with open(self._meta_path(), "w") as f:
                 f.write(str(batch_id))
         finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
             batch_df.unpersist()
 
     def read(self) -> DataFrame:

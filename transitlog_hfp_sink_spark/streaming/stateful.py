@@ -52,9 +52,16 @@ def _sessionize_group(
         sid, start_us, last_us, n, vsum = 0, None, None, 0, 0.0
 
     out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
+    # a group may span multiple Arrow chunks with no cross-chunk order
+    # guarantee — materialize and sort the WHOLE group before walking it
+    # (per-chunk sorts would mis-sessionize out-of-order input). State per
+    # key is bounded (one open session), and a single key's micro-batch
+    # slice fits an executor by the same assumption every per-key
+    # applyInPandas op makes.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, value in zip(whole["ts"], whole["value"]):
             ts_us = int(ts.value // 1000)  # pandas ns -> us
             if start_us is None:
                 sid, start_us, last_us, n, vsum = sid + 1, ts_us, ts_us, 1, float(value)
