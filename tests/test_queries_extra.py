@@ -71,5 +71,4 @@ def test_registry_names_are_wellformed():
         "embedding_topk_lsh",
         "embedding_topk_ivf",
         "embedding_neardup_pairs",
-        "approx_distinct_users",
     }

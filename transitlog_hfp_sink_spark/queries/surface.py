@@ -68,19 +68,35 @@ WHERE NOT EXISTS (
 
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-column distinct aggregation."""
+    """Exact multi-column distinct aggregation + HLL++ sketch in one pass
+    (registry consolidation, round 2: absorbs approx_distinct_users).
+    The sketch value itself is engine-specific, so what's hash-checked is
+    the CONTRACT: |approx - exact| / exact <= 5% per group (HLL++ at
+    rsd=0.02; the tighter ~3*rsd bound is asserted in
+    tests/test_queries_extra.py). The oracle emits constant TRUE — a
+    stronger check than rows-only, since any group drifting past the
+    bound flips the boolean and fails the hash."""
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            / F.greatest(F.countDistinct("user_id"), F.lit(1))
+            <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 
 ORACLE_DISTINCT = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
-       min(ts) AS first_ts, max(ts) AS last_ts
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       TRUE AS approx_within_5pct
 FROM events GROUP BY event_type
 """
 
@@ -217,15 +233,100 @@ GROUP BY doc_id, word
 """
 
 
+def q_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering evidence (plans/zorder.py; SURVEY §2.5 Q3 —
+    the reference's multi-column btrees, `run/init.sql`, served here by
+    Morton-interleaved parquet layout). Clusters events by the z-key of
+    (value, user_id) into a temp parquet, then answers a 2-D range
+    predicate FROM THE CLUSTERED COPY, re-deriving each row's z-key.
+    Hash-green vs the raw-table oracle (which re-implements rank16 +
+    bit-interleave in SQL) proves the rewrite is lossless AND the Morton
+    math agrees bit-for-bit cross-engine; file-level min/max tightening
+    is asserted in tests/test_zorder.py."""
+    import tempfile
+
+    from transitlog_hfp_sink_spark.plans.zorder import (
+        _rank16,
+        write_zordered,
+        zorder_key,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_zorder_") + "/events_z"
+    write_zordered(ev, path, "value", "user_id", n_files=8)
+    z = spark.read.parquet(path)
+    b = ev.agg(
+        F.min("value").alias("v_lo"), F.max("value").alias("v_hi"),
+        F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+    ).first()
+    ra = _rank16(F.col("value"), F.lit(b["v_lo"]), F.lit(b["v_hi"]))
+    rb = _rank16(F.col("user_id"), F.lit(b["u_lo"]), F.lit(b["u_hi"]))
+    return (
+        z.where(
+            (F.col("value") >= 50.0)
+            & (F.col("value") < 150.0)
+            & (F.col("user_id") <= 10)
+        )
+        .select(
+            "event_id", "user_id", "event_type", "ts", "value",
+            zorder_key(ra, rb).alias("z_key"),
+        )
+    )
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB bit-interleave matching plans.zorder.zorder_key exactly."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+# rank16 twin of plans.zorder._rank16: scale into [0, 65535] given global
+# lo/hi. trunc() before the BIGINT cast — DuckDB CAST(DOUBLE AS BIGINT)
+# rounds half-to-even while Spark's cast truncates toward zero.
+def _rank16_sql(col: str, lo: str, hi: str) -> str:
+    return (
+        f"least(65535, greatest(0, CAST(trunc("
+        f"(CAST({col} AS DOUBLE) - {lo}) / "
+        f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1 END) * 65535"
+        f") AS BIGINT)))"
+    )
+
+
+ORACLE_ZORDER = f"""
+WITH b AS (
+  SELECT min(value) AS v_lo, max(value) AS v_hi,
+         min(user_id) AS u_lo, max(user_id) AS u_hi
+  FROM events
+),
+r AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         {_rank16_sql("value", "b.v_lo", "b.v_hi")} AS ra,
+         {_rank16_sql("user_id", "b.u_lo", "b.u_hi")} AS rb
+  FROM events, b
+  WHERE value >= 50.0 AND value < 150.0 AND user_id <= 10
+)
+SELECT event_id, user_id, event_type, ts, value,
+       {_morton_sql("ra", "rb")} AS z_key
+FROM r
+"""
+
+
 # Registry consolidation (round 2): cube_events merged into relational's
 # rollup_cube_grouping; window_moving_1h merged into timeseries'
-# window_frames. The callables (q_cube, q_moving_window) stay importable.
+# window_frames; approx_distinct_users merged into distinct_counts (its
+# slot now carries zorder_clustered_scan). The standalone callables
+# (q_cube, q_moving_window, q_approx_distinct) stay importable.
 QUERIES = {
     "udtf_word_counts": q_udtf_word_counts,
     "scalar_functions": q_scalar_functions,
     "anti_join_customers": q_anti_join,
     "distinct_counts": q_distinct_counts,
-    "approx_distinct_users": q_approx_distinct,
+    "zorder_clustered_scan": q_zorder_clustered_scan,
     "percentiles_orders": q_percentiles,
     "pivot_event_counts": q_pivot,
 }
@@ -235,7 +336,7 @@ ORACLES = {
     "scalar_functions": ORACLE_SCALAR,
     "anti_join_customers": ORACLE_ANTI,
     "distinct_counts": ORACLE_DISTINCT,
-    "approx_distinct_users": None,  # HLL sketch: rows-only; error bound in tests
+    "zorder_clustered_scan": ORACLE_ZORDER,
     "percentiles_orders": ORACLE_PERCENTILES,
     "pivot_event_counts": ORACLE_PIVOT,
 }
