@@ -134,3 +134,38 @@ def test_ivf_centroids_sampled_training_keeps_recall(corpus):
     }
     assert (0, 100) in rows
     assert len(rows & exact) / len(exact) >= 3 / 8
+
+
+def test_kmeans_np_deterministic_and_recovers_clusters():
+    """The in-memory trainer behind ivf_centroids: seeded kmeans++/Lloyd's
+    is bit-deterministic for a fixed seed and recovers well-separated
+    planted clusters."""
+    import numpy as np
+
+    from transitlog_hfp_sink_spark.operators.similarity import _kmeans_np
+
+    rng = np.random.RandomState(0)
+    X = np.concatenate(
+        [rng.normal(i * 5.0, 0.3, size=(200, 8)) for i in range(4)]
+    )
+    C1 = _kmeans_np(X, 4, seed=11, max_iter=25)
+    C2 = _kmeans_np(X, 4, seed=11, max_iter=25)
+    assert np.array_equal(C1, C2)
+    # planted centers are at (0,5,10,15)*ones: first coordinate identifies
+    recovered = sorted(int(round(c[0] / 5.0)) for c in C1)
+    assert recovered == [0, 1, 2, 3]
+    for c in C1:  # tight clusters -> every centroid near a planted mean
+        assert abs(c[0] - round(c[0] / 5.0) * 5.0) < 0.5
+
+
+def test_kmeans_np_degenerate_duplicates():
+    """k > distinct points: the empty-list reseed path must still return
+    k finite centroids (no NaN from empty means)."""
+    import numpy as np
+
+    from transitlog_hfp_sink_spark.operators.similarity import _kmeans_np
+
+    X = np.array([[1.0, 2.0]] * 5 + [[3.0, 4.0]] * 5)
+    C = _kmeans_np(X, 3, seed=1, max_iter=10)
+    assert C.shape == (3, 2)
+    assert np.isfinite(C).all()
