@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transitlog_hfp_sink_spark.operators import dedup as dd
+from transitlog_hfp_sink_spark.operators.cluster import connected_components
 from transitlog_hfp_sink_spark.operators import similarity as sim
 from transitlog_hfp_sink_spark.operators import textanalysis as ta
 from transitlog_hfp_sink_spark.operators.multimodal import (
@@ -42,26 +43,61 @@ FROM documents GROUP BY 1
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-set Jaccard for pairs blocked on source — ground truth
-    for the sketches; threshold keeps the output to true near-dups."""
+    """Tagged union of the two exact-dedup stages a pipeline actually runs:
+    part='pair'    — exact word-set Jaccard >= 0.5 for pairs blocked on
+                     source (ground truth for the sketches);
+    part='cluster' — connected components over those pairs (id_a=doc,
+                     id_b=cluster id = min doc_id in the component), the
+                     transitive closure that turns pairs into one-canonical-
+                     doc-per-duplicate-cluster.
+    The pair graph is persisted so the cluster leg's iterative star rounds
+    reuse it instead of re-running the blocked self-join."""
     docs = read_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(
+    pairs = dd.ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=["source"], shingle_n=1, threshold=0.5
+    ).persist()
+    pair_leg = pairs.select(
+        F.lit("pair").alias("part"), "id_a", "id_b", F.col("jaccard").alias("score")
     )
+    cc = connected_components(pairs, "id_a", "id_b")
+    cluster_leg = cc.select(
+        F.lit("cluster").alias("part"),
+        F.col("node").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return pair_leg.unionByName(cluster_leg)
 
 
+# The cluster leg's oracle is a recursive min-label closure: every label
+# reachable from a node, then min per node — O(sum of component size^2)
+# walk rows, fine at oracle scale (the Spark side is the O(log n)-round
+# star algorithm precisely because this closure does NOT scale).
 ORACLE_JACCARD = f"""
-WITH w AS (
+WITH RECURSIVE w AS (
   SELECT doc_id AS id, source,
          list_distinct(string_split({SQL_NORM.format(c='text')}, ' ')) AS sh
   FROM documents
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM w a JOIN w b ON a.source = b.source AND a.id < b.id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS score
+  FROM w a JOIN w b ON a.source = b.source AND a.id < b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+walk(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT e.v, walk.lbl FROM walk JOIN e ON e.u = walk.u
+),
+labels AS (SELECT u AS node, min(lbl) AS comp FROM walk GROUP BY u)
+SELECT 'pair' AS part, id_a, id_b, score FROM p
+UNION ALL
+SELECT 'cluster' AS part, node AS id_a, comp AS id_b, CAST(NULL AS DOUBLE) AS score
+FROM labels
 """
 
 
