@@ -1,0 +1,84 @@
+"""Benchmark decontamination — cross-corpus n-gram overlap.
+
+Every LLM training pipeline runs this before training: find (and drop)
+training documents that share word n-grams with an evaluation/benchmark
+set, so benchmark scores measure generalization, not memorization. This
+is NOT dedup: the comparison is corpus-vs-benchmark (bipartite), the
+predicate is "any shared n-gram" (containment), and the output feeds a
+filter, not a cluster assignment.
+
+Plan shape (the one that scales to a 100 TB corpus):
+- Both sides explode to (id, distinct n-gram) rows via the shared
+  dedup.word_shingles expression (normalize -> split -> zip_with chain,
+  all codegen).
+- The BENCHMARK side is broadcast: eval sets are small by construction
+  (10^3..10^6 docs), so the corpus side joins map-side and NEVER
+  shuffles its gram stream. The only shuffle is the (corpus_id,
+  bench_id) count aggregation — keyed by doc ids, map-side combinable,
+  output bounded by true contamination volume.
+- With `broadcast_benchmark=False` (a benchmark too big to broadcast)
+  it degrades to a shuffle equi-join on the gram string; AQE handles
+  the hot-gram skew. At that size, prefer joining on xxhash64(gram)
+  to halve shuffle width — kept off here so the result is exactly
+  oracle-comparable (string grams, zero collision caveats).
+
+No counterpart in the reference (HSLdevcom/transitlog-hfp-sink); part of
+the training-data-pipeline family alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.dedup import word_shingles
+
+
+def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """(corpus_id, bench_id, shared) for every corpus/benchmark doc pair
+    sharing >= min_shared distinct word n-grams."""
+    c = _gram_rows(corpus, text_col, id_col, n, "corpus_id")
+    b = _gram_rows(benchmark, text_col, id_col, n, "bench_id")
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    pairs = (
+        c.join(b, "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    if min_shared > 1:
+        pairs = pairs.where(F.col("shared") >= min_shared)
+    return pairs
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The corpus minus every document contaminated against `benchmark`
+    (one left-anti join on the contaminated id set). Documents too short
+    to have any n-gram are trivially clean and are kept."""
+    dirty = contamination_pairs(
+        corpus, benchmark, text_col, id_col, n, min_shared, broadcast_benchmark
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(dirty, id_col, "left_anti")

@@ -108,11 +108,19 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass text-analysis projection over a documents table."""
+def analyze_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-pass text-analysis projection over a documents table.
+    `extra_cols` are passed through untouched (e.g. a ground-truth lang
+    label to score lang_pred against)."""
     c = F.col(text_col)
     return df.select(
         F.col(id_col),
+        *[F.col(x) for x in extra_cols],
         token_count(c).alias("n_tokens"),
         F.length(c).alias("n_chars"),
         F.round(avg_word_length(c), 4).alias("avg_word_len"),

@@ -197,8 +197,11 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis projection incl. language ID scored against the
+    table's ground-truth lang column (registry consolidation, round 2:
+    absorbs langid_documents — lang_pred + lang in one pass)."""
     docs = read_table(spark, sf_dir, "documents")
-    return ta.analyze_documents(docs, "text", "doc_id")
+    return ta.analyze_documents(docs, "text", "doc_id", extra_cols=("lang",))
 
 
 _MARKER_SQL = {
@@ -225,14 +228,14 @@ _SW_ARR = "[" + ", ".join(f"'{w}'" for w in ta.STOPWORDS) + "]"
 
 ORACLE_TEXT_QUALITY = f"""
 WITH base AS (
-  SELECT doc_id, text,
+  SELECT doc_id, lang, text,
          {SQL_NORM.format(c='text')} AS norm,
          string_split({SQL_NORM.format(c='text')}, ' ') AS words,
          string_split_regex(trim(text), '\\s+') AS ws_tokens
   FROM documents
 ),
 feat AS (
-  SELECT doc_id, text, norm,
+  SELECT doc_id, lang, text, norm,
     len(regexp_extract_all(text, '{ta.TOKEN_PATTERN}')) AS n_tokens,
     length(text) AS n_chars,
     CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) AS awl,
@@ -242,7 +245,7 @@ feat AS (
     {_SCORES_SQL.replace('words', 'list_distinct(words)')}
   FROM base
 )
-SELECT doc_id,
+SELECT doc_id, lang,
   CAST(n_tokens AS INTEGER) AS n_tokens,
   CAST(n_chars AS INTEGER) AS n_chars,
   round(awl, 4) AS avg_word_len,
@@ -258,22 +261,60 @@ FROM feat
 """
 
 
-def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        ta.detect_language(F.col("text")).alias("lang_pred"),
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 37 == 0 play the
+    eval/benchmark set, the rest the training corpus. Tagged union:
+    part='pair'  — (corpus doc, benchmark doc, shared distinct trigrams);
+    part='clean' — corpus docs with zero benchmark overlap (the rows a
+    pipeline would keep; short no-gram docs are trivially clean).
+    The benchmark gram side is broadcast, so the corpus never shuffles."""
+    from transitlog_hfp_sink_spark.operators.decontaminate import (
+        contamination_pairs,
+        decontaminate,
     )
 
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    pairs = contamination_pairs(corpus, bench, "text", "doc_id", n=3)
+    pair_leg = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("corpus_id"),
+        F.col("bench_id"),
+        F.col("shared"),
+    )
+    clean_leg = decontaminate(corpus, bench, "text", "doc_id", n=3).select(
+        F.lit("clean").alias("part"),
+        F.col("doc_id").alias("corpus_id"),
+        F.lit(None).cast("bigint").alias("bench_id"),
+        F.lit(None).cast("bigint").alias("shared"),
+    )
+    return pair_leg.unionByName(clean_leg)
 
-ORACLE_LANGID = f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-    {_SCORES_SQL.replace('words', f"list_distinct(string_split({SQL_NORM.format(c='text')}, ' '))")}
+
+ORACLE_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS words
   FROM documents
+),
+g AS (
+  SELECT doc_id, list_distinct([array_to_string(words[i:i+2], ' ')
+                 for i in range(1, len(words) - 2 + 1)]) AS grams
+  FROM w WHERE len(words) >= 3
+),
+x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+b AS (SELECT doc_id AS bench_id, gram FROM x WHERE doc_id % 37 = 0),
+c AS (SELECT doc_id AS corpus_id, gram FROM x WHERE doc_id % 37 <> 0),
+j AS (
+  SELECT corpus_id, bench_id, CAST(count(*) AS BIGINT) AS shared
+  FROM c JOIN b USING (gram) GROUP BY 1, 2
 )
-SELECT doc_id, lang, {_LANG_CASE} AS lang_pred FROM scored
+SELECT 'pair' AS part, corpus_id, bench_id, shared FROM j
+UNION ALL
+SELECT 'clean' AS part, doc_id AS corpus_id,
+       CAST(NULL AS BIGINT) AS bench_id, CAST(NULL AS BIGINT) AS shared
+FROM documents
+WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM j)
 """
 
 
@@ -438,7 +479,7 @@ QUERIES = {
     "embedding_topk_ivf": q_embedding_ivf_topk,
     "embedding_neardup_pairs": q_embedding_neardups,
     "text_quality": q_text_quality,
-    "langid_documents": q_langid,
+    "decontaminate_documents": q_decontaminate,
     "multimodal_bytes_meta": q_multimodal_meta,
 }
 
@@ -457,6 +498,6 @@ ORACLES = {
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
     "embedding_neardup_pairs": None,  # approximate: rows-only check
     "text_quality": ORACLE_TEXT_QUALITY,
-    "langid_documents": ORACLE_LANGID,
+    "decontaminate_documents": ORACLE_DECONTAMINATE,
     "multimodal_bytes_meta": ORACLE_MULTIMODAL,
 }
