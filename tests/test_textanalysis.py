@@ -1,0 +1,95 @@
+"""Repetition signals (textanalysis.duplicate_line_fraction /
+duplicate_ngram_fraction) and the word_grams multiset contract. The
+synthetic documents table is single-line, so planted inputs exercise
+the newline paths here."""
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.dedup import word_grams, word_shingles
+from transitlog_hfp_sink_spark.operators.textanalysis import (
+    duplicate_line_fraction,
+    duplicate_ngram_fraction,
+)
+
+
+def _frac_cols(spark, texts, n=3):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i bigint, text string"
+    )
+    rows = (
+        df.select(
+            "i",
+            duplicate_line_fraction("text").alias("dl"),
+            duplicate_ngram_fraction("text", n).alias("dg"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    return [(r["dl"], r["dg"]) for r in rows]
+
+
+def _py_norm_words(text):
+    t = re.sub(r"[^a-z0-9\s]", " ", text.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return t.split(" ") if t else [""]
+
+
+def _py_dup_gram_frac(text, n):
+    w = _py_norm_words(text)
+    grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    return (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+
+
+def _py_dup_line_frac(text):
+    lines = [l for l in text.split("\n") if l.strip()]
+    return (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+
+
+def test_duplicate_line_fraction_planted(spark):
+    got = _frac_cols(
+        spark,
+        [
+            "buy now\nbuy now\nbuy now\nunique line",  # 2 of 4 lines repeat
+            "one line only",
+            "a\n\n  \na",  # blank lines ignored; 1 of 2 repeats
+            "",
+        ],
+    )
+    assert [dl for dl, _ in got] == [0.5, 0.0, 0.5, 0.0]
+
+
+def test_duplicate_ngram_fraction_planted(spark):
+    texts = [
+        "spam spam spam spam spam spam",  # all trigrams identical: 3/4 dup
+        "the quick brown fox jumps high",  # all distinct
+        "too short",  # no trigram -> 0
+    ]
+    got = _frac_cols(spark, texts)
+    assert got[0][1] == 0.75
+    assert got[1][1] == 0.0
+    assert got[2][1] == 0.0
+
+
+def test_fuzz_vs_python(spark):
+    rng = random.Random(3)
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 15)))
+        for _ in range(50)
+    ]
+    got = _frac_cols(spark, texts)
+    for t, (dl, dg) in zip(texts, got):
+        assert abs(dl - _py_dup_line_frac(t)) < 1e-9, t
+        assert abs(dg - _py_dup_gram_frac(t, 3)) < 1e-9, t
+
+
+def test_word_grams_keeps_repeats(spark):
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    row = df.select(
+        word_grams("text", 2).alias("g"), word_shingles("text", 2).alias("s")
+    ).collect()[0]
+    assert row["g"] == ["a b", "b a", "a b", "b a"]  # ordered multiset
+    assert row["s"] == ["a b", "b a"]  # the distinct set

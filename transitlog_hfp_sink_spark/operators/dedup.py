@@ -54,8 +54,10 @@ def exact_dedup(
     )
 
 
-def word_shingles(col: Column | str, n: int = 1) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+def word_grams(col: Column | str, n: int = 1) -> Column:
+    """ALL word n-grams of the normalized text, in order, repeats kept
+    (repetition/quality signals need the multiset; dedup wants the set —
+    see word_shingles).
 
     PERF NOTE: any outer expression referenced inside a higher-order-
     function lambda is re-evaluated PER ELEMENT (lambda variables block
@@ -68,7 +70,7 @@ def word_shingles(col: Column | str, n: int = 1) -> Column:
     """
     words = F.split(normalize_text(col), " ")
     if n == 1:
-        return F.array_distinct(words)
+        return words
     size = F.size(words)
     grams = words
     for k in range(1, n):
@@ -77,9 +79,13 @@ def word_shingles(col: Column | str, n: int = 1) -> Column:
         # producing short tail grams that the final slice cuts off
         grams = F.zip_with(grams, shifted, lambda g, w: F.concat_ws(" ", g, w))
     full = F.slice(grams, 1, F.greatest(size - n + 1, F.lit(0)))
-    return F.when(size >= n, F.array_distinct(full)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(size >= n, full).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 1) -> Column:
+    """Distinct word n-gram shingles of the normalized text (the set form
+    every dedup/decontamination variant keys on)."""
+    return F.array_distinct(word_grams(col, n))
 
 
 def _hash31(arr: Column) -> Column:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.operators.dedup import normalize_text, word_grams
 
 #: ASCII token pattern shared with the oracle SQL — a BPE-ish split:
 #: letter runs, digit runs, or single punctuation marks.
@@ -101,6 +101,29 @@ def detect_language(col: Column | str) -> Column:
     return best_lang
 
 
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Repetition signal (Gopher-style): fraction of non-empty lines that
+    repeat an earlier line. Boilerplate/scraped pages score high; 0.0 for
+    texts with at most one non-empty line."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_fraction(col: Column | str, n: int = 3) -> Column:
+    """Repetition signal: fraction of word n-grams that repeat an earlier
+    occurrence (over the normalized text). Looping/spammy generation
+    scores high; 0.0 when the text is too short for any n-gram."""
+    grams = word_grams(col, n)
+    size = F.size(grams)
+    return F.when(
+        size > 0, (size - F.size(F.array_distinct(grams))) / size
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
     (The rolling-hash/winnowing variant lives in dedup.word_shingles +
@@ -127,6 +150,8 @@ def analyze_documents(
         F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
         F.round(punct_ratio(c), 4).alias("punct_ratio"),
         quality_score(c).alias("quality"),
+        F.round(duplicate_line_fraction(c), 4).alias("dup_line_frac"),
+        F.round(duplicate_ngram_fraction(c, 3), 4).alias("dup_trigram_frac"),
         detect_language(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )

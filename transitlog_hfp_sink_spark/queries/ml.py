@@ -199,7 +199,9 @@ def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis projection incl. language ID scored against the
     table's ground-truth lang column (registry consolidation, round 2:
-    absorbs langid_documents — lang_pred + lang in one pass)."""
+    absorbs langid_documents — lang_pred + lang in one pass) plus the
+    Gopher-style repetition signals (duplicate-line / duplicate-trigram
+    fractions). Still a map-only single-scan projection."""
     docs = read_table(spark, sf_dir, "documents")
     return ta.analyze_documents(docs, "text", "doc_id", extra_cols=("lang",))
 
@@ -242,6 +244,10 @@ feat AS (
     CAST(len(list_filter(words, w -> list_contains({_SW_ARR}, w))) AS DOUBLE) / len(words) AS swr,
     CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) AS pr,
     len(ws_tokens) AS n_ws,
+    len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS n_lines,
+    len(list_distinct(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))) AS n_dlines,
+    len([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)]) AS n_g3,
+    len(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)])) AS n_dg3,
     {_SCORES_SQL.replace('words', 'list_distinct(words)')}
   FROM base
 )
@@ -255,6 +261,8 @@ SELECT doc_id, lang,
       + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
       + 0.3 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
       + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
+  round(CASE WHEN n_lines > 0 THEN CAST(n_lines - n_dlines AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_line_frac,
+  round(CASE WHEN n_g3 > 0 THEN CAST(n_g3 - n_dg3 AS DOUBLE) / n_g3 ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_trigram_frac,
   {_LANG_CASE} AS lang_pred,
   md5(norm) AS fingerprint
 FROM feat
@@ -351,39 +359,40 @@ FROM documents
 """
 
 
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~25% sample of documents — md5-keyed, so re-runs
-    (and the DuckDB oracle) select the SAME rows. Pure filter, no
-    shuffle (operators/sampling.py)."""
-    from transitlog_hfp_sink_spark.operators.sampling import hash_sample
-
-    docs = read_table(spark, sf_dir, "documents")
-    return hash_sample(docs, "doc_id", keep_below="40").select(
-        "doc_id", "lang", "source", "n_chars"
+def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling modes a curation pipeline uses, as a
+    tagged union (registry consolidation, round 2):
+    part='hash'  — ~25% md5-keyed sample; re-runs (and the DuckDB
+                   oracle) select the SAME rows; pure filter, no shuffle;
+    part='strat' — at most 40 docs per language by the md5 permutation
+                   (reproducible class balancing; one window shuffle)."""
+    from transitlog_hfp_sink_spark.operators.sampling import (
+        hash_sample,
+        stratified_take,
     )
 
+    docs = read_table(spark, sf_dir, "documents")
+    hash_leg = hash_sample(docs, "doc_id", keep_below="40").select(
+        F.lit("hash").alias("part"), "doc_id", "lang", "source", "n_chars"
+    )
+    strat_leg = stratified_take(
+        docs, ["lang"], "doc_id", n_per_stratum=40, salt="v1"
+    ).select(
+        F.lit("strat").alias("part"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
+    return hash_leg.unionByName(strat_leg)
 
-ORACLE_HASH_SAMPLE = """
-SELECT doc_id, lang, source, n_chars
+
+ORACLE_SAMPLE = """
+SELECT 'hash' AS part, doc_id, lang, source, n_chars
 FROM documents
 WHERE substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
-"""
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified cap: at most 40 docs per language,
-    chosen by the md5 permutation — reproducible class balancing for
-    training sets. One window shuffle on the stratum key."""
-    from transitlog_hfp_sink_spark.operators.sampling import stratified_take
-
-    docs = read_table(spark, sf_dir, "documents")
-    return stratified_take(
-        docs, ["lang"], "doc_id", n_per_stratum=40, salt="v1"
-    ).select("doc_id", "lang", "source")
-
-
-ORACLE_STRATIFIED = """
-SELECT doc_id, lang, source
+UNION ALL
+SELECT 'strat' AS part, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
 FROM (
   SELECT doc_id, lang, source,
     row_number() OVER (
@@ -394,6 +403,89 @@ FROM (
 )
 WHERE rn <= 40
 """
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub profile over documents. The synthetic corpus contains no
+    PII, so deterministic fakes are planted first, keyed off doc_id
+    residues (email at %3, SSN at %11, phone at %5, IPv4 at %7 — rows
+    can carry several kinds, many carry none, exercising both the match
+    and no-match paths of every pattern). Output: per-kind counts, the
+    redacted length, and md5 of the redacted text — all map-only
+    expressions, oracle-checked bit-for-bit."""
+    from transitlog_hfp_sink_spark.operators.redact import scrub_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", aug.alias("text"))
+    return scrub_documents(planted).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ipv4",
+        F.length("redacted").cast("int").alias("n_redacted_chars"),
+        "redacted_md5",
+    )
+
+
+def _pii_oracle() -> str:
+    from transitlog_hfp_sink_spark.operators.redact import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(aug, '{pat}')) AS INTEGER) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = "aug"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+            ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+  {counts},
+  CAST(length({red}) AS INTEGER) AS n_redacted_chars,
+  md5({red}) AS redacted_md5
+FROM a
+"""
+
+
+ORACLE_PII = _pii_oracle()
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,8 +557,8 @@ ORDER BY doc_id
 
 
 QUERIES = {
-    "deterministic_sample_docs": q_hash_sample,
-    "stratified_sample_docs": q_stratified_sample,
+    "sample_documents": q_sample_docs,
+    "pii_redact_documents": q_pii_redact,
     "curation_pipeline_docs": q_curation_pipeline,
     "multimodal_frame_sample": q_frame_sample,
     "dedup_exact_documents": q_dedup_exact,
@@ -484,8 +576,8 @@ QUERIES = {
 }
 
 ORACLES = {
-    "deterministic_sample_docs": ORACLE_HASH_SAMPLE,
-    "stratified_sample_docs": ORACLE_STRATIFIED,
+    "sample_documents": ORACLE_SAMPLE,
+    "pii_redact_documents": ORACLE_PII,
     "curation_pipeline_docs": ORACLE_CURATION,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
