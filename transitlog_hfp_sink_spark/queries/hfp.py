@@ -46,7 +46,10 @@ def _null_at(i, mod, at, expr):
 
 def synth_hfp(events: DataFrame) -> DataFrame:
     i = F.col("event_id")
-    ts = F.col("ts")
+    # testdata `ts` is tz-naive parquet (TIMESTAMP_NTZ in Spark 4);
+    # unix_millis/unix_seconds require LTZ — cast under the UTC session tz,
+    # which preserves the face value (same instant DuckDB's epoch() assumes).
+    ts = F.col("ts").cast("timestamp")
     uid = F.col("user_id")
     oper = (uid % 60).cast("int")
     veh = (uid % 1500).cast("int")

@@ -507,7 +507,10 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
+            # watermarks require LTZ TIMESTAMP; testdata ts is tz-naive
+            # (TIMESTAMP_NTZ). Cast under the UTC session tz (face value
+            # preserved), cast back to NTZ in the output projection.
+            F.col("ts").cast("timestamp").alias("click_ts"),
         )
         .withWatermark("click_ts", "1 hour")
     )
@@ -517,7 +520,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("error_id"),
             F.col("user_id").alias("e_user"),
-            F.col("ts").alias("error_ts"),
+            F.col("ts").cast("timestamp").alias("error_ts"),
         )
         .withWatermark("error_ts", "1 hour")
     )
@@ -527,7 +530,12 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("error_ts") >= F.col("click_ts"))
         & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
     ).select(
-        "click_id", "error_id", F.col("c_user").alias("user_id"), "click_ts", "error_ts"
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        # back to NTZ so the output type matches DuckDB's naive timestamps
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     q = (
