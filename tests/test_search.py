@@ -1,0 +1,88 @@
+"""BM25 inverted-index search: ranking contracts + plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.search import (
+    bm25_search,
+    bm25_score_postings,
+    build_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple banana cherry banana"),
+        (3, "cherry cherry cherry date"),
+        (4, "date elderberry fig"),
+        (5, "apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_postings_tf_and_dl(corpus):
+    postings, doclens = build_postings(corpus)
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in postings.collect()
+    }
+    assert got[("apple", 1)] == (2, 3)
+    assert got[("banana", 2)] == (2, 4)
+    assert got[("cherry", 3)] == (3, 4)
+    dl = {r["doc_id"]: r["dl"] for r in doclens.collect()}
+    assert dl == {1: 3, 2: 4, 3: 4, 4: 3, 5: 1}
+
+
+def test_bm25_tf_norm_and_deterministic_tiebreak(corpus):
+    # With avgdl=3: doc1 (tf=2, dl=3) and doc5 (tf=1, dl=1) both get
+    # tf-norm 2.2/1.6 == 4.4/3.2 == 1.375 — an EXACT tie (same idf), so
+    # the doc_id tie-break must order doc1 before doc5, and doc2 (tf=1,
+    # dl=4) strictly below both.
+    out = sorted(
+        bm25_search(corpus, [(1, "apple")], topk=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 5, 2]
+    assert out[0]["score"] == out[1]["score"] > out[2]["score"]
+
+
+def test_bm25_multi_term_sums_partials(corpus):
+    # 'apple banana': doc 2 and doc 1 both match twice+; no doc without
+    # either term may appear
+    out = bm25_search(corpus, [(1, "apple banana")], topk=10).collect()
+    hit_ids = {r["doc_id"] for r in out}
+    assert hit_ids == {1, 2, 5}
+    # scores strictly ordered by rank
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rarer_term_scores_higher_idf(corpus):
+    # 'elderberry' (df=1) must outscore 'apple' (df=3) at equal tf/dl —
+    # compare the two single-term queries on their own matched docs
+    out = bm25_search(
+        corpus, [(1, "elderberry"), (2, "cherry")], topk=1
+    ).collect()
+    by_q = {r["query_id"]: r for r in out}
+    assert by_q[1]["doc_id"] == 4
+    assert by_q[2]["doc_id"] == 3
+
+
+def test_query_terms_broadcast_and_no_full_scan_shuffle(corpus):
+    df = bm25_search(corpus, [(1, "apple")], topk=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan  # query-terms + dfreq + stats sides
+    assert "SortMergeJoin" not in plan  # nothing corpus-sized joins wide
+
+
+def test_score_postings_reuses_prebuilt_index(spark, corpus):
+    postings, doclens = build_postings(corpus)
+    qt = spark.createDataFrame([(7, "banana")], "query_id int, term string")
+    out = bm25_score_postings(postings, doclens, qt, topk=2).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    # doc 2 has tf=2 of banana -> must rank first
+    assert sorted(out, key=lambda r: r["rank"])[0]["doc_id"] == 2

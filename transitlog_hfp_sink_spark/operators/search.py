@@ -1,0 +1,160 @@
+"""Full-text search for training-data pipelines: inverted index + BM25.
+
+A curation stack needs keyword retrieval over the corpus (targeted
+quality audits, topic mining, eval-set construction). The reference
+(HSLdevcom/transitlog-hfp-sink) has no text search — this is a SURVEY
+§2.6 north-star operator, built Spark-first:
+
+- the inverted index is a plain DataFrame of postings
+  ``(term, doc_id, tf)`` — one explode + one hash-agg, storable as a
+  parquet/bucketed table keyed on ``term`` for reuse;
+- scoring never goes near Python: the whole plan is built-in
+  expressions inside whole-stage codegen;
+- the query side is tiny and BROADCAST, so the corpus-sized legs are
+  map-side joins — the only wide operations are the two hash-aggs
+  (postings build, per-(query,doc) score sum), both with map-side
+  partial combine.
+
+Scale shape at 100 TB: build the postings/doclen tables ONCE
+(build_postings), persist them bucketed by term, and serve queries with
+bm25_score_postings — each query then touches only the matched terms'
+postings (predicate-pushdown on the broadcast semi-join), never the raw
+text.
+
+Cross-engine determinism (DuckDB oracle): per-(term,doc) BM25 partials
+are computed in DOUBLE (identical inputs on both engines), cast to
+DECIMAL(20,8), and SUMMED AS DECIMAL — exact and order-independent, so
+ranking ties cannot flip between engines; final score is rounded for
+display and ranking tie-breaks on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+
+#: BM25 parameters (Robertson/Sparck Jones defaults, Lucene-compatible)
+K1 = 1.2
+B = 0.75
+
+
+def search_tokens(col: Column | str) -> Column:
+    """Lowercased word tokens of the normalized text (the indexing unit).
+    Shares dedup.normalize_text so search and dedup agree on vocabulary."""
+    return F.split(normalize_text(col), " ")
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The inverted index: (postings, doclens).
+
+    postings: one row per (term, doc_id) with the term frequency — the
+    exploded-and-aggregated form every search engine's index reduces to.
+    doclens:  (doc_id, dl) — document length in tokens.
+
+    One pass over the text, one shuffle (hash-agg on (term, doc_id) with
+    map-side combine). At 100 TB persist both, bucketed by term / doc_id,
+    and this build cost is paid once, not per query.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), search_tokens(text_col).alias("__toks")
+    )
+    exploded = toks.select(
+        "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+    )
+    postings = exploded.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    doclens = toks.select("doc_id", F.size("__toks").alias("dl"))
+    return postings, doclens
+
+
+def _idf(n_docs: Column, df: Column) -> Column:
+    """Lucene-style BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)); always
+    positive, so stopword-ish terms degrade gracefully instead of
+    flipping sign."""
+    return F.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_score_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_terms: DataFrame,
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+) -> DataFrame:
+    """Score queries against a prebuilt postings index; top-k per query.
+
+    query_terms: (query_id int, term string) — small, broadcast.
+    Returns (query_id, doc_id, score double, rank int).
+
+    Plan shape: postings ⋈ broadcast(query_terms) is map-side, so only
+    matched-term postings flow further; df(term) is counted over that
+    filtered leg (identical to corpus df for those terms); N/avgdl is a
+    1-row aggregate broadcast-cross-joined in (the allowed scalar
+    pattern). The only shuffle sized by the corpus is the postings
+    build itself.
+    """
+    stats = doclens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = postings.join(F.broadcast(query_terms), on="term")
+    dfreq = matched.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        matched.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            (
+                _idf(F.col("n_docs"), F.col("df"))
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(20,8)"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("__score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__score").cast("double"), 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+) -> DataFrame:
+    """End-to-end BM25: tokenize + index + score in one plan.
+
+    queries: [(query_id, query_text)]. Query text goes through the same
+    normalize/tokenize as the corpus."""
+    spark = SparkSession.getActiveSession()
+    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    query_terms = qdf.select(
+        "query_id", F.explode(F.array_distinct(search_tokens("qtext"))).alias("term")
+    )
+    postings, doclens = build_postings(docs, text_col, id_col)
+    return bm25_score_postings(postings, doclens, query_terms, k1, b, topk)

@@ -113,23 +113,103 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (approximate -> rows-only check)."""
-    docs = read_table(spark, sf_dir, "documents")
-    return dd.simhash_near_dups(
-        docs, "text", "doc_id", max_hamming=3, shingle_n=3
-    )
+def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hash-fingerprint near-dup sketches as a tagged union (registry
+    consolidation, round 2 — frees a slot while keeping each leg
+    exercised by the driver):
 
+    part='simhash' — SimHash band-blocked pairs, metric = Hamming dist;
+    part='winnow'  — MOSS-style winnowed rolling-hash fingerprints,
+                     metric = containment, n_shared = shared prints.
 
-def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed rolling-hash fingerprint near-dups (MOSS-style; rows-only —
-    fingerprint selection depends on the hash function, so there is no
-    engine-independent oracle; identity/containment contracts are in
-    tests/test_dedup.py)."""
+    Rows-only: fingerprint selection depends on the hash function, so
+    there is no engine-independent oracle; identity/containment/recall
+    contracts are in tests/test_dedup.py."""
     from transitlog_hfp_sink_spark.operators.winnow import winnow_near_dups
 
     docs = read_table(spark, sf_dir, "documents")
-    return winnow_near_dups(docs, "text", "doc_id", k=8, window=4, min_shared=10)
+    sim_leg = dd.simhash_near_dups(
+        docs, "text", "doc_id", max_hamming=3, shingle_n=3
+    ).select(
+        F.lit("simhash").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("metric"),
+        F.lit(None).cast("bigint").alias("n_shared"),
+    )
+    win_leg = winnow_near_dups(
+        docs, "text", "doc_id", k=8, window=4, min_shared=10
+    ).select(
+        F.lit("winnow").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("containment").alias("metric"),
+        "n_shared",
+    )
+    return sim_leg.unionByName(win_leg)
+
+
+#: fixed audit queries over the synthetic corpus vocabulary
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark table scan"),
+    (2, "fast hash join"),
+    (3, "window agg stream"),
+    (4, "customer query sort"),
+]
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over an inverted index built from the documents table
+    (operators/search.py): tokenize -> postings (term, doc, tf) ->
+    broadcast query terms -> decimal-summed BM25 -> per-query top-k.
+    Fully oracle-checked: the per-term partials are deterministic doubles
+    cast to DECIMAL(20,8) and summed exactly, so both engines rank
+    identically (tie-break doc_id)."""
+    from transitlog_hfp_sink_spark.operators.search import bm25_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_QUERIES, "text", "doc_id", topk=10)
+
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in sorted(set(text.split()))
+)
+
+ORACLE_TEXT_SEARCH = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tok AS (
+  SELECT doc_id, unnest(string_split({SQL_NORM.format(c='text')}, ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+      AS DECIMAL(20,8)) AS s
+  FROM q
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+agg AS (SELECT query_id, doc_id, sum(s) AS score_dec FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score_dec,
+    row_number() OVER (PARTITION BY query_id ORDER BY score_dec DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, round(CAST(score_dec AS DOUBLE), 4) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,8 +644,8 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_lsh": q_minhash_pairs,
-    "dedup_simhash": q_simhash_pairs,
-    "dedup_winnow_pairs": q_winnow_pairs,
+    "dedup_fingerprint_pairs": q_fingerprint_pairs,
+    "text_search_bm25": q_text_search,
     "embedding_topk_exact": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_lsh_topk,
     "embedding_topk_ivf": q_embedding_ivf_topk,
@@ -583,8 +663,8 @@ ORACLES = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_minhash_lsh": None,  # approximate: rows-only check; recall vs exact in tests
-    "dedup_simhash": None,  # approximate: rows-only check
-    "dedup_winnow_pairs": None,  # hash-dependent selection: rows-only; contracts in tests
+    "dedup_fingerprint_pairs": None,  # hash-dependent sketches: rows-only; contracts in tests
+    "text_search_bm25": ORACLE_TEXT_SEARCH,
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
     "embedding_topk_lsh": None,  # approximate: rows-only check
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
