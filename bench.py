@@ -45,7 +45,9 @@ BENCH_QUERIES = [
     "embedding_topk_ivf",
     "streaming_sessionize_state",
     "text_quality",
-    "multimodal_bytes_meta",
+    "multimodal_pipeline",
+    "text_search_bm25",
+    "pack_token_sequences",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Token-sequence packing: layout invariants and chunk math."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.pack import (
+    pack_chunks,
+    shard_manifest,
+    shard_of,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(["tok"] * (1 + i % 7))) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_within_shard_layout_is_contiguous(docs):
+    packed = pack_chunks(docs, budget=10, n_shards=4).collect()
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_pos"])
+        pos = 0
+        for r in rows:
+            assert r["start_pos"] == pos  # head-to-tail, no gaps/overlaps
+            pos += r["n_tokens"]
+
+
+def test_chunk_interval_math(docs):
+    budget = 10
+    for r in pack_chunks(docs, budget=budget, n_shards=4).collect():
+        assert r["first_seq"] == r["start_pos"] // budget
+        end = r["start_pos"] + r["n_tokens"] - 1
+        assert r["last_seq"] == max(end, r["start_pos"]) // budget
+        assert r["offset_in_seq"] == r["start_pos"] % budget
+        # straddles a cut exactly when the interval crosses a multiple
+        straddles = r["last_seq"] > r["first_seq"]
+        crosses = (r["start_pos"] // budget) != (end // budget)
+        assert straddles == crosses
+
+
+def test_deterministic_across_runs_and_partitionings(docs):
+    a = {r["doc_id"]: tuple(r) for r in pack_chunks(docs, 10, n_shards=4).collect()}
+    b = {
+        r["doc_id"]: tuple(r)
+        for r in pack_chunks(docs.repartition(13), 10, n_shards=4).collect()
+    }
+    assert a == b
+
+
+def test_salt_changes_permutation_not_totals(docs):
+    a = pack_chunks(docs, 10, n_shards=4, salt="pack")
+    b = pack_chunks(docs, 10, n_shards=4, salt="other")
+    tot_a = a.agg(F.sum("n_tokens")).first()[0]
+    tot_b = b.agg(F.sum("n_tokens")).first()[0]
+    assert tot_a == tot_b
+    order_a = [r["doc_id"] for r in sorted(a.collect(), key=lambda r: (r["shard"], r["start_pos"]))]
+    order_b = [r["doc_id"] for r in sorted(b.collect(), key=lambda r: (r["shard"], r["start_pos"]))]
+    assert order_a != order_b  # reshuffled
+
+
+def test_manifest_counts_and_ceil(docs):
+    packed = pack_chunks(docs, budget=10, n_shards=4)
+    man = {r["shard"]: r for r in shard_manifest(packed, budget=10).collect()}
+    per_shard = {
+        r["shard"]: r
+        for r in packed.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for shard, r in man.items():
+        assert r["n_docs"] == per_shard[shard]["n"]
+        assert r["n_tokens"] == per_shard[shard]["t"]
+        assert r["n_sequences"] == -(-per_shard[shard]["t"] // 10)  # ceil
+
+
+def test_shard_of_is_stable_and_in_range(spark):
+    df = spark.range(1000).select(shard_of(F.col("id"), 16, "s").alias("sh"))
+    stats = df.agg(F.min("sh"), F.max("sh"), F.count_distinct("sh")).first()
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] == 16
+
+
+def test_window_partitioned_by_shard_not_global(docs):
+    # the plan must sort/window within shards (parallel), never a single
+    # global ordering
+    df = pack_chunks(docs, 10, n_shards=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "partitionBy=[shard" in plan.replace(" ", "").replace("#", "#") or (
+        "hashpartitioning(shard" in plan
+    )

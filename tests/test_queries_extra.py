@@ -66,8 +66,7 @@ def test_registry_names_are_wellformed():
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_winnow_pairs",
+        "dedup_fingerprint_pairs",
         "embedding_topk_lsh",
         "embedding_topk_ivf",
         "embedding_neardup_pairs",

@@ -406,36 +406,85 @@ WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM j)
 """
 
 
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing end to end: documents -> opaque bytes ->
-    mapInPandas (Arrow-batched) byte metadata."""
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both multimodal plumbing legs as a tagged union (registry
+    consolidation, round 2):
+
+    part='meta'  — documents -> opaque bytes -> mapInPandas
+                   (Arrow-batched) byte metadata;
+    part='frame' — video frame-sampling plumbing over opaque payloads:
+                   one row per sampled frame index (deterministic
+                   byte-length-derived frame counts; the demux codec is
+                   the stubbed slot — SURVEY north-star multimodal)."""
+    from transitlog_hfp_sink_spark.operators.multimodal import frame_sample_plan
+
     docs = read_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
-    return extract_bytes_meta(media)
+    meta_leg = extract_bytes_meta(media).select(
+        F.lit("meta").alias("part"),
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        F.lit(None).cast("int").alias("frame_idx"),
+    )
+    frame_leg = frame_sample_plan(media, every_n=30).select(
+        F.lit("frame").alias("part"),
+        "media_id",
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("content_md5"),
+        "frame_idx",
+    )
+    return meta_leg.unionByName(frame_leg)
 
 
 ORACLE_MULTIMODAL = """
-SELECT doc_id AS media_id,
+SELECT 'meta' AS part, doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5
+       md5(text) AS content_md5,
+       CAST(NULL AS INTEGER) AS frame_idx
+FROM documents
+UNION ALL
+SELECT 'frame' AS part, doc_id AS media_id,
+       CAST(NULL AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS content_md5,
+       CAST(unnest(range(0, CAST(octet_length(encode(text)) // 1000 AS INTEGER) + 1, 30)) AS INTEGER) AS frame_idx
 FROM documents
 """
 
 
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing over opaque payloads: one row per
-    sampled frame index (deterministic byte-length-derived frame counts;
-    the demux codec is the stubbed slot — SURVEY north-star multimodal)."""
-    from transitlog_hfp_sink_spark.operators.multimodal import frame_sample_plan
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk token packing for training export
+    (operators/pack.py): md5-sharded, shard-locally shuffled (md5
+    permutation), head-to-tail cumulative token layout cut every 512
+    tokens. Pure integer arithmetic over deterministic hashes — fully
+    hash-checked against DuckDB, including the permutation order."""
+    from transitlog_hfp_sink_spark.operators.pack import pack_chunks
 
     docs = read_table(spark, sf_dir, "documents")
-    return frame_sample_plan(documents_as_media(docs), every_n=30)
+    return pack_chunks(docs, budget=512, n_shards=8, salt="pack")
 
 
-ORACLE_FRAME_SAMPLE = """
-SELECT doc_id AS media_id,
-       CAST(unnest(range(0, CAST(octet_length(encode(text)) // 1000 AS INTEGER) + 1, 30)) AS INTEGER) AS frame_idx
-FROM documents
+ORACLE_PACK = """
+WITH t AS (
+  SELECT CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+         doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+)
+SELECT shard, doc_id, n_tokens,
+       cum - n_tokens AS start_pos,
+       (cum - n_tokens) // 512 AS first_seq,
+       CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tokens) // 512 END AS last_seq,
+       (cum - n_tokens) % 512 AS offset_in_seq
+FROM c
 """
 
 
@@ -640,7 +689,7 @@ QUERIES = {
     "sample_documents": q_sample_docs,
     "pii_redact_documents": q_pii_redact,
     "curation_pipeline_docs": q_curation_pipeline,
-    "multimodal_frame_sample": q_frame_sample,
+    "pack_token_sequences": q_pack_sequences,
     "dedup_exact_documents": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_minhash_lsh": q_minhash_pairs,
@@ -652,14 +701,14 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardups,
     "text_quality": q_text_quality,
     "decontaminate_documents": q_decontaminate,
-    "multimodal_bytes_meta": q_multimodal_meta,
+    "multimodal_pipeline": q_multimodal_pipeline,
 }
 
 ORACLES = {
     "sample_documents": ORACLE_SAMPLE,
     "pii_redact_documents": ORACLE_PII,
     "curation_pipeline_docs": ORACLE_CURATION,
-    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "pack_token_sequences": ORACLE_PACK,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
     "dedup_minhash_lsh": None,  # approximate: rows-only check; recall vs exact in tests
@@ -671,5 +720,5 @@ ORACLES = {
     "embedding_neardup_pairs": None,  # approximate: rows-only check
     "text_quality": ORACLE_TEXT_QUALITY,
     "decontaminate_documents": ORACLE_DECONTAMINATE,
-    "multimodal_bytes_meta": ORACLE_MULTIMODAL,
+    "multimodal_pipeline": ORACLE_MULTIMODAL,
 }
