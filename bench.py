@@ -191,6 +191,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline_query_count": len(timings),
                 "sf": sf,
                 "hfp_transform_rows_per_s": int(rows_per_s),
                 "hfp_streaming_pipeline_rows_per_s": streaming_rate,

@@ -74,3 +74,53 @@ def test_sample_key_matches_duckdb(spark, sf_dir):
             "SELECT md5('s' || CAST(? AS VARCHAR))", [doc_id]
         ).fetchone()
         assert k == want, doc_id
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    from transitlog_hfp_sink_spark.operators.sampling import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.0}
+    out = mixture_sample(docs, "source", rates, "doc_id", salt="t", default_rate=0.25)
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == totals["src0"]  # rate 1.0 keeps everything
+    assert "src1" not in per  # rate 0.0 drops everything
+    # default-rate strata land near 25% (binomial; loose bounds)
+    rest_kept = sum(n for s, n in per.items() if s not in rates)
+    rest_total = sum(n for s, n in totals.items() if s not in rates)
+    assert 0.1 * rest_total < rest_kept < 0.45 * rest_total
+    # re-run selects the same rows
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            docs, "source", rates, "doc_id", salt="t", default_rate=0.25
+        ).collect()
+    )
+    assert a == b
+
+
+def test_train_val_split_disjoint_stable_salted(spark, sf_dir):
+    from transitlog_hfp_sink_spark.operators.sampling import train_val_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = train_val_split(docs, "doc_id", 0.2, salt="s1")
+    assert out.count() == docs.count()  # total partition, nothing dropped
+    frac = out.where(F.col("split") == "val").count() / out.count()
+    assert 0.1 < frac < 0.3
+    # stable across runs; different salt -> different membership
+    a = {r.doc_id for r in out.where(F.col("split") == "val").collect()}
+    b = {
+        r.doc_id
+        for r in train_val_split(docs, "doc_id", 0.2, salt="s1")
+        .where(F.col("split") == "val")
+        .collect()
+    }
+    c = {
+        r.doc_id
+        for r in train_val_split(docs, "doc_id", 0.2, salt="s2")
+        .where(F.col("split") == "val")
+        .collect()
+    }
+    assert a == b and a != c

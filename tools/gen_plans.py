@@ -17,6 +17,8 @@ PICKS = {
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS rewrite: one window shuffle on l_orderkey, dims broadcast",
     "zorder_clustered_scan": "Z-ordered layout: both range predicates pushed to the clustered parquet scan",
     "embedding_topk_ivf": "IVF ANN: index built on a bounded sample; centroids broadcast, corpus scored map-only",
+    "text_search_bm25": "BM25: postings hash-agg with map-side combine; query terms/df/stats all broadcast — corpus never joins wide",
+    "pack_token_sequences": "token packing: one shuffle into shards, per-shard window cumsum, no global sort",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):

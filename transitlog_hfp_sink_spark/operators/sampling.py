@@ -41,6 +41,55 @@ def hash_sample(
     return df.where(F.substring(sample_key(key_col, salt), 1, len(keep_below)) < keep_below)
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture resampling: keep each stratum (source/domain/lang)
+    at its own rate — the knob every pre-training corpus uses to weight
+    web/books/code/reference differently. Deterministic via the md5 key:
+    a row survives iff its first 4 hex digits fall below
+    round(rate * 65536), so the kept set is a pure function of the data
+    and the rate table (re-runs and the DuckDB oracle agree exactly).
+
+    Shuffle-free: the rate table becomes a literal CASE chain (it is
+    domain-sized, i.e. tiny), the decision is a per-row filter pushed
+    through the scan. Rates quantize to 1/65536 granularity."""
+
+    def _thr(rate: float) -> str:
+        q = max(0, min(65536, round(rate * 65536)))
+        # q == 65536 (keep-all) must exceed every 4-hex prefix; the
+        # naive format gives '10000', which sorts BELOW most 4-char
+        # strings lexicographically — use a sentinel above 'ffff'.
+        return "g" if q >= 65536 else format(q, "04x")
+
+    thr = F.lit(_thr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_thr(rate))).otherwise(thr)
+    return df.where(F.substring(sample_key(key_col, salt), 1, 4) < thr)
+
+
+def train_val_split(
+    df: DataFrame, key_col: str, val_frac: float, salt: str = "split"
+) -> DataFrame:
+    """Deterministic train/validation assignment (adds a `split` column):
+    membership is a pure function of (salt, key), so the split is stable
+    across runs, engines, and data re-partitioning — and disjoint by
+    construction. val_frac quantizes to 1/65536."""
+    q = max(0, min(65536, round(val_frac * 65536)))
+    thr = "g" if q >= 65536 else format(q, "04x")  # see mixture_sample._thr
+    return df.withColumn(
+        "split",
+        F.when(
+            F.substring(sample_key(key_col, salt), 1, 4) < thr, F.lit("val")
+        ).otherwise(F.lit("train")),
+    )
+
+
 def stratified_take(
     df: DataFrame,
     strata_cols: list[str],

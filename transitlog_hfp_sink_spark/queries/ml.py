@@ -488,21 +488,35 @@ FROM c
 """
 
 
+#: domain-mixing rate table for the 'mix' leg (src3+ fall to the default)
+MIX_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.125}
+MIX_DEFAULT = 0.0625
+
+
 def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic sampling modes a curation pipeline uses, as a
-    tagged union (registry consolidation, round 2):
+    """All four deterministic sampling modes a curation pipeline uses, as
+    a tagged union (registry consolidation, rounds 2+):
     part='hash'  — ~25% md5-keyed sample; re-runs (and the DuckDB
                    oracle) select the SAME rows; pure filter, no shuffle;
     part='strat' — at most 40 docs per language by the md5 permutation
-                   (reproducible class balancing; one window shuffle)."""
+                   (reproducible class balancing; one window shuffle);
+    part='mix'   — per-source mixture resampling (0.5/0.25/0.125,
+                   default 1/16): the domain-weighting knob of a
+                   pre-training corpus; literal CASE thresholds,
+                   shuffle-free;
+    part='split' — deterministic 10% train/val assignment in the
+                   `split` column (stable, disjoint, engine-independent)."""
     from transitlog_hfp_sink_spark.operators.sampling import (
         hash_sample,
+        mixture_sample,
         stratified_take,
+        train_val_split,
     )
 
     docs = read_table(spark, sf_dir, "documents")
+    nosplit = F.lit(None).cast("string").alias("split")
     hash_leg = hash_sample(docs, "doc_id", keep_below="40").select(
-        F.lit("hash").alias("part"), "doc_id", "lang", "source", "n_chars"
+        F.lit("hash").alias("part"), "doc_id", "lang", "source", "n_chars", nosplit
     )
     strat_leg = stratified_take(
         docs, ["lang"], "doc_id", n_per_stratum=40, salt="v1"
@@ -512,16 +526,32 @@ def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.lit(None).cast("bigint").alias("n_chars"),
+        nosplit,
     )
-    return hash_leg.unionByName(strat_leg)
+    mix_leg = mixture_sample(
+        docs, "source", MIX_RATES, "doc_id", salt="mix", default_rate=MIX_DEFAULT
+    ).select(
+        F.lit("mix").alias("part"), "doc_id", "lang", "source", "n_chars", nosplit
+    )
+    split_leg = train_val_split(docs, "doc_id", 0.1, salt="split").select(
+        F.lit("split").alias("part"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("bigint").alias("n_chars"),
+        "split",
+    )
+    return hash_leg.unionByName(strat_leg).unionByName(mix_leg).unionByName(split_leg)
 
 
 ORACLE_SAMPLE = """
-SELECT 'hash' AS part, doc_id, lang, source, n_chars
+SELECT 'hash' AS part, doc_id, lang, source, n_chars,
+       CAST(NULL AS VARCHAR) AS split
 FROM documents
 WHERE substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
 UNION ALL
-SELECT 'strat' AS part, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+SELECT 'strat' AS part, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS split
 FROM (
   SELECT doc_id, lang, source,
     row_number() OVER (
@@ -531,6 +561,18 @@ FROM (
   FROM documents
 )
 WHERE rn <= 40
+UNION ALL
+SELECT 'mix' AS part, doc_id, lang, source, n_chars,
+       CAST(NULL AS VARCHAR) AS split
+FROM documents
+WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+              WHEN 'src2' THEN '2000' ELSE '1000' END
+UNION ALL
+SELECT 'split' AS part, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars,
+       CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
 """
 
 
