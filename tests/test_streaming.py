@@ -279,3 +279,66 @@ def test_cross_batch_dedup_within_watermark(spark, tmp_path):
     rows = [(r["user_id"], str(r["ts"])) for r in spark.table("xdedup").collect()]
     assert len(rows) == 3  # the replayed (1, base) did NOT appear twice
     assert len(set(rows)) == 3
+
+
+def test_transform_with_state_twin_matches_apply_in_pandas(spark, tmp_path, sf_dir):
+    """The transformWithStateInPandas sessionizer (successor API, RocksDB
+    state store) must produce EXACTLY the applyInPandasWithState result
+    over the same bounded input. Skips where the API's google.protobuf
+    state-protocol dependency is unavailable (this sandbox)."""
+    import importlib.util
+    import uuid
+
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    if not has_pb:
+        pytest.skip("google.protobuf unavailable: transformWithState gated")
+
+    from transitlog_hfp_sink_spark.streaming.stateful import (
+        streaming_sessionize,
+        streaming_sessionize_tws,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def run(op, provider=None):
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            stream = (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            name = f"tws_{uuid.uuid4().hex[:8]}"
+            q = (
+                op(stream, gap_seconds=1800, flush_final=True)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return {tuple(r) for r in spark.table(name).collect()}
+        finally:
+            if provider:
+                if prev:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", prev
+                    )
+                else:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    a = run(streaming_sessionize)
+    b = run(
+        streaming_sessionize_tws,
+        provider="org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    assert a == b and len(a) > 0
