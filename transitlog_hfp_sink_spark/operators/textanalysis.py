@@ -178,14 +178,28 @@ def analyze_documents(
     wordlen_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    staged = df.select(
+    # three stages so each expensive derivation runs ONCE: norm (regex
+    # chain) -> words (split) -> grams/lines; CollapseProject leaves the
+    # stages intact because each alias is non-cheap and multiply used
+    from transitlog_hfp_sink_spark.operators.dedup import grams_from_words
+
+    stage_norm = df.select(
         F.col(id_col),
         *[F.col(x) for x in extra_cols],
         c.alias(text_col),
         normalize_text(c).alias("__norm"),
-        _word_array(c).alias("__words"),
+    )
+    stage_words = stage_norm.select(
+        "*", F.split(F.col("__norm"), " ").alias("__words")
+    )
+    staged = stage_words.select(
+        F.col(id_col),
+        *[F.col(x) for x in extra_cols],
+        F.col(text_col),
+        F.col("__norm"),
+        F.col("__words"),
         F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
-        word_grams(c, 3).alias("__grams"),
+        grams_from_words(F.col("__words"), 3).alias("__grams"),
     )
     return staged.select(
         F.col(id_col),
