@@ -90,9 +90,18 @@ def test_stream_checkpoint_recovery_no_reprocess(spark, tmp_path, drops_dir):
     finally:
         q2.stop()
     final_total = spark.read.parquet(out).count()
-    # ~110 new raw rows (100 + replay tail), minus dead-letter rejects;
-    # crucially NOT first_total*2 — the original files were not reprocessed
-    assert final_total - first_total < 150
+    # At-least-once, NOT reprocess-everything: stopping a 0.3 s-trigger
+    # query can strand one in-flight batch (written but not committed to
+    # the offset log), so up to one batch of replay duplicates is legal —
+    # a full restart-from-zero would re-add ~first_total rows. And the
+    # dedup view must land exactly on the batch-computed truth, replays
+    # and all (SURVEY §2.4 M3).
+    assert final_total - first_total < first_total
+    from transitlog_hfp_sink_spark.transform import dedup_vehicles, hfp_split
+
+    all_raw = spark.read.schema(HFP_RAW_SCHEMA).parquet(drops_dir)
+    expected = dedup_vehicles(hfp_split(all_raw)[0]).count()
+    assert dedup_vehicles(spark.read.parquet(out)).count() == expected
 
 
 def test_transform_throughput_meets_reference_ceiling(spark):
