@@ -54,11 +54,12 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
     # q11/q22: scalar-subquery-as-1-row-broadcast-cross-join is intentional
     allowed_bnlj = {
         "embedding_topk_exact",
-        "embedding_topk_lsh",
+        "embedding_sketches",
         "q11_important_parts",
         "q22_idle_customers",
         "tpch_power_run",  # contains q11/q22's 1-row broadcast cross-joins
         "text_search_bm25",  # 1-row broadcast N/avgdl corpus-stats join
+        "lm_score_documents",  # 1-row broadcast OOV-mass scalar join
     }
     for name, fn in queries().items():
         if name == "events_hourly_rollup":

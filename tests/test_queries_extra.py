@@ -67,7 +67,6 @@ def test_registry_names_are_wellformed():
     assert rows_only == {
         "dedup_minhash_lsh",
         "dedup_fingerprint_pairs",
-        "embedding_topk_lsh",
+        "embedding_sketches",
         "embedding_topk_ivf",
-        "embedding_neardup_pairs",
     }

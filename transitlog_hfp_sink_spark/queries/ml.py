@@ -266,14 +266,72 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=3, n_lists=16, nprobe=4, centroids=cents)
 
 
-def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP buckets (rows-only).
+def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both SRP-sketch embedding operators as a tagged union (registry
+    consolidation — rows-only; recall vs exact ground truth asserted in
+    tests/test_similarity.py):
 
-    The synthetic corpus has no true near-dups (max pairwise cos ~0.48),
-    so the threshold sits at the top ~1% of the cosine distribution to
-    show the operator returning candidates."""
+    part='topk'    — SRP-bucketed approximate top-3 per query vector;
+    part='neardup' — cosine-threshold near-dup pairs via SRP buckets.
+                     The synthetic corpus has no true near-dups (max
+                     pairwise cos ~0.48), so the threshold sits at the
+                     top ~1% of the cosine distribution to show the
+                     operator returning candidates."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return sim.embedding_neardup_pairs(emb, threshold=0.3, dim=64, bits=4)
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk_leg = sim.lsh_topk(emb, queries, dim=64, k=3, bits=6).select(
+        F.lit("topk").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos_sim",
+        "rank",
+    )
+    nd_leg = sim.embedding_neardup_pairs(emb, threshold=0.3, dim=64, bits=4).select(
+        F.lit("neardup").alias("part"),
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return topk_leg.unionByName(nd_leg)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy scoring (operators/lm.py): train the
+    add-k model on the corpus itself, score every document by average
+    negative log-likelihood — the CCNet-style reference-likeness ranking
+    signal. Per-token log-probs are deterministic doubles summed as
+    DECIMAL(20,10), so the per-doc average hash-matches DuckDB."""
+    from transitlog_hfp_sink_spark.operators.lm import lm_score, train_unigram_lm
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = train_unigram_lm(docs, "text", k=0.5)
+    return lm_score(docs, lm, "text", "doc_id", k=0.5)
+
+
+ORACLE_LM = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_NORM.format(c='text')} AS norm FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM base
+),
+cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v
+  FROM cnt
+),
+scored AS (
+  SELECT doc_id,
+    CAST(-ln((c + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,10)) AS nll
+  FROM tok JOIN cnt USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+FROM scored GROUP BY 1
+"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,9 +796,9 @@ QUERIES = {
     "dedup_fingerprint_pairs": q_fingerprint_pairs,
     "text_search_bm25": q_text_search,
     "embedding_topk_exact": q_embedding_topk,
-    "embedding_topk_lsh": q_embedding_lsh_topk,
+    "embedding_sketches": q_embedding_sketches,
     "embedding_topk_ivf": q_embedding_ivf_topk,
-    "embedding_neardup_pairs": q_embedding_neardups,
+    "lm_score_documents": q_lm_score,
     "text_quality": q_text_quality,
     "decontaminate_documents": q_decontaminate,
     "multimodal_pipeline": q_multimodal_pipeline,
@@ -757,9 +815,9 @@ ORACLES = {
     "dedup_fingerprint_pairs": None,  # hash-dependent sketches: rows-only; contracts in tests
     "text_search_bm25": ORACLE_TEXT_SEARCH,
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
-    "embedding_topk_lsh": None,  # approximate: rows-only check
+    "embedding_sketches": None,  # SRP sketches: rows-only; recall in tests
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
-    "embedding_neardup_pairs": None,  # approximate: rows-only check
+    "lm_score_documents": ORACLE_LM,
     "text_quality": ORACLE_TEXT_QUALITY,
     "decontaminate_documents": ORACLE_DECONTAMINATE,
     "multimodal_pipeline": ORACLE_MULTIMODAL,
