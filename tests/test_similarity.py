@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from transitlog_hfp_sink_spark.operators import similarity as sim
+from transitlog_hfp_sink_spark.sources.files import read_table
 
 DIM = 16
 
@@ -169,3 +170,67 @@ def test_kmeans_np_degenerate_duplicates():
     C = _kmeans_np(X, 3, seed=1, max_iter=10)
     assert C.shape == (3, 2)
     assert np.isfinite(C).all()
+
+
+def test_sq_roundtrip_error_bounded(spark, sf_dir):
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        _as_double,
+        sq_decode,
+        sq_encode,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    enc = sq_encode(emb)
+    joined = enc.join(emb, "vec_id").select(
+        "vec_id",
+        F.arrays_zip(
+            sq_decode(F.col("codes"), F.col("sq_lo"), F.col("sq_span")),
+            _as_double("embedding"),
+        ).alias("z"),
+        F.col("sq_span").alias("span"),
+    )
+    # max abs error <= half a quantization step (span/255/2) + float slack
+    bad = joined.select(
+        F.size(
+            F.filter(
+                "z", lambda p: F.abs(p["0"] - p["1"]) > F.col("span") / 255.0
+            )
+        ).alias("n_bad")
+    ).agg(F.sum("n_bad")).first()[0]
+    assert bad == 0
+
+
+def test_sq_topk_recall_vs_exact(spark, sf_dir):
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        brute_force_topk,
+        sq_encode,
+        sq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq_topk(sq_encode(emb), queries, k=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_sq_constant_vector_decodes_to_lo(spark):
+    from transitlog_hfp_sink_spark.operators.similarity import sq_decode, sq_encode
+
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<float>"
+    )
+    enc = sq_encode(df)
+    row = enc.select(
+        sq_decode(F.col("codes"), F.col("sq_lo"), F.col("sq_span")).alias("d")
+    ).first()
+    assert row["d"] == [2.5, 2.5, 2.5]

@@ -267,16 +267,19 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both SRP-sketch embedding operators as a tagged union (registry
-    consolidation — rows-only; recall vs exact ground truth asserted in
-    tests/test_similarity.py):
+    """The approximate/compressed embedding operators as a tagged union
+    (registry consolidation — rows-only; recall vs exact ground truth
+    asserted in tests/test_similarity.py):
 
     part='topk'    — SRP-bucketed approximate top-3 per query vector;
     part='neardup' — cosine-threshold near-dup pairs via SRP buckets.
                      The synthetic corpus has no true near-dups (max
                      pairwise cos ~0.48), so the threshold sits at the
                      top ~1% of the cosine distribution to show the
-                     operator returning candidates."""
+                     operator returning candidates;
+    part='sq'      — top-3 over the int8 scalar-quantized corpus (the
+                     4x-compressed storage tier), exact plan shape,
+                     approximate values."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -295,7 +298,14 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.lit(None).cast("int").alias("rank"),
     )
-    return topk_leg.unionByName(nd_leg)
+    sq_leg = sim.sq_topk(sim.sq_encode(emb), queries, k=3).select(
+        F.lit("sq").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos_sim",
+        "rank",
+    )
+    return topk_leg.unionByName(nd_leg).unionByName(sq_leg)
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
