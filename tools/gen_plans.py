@@ -19,6 +19,7 @@ PICKS = {
     "embedding_topk_ivf": "IVF ANN: index built on a bounded sample; centroids broadcast, corpus scored map-only",
     "text_search_bm25": "BM25: postings hash-agg with map-side combine; query terms/df/stats all broadcast — corpus never joins wide",
     "pack_token_sequences": "token packing: one shuffle into shards, per-shard window cumsum, no global sort",
+    "lm_score_documents": "unigram LM: train agg + broadcast model join, decimal-exact NLL sum per doc",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):
