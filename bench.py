@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "multimodal_pipeline",
     "text_search_bm25",
     "pack_token_sequences",
+    "lm_score_documents",
 ]
 
 
