@@ -1,0 +1,77 @@
+"""Geohash encoding: reference-algorithm parity + locality properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.functions.geo import BASE32, geohash_encode
+
+
+def ref_geohash(lat, lon, precision):
+    """Classic bisection-algorithm geohash (independent reference)."""
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lon_r[0] + lon_r[1]) / 2
+            bits.append(1 if lon >= mid else 0)
+            (lon_r.__setitem__(0, mid) if lon >= mid else lon_r.__setitem__(1, mid))
+        else:
+            mid = (lat_r[0] + lat_r[1]) / 2
+            bits.append(1 if lat >= mid else 0)
+            (lat_r.__setitem__(0, mid) if lat >= mid else lat_r.__setitem__(1, mid))
+        even = not even
+    out = ""
+    for k in range(precision):
+        val = 0
+        for b in bits[5 * k : 5 * k + 5]:
+            val = val * 2 + b
+        out += BASE32[val]
+    return out
+
+
+POINTS = [
+    (60.17, 24.94),        # Helsinki -> ud9wr9
+    (0.0, 0.0),
+    (-33.86, 151.21),
+    (89.999, 179.999),     # upper edge clamps
+    (-89.999, -179.999),
+    (51.5074, -0.1278),
+]
+
+
+@pytest.mark.parametrize("precision", [4, 5, 6])
+def test_matches_reference_algorithm(spark, precision):
+    df = spark.createDataFrame(POINTS, "lat double, lon double")
+    got = [
+        r[0] for r in df.select(geohash_encode("lat", "lon", precision)).collect()
+    ]
+    want = [ref_geohash(la, lo, precision) for la, lo in POINTS]
+    assert got == want
+
+
+def test_known_value_helsinki(spark):
+    df = spark.createDataFrame([(60.17, 24.94)], "lat double, lon double")
+    assert df.select(geohash_encode("lat", "lon", 6)).first()[0] == "ud9wr9"
+
+
+def test_prefix_property(spark):
+    """A precision-p hash is a prefix of the precision-(p+1) hash —
+    the property spatial bucketing relies on (coarser cell = prefix)."""
+    df = spark.createDataFrame(POINTS, "lat double, lon double")
+    rows = df.select(
+        geohash_encode("lat", "lon", 4).alias("g4"),
+        geohash_encode("lat", "lon", 6).alias("g6"),
+    ).collect()
+    for r in rows:
+        assert r["g6"].startswith(r["g4"])
+
+
+def test_nearby_points_share_prefix_far_points_dont(spark):
+    df = spark.createDataFrame(
+        [(60.170, 24.940), (60.171, 24.941), (-33.86, 151.21)],
+        "lat double, lon double",
+    )
+    g = [r[0] for r in df.select(geohash_encode("lat", "lon", 6)).collect()]
+    assert g[0][:4] == g[1][:4]  # ~100 m apart -> same coarse cell
+    assert g[0][:2] != g[2][:2]  # different hemispheres

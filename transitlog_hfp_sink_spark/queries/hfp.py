@@ -305,18 +305,42 @@ def q_hfp_odometer_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hfp_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial bounding-box scan (the lat/long btree workload, SURVEY
-    §2.5 Q4): events inside a box, counted per route. On the parquet
-    layout this is pure min/max-stat pruning on two double columns."""
+    """Both spatial access paths of SURVEY §2.5 Q4 as a tagged union:
+
+    part='bbox' — bounding-box scan (the lat/long btree workload):
+                  events inside a box, counted per route; on the parquet
+                  layout this is pure min/max-stat pruning on doubles;
+    part='grid' — geohash-5 cell aggregation inside the same box
+                  (functions/geo.py, the spatial bucketing column the
+                  SURVEY maps the btree pair onto — cells are the
+                  partition/bucket key at scale). The geohash bit math
+                  is generated from one bit plan on both engines, so the
+                  cells hash-match DuckDB exactly."""
+    from transitlog_hfp_sink_spark.functions.geo import geohash_encode
+
     v = synth_vehicles(spark, sf_dir)
-    return (
-        v.where(
-            (F.col("lat") >= 60.1) & (F.col("lat") < 60.3)
-            & (F.col("long") >= 24.6) & (F.col("long") < 25.0)
-        )
-        .groupBy("route_id")
-        .agg(F.count("*").alias("n_in_box"))
+    boxed = v.where(
+        (F.col("lat") >= 60.1) & (F.col("lat") < 60.3)
+        & (F.col("long") >= 24.6) & (F.col("long") < 25.0)
     )
+    bbox_leg = boxed.groupBy("route_id").agg(F.count("*").alias("n")).select(
+        F.lit("bbox").alias("part"),
+        "route_id",
+        F.lit(None).cast("string").alias("cell"),
+        "n",
+    )
+    grid_leg = (
+        boxed.withColumn("cell", geohash_encode("lat", "long", 5))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("grid").alias("part"),
+            F.lit(None).cast("string").alias("route_id"),
+            "cell",
+            "n",
+        )
+    )
+    return bbox_leg.unionByName(grid_leg)
 
 
 def q_hfp_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,6 +403,30 @@ QUERIES = {
     "hfp_geo_bbox": q_hfp_geo_bbox,
 }
 
+def _geo_bbox_oracle() -> str:
+    """bbox + geohash-grid legs; the grid cell SQL is generated from the
+    SAME bit plan as the Spark expression (functions/geo.py)."""
+    from transitlog_hfp_sink_spark.functions.geo import geohash_sql_parts
+
+    p = geohash_sql_parts("lat", "long", 5)
+    return f"""
+WITH {hfp_cte()},
+boxed AS (
+  SELECT * FROM hfp_vehicles
+  WHERE lat >= 60.1 AND lat < 60.3 AND long >= 24.6 AND long < 25.0
+),
+g1 AS (SELECT *, {p['ix']} AS __ix, {p['iy']} AS __iy FROM boxed),
+g2 AS (SELECT *, {p['v']} AS __v FROM g1),
+g3 AS (SELECT {p['chars']} AS cell FROM g2)
+SELECT 'bbox' AS part, route_id, CAST(NULL AS VARCHAR) AS cell,
+       count(*) AS n
+FROM boxed GROUP BY route_id
+UNION ALL
+SELECT 'grid' AS part, CAST(NULL AS VARCHAR) AS route_id, cell, count(*) AS n
+FROM g3 GROUP BY cell
+"""
+
+
 ORACLES = {
     "hfp_vehicles_transform": f"WITH {hfp_cte()} SELECT * FROM hfp_vehicles",
     # wire encode->decode is lossless, so the binary path shares the full
@@ -415,12 +463,6 @@ FROM hfp_vehicles
 WHERE odo IS NOT NULL AND oday IS NOT NULL
 GROUP BY unique_vehicle_id, oday
 """,
-    "hfp_geo_bbox": f"""
-WITH {hfp_cte()}
-SELECT route_id, count(*) AS n_in_box
-FROM hfp_vehicles
-WHERE lat >= 60.1 AND lat < 60.3 AND long >= 24.6 AND long < 25.0
-GROUP BY route_id
-""",
+    "hfp_geo_bbox": _geo_bbox_oracle(),
     "hfp_trajectory_length": ORACLE_TRAJECTORY.format(cte=hfp_cte()),
 }
