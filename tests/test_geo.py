@@ -75,3 +75,32 @@ def test_nearby_points_share_prefix_far_points_dont(spark):
     g = [r[0] for r in df.select(geohash_encode("lat", "lon", 6)).collect()]
     assert g[0][:4] == g[1][:4]  # ~100 m apart -> same coarse cell
     assert g[0][:2] != g[2][:2]  # different hemispheres
+
+
+def test_fuzz_matches_reference_at_cm_granularity(spark):
+    """Property: the expression geohash equals the bisection reference
+    for arbitrary coordinates at 1e-7-degree (~1 cm) granularity.
+    (Unrounded sub-epsilon offsets next to cell boundaries are absorbed
+    by the +90/+180 shift and can legitimately differ from bisection —
+    see the precision note in functions/geo.py; the Spark and SQL twins
+    always agree with each other regardless.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(min_value=-90, max_value=90, allow_nan=False,
+                  exclude_max=True),
+        st.floats(min_value=-180, max_value=180, allow_nan=False,
+                  exclude_max=True),
+    )
+    def collect(lat, lon):
+        cases.append((round(lat, 7), round(lon, 7)))
+
+    collect()
+    df = spark.createDataFrame(cases, "lat double, lon double")
+    got = [r[0] for r in df.select(geohash_encode("lat", "lon", 6)).collect()]
+    want = [ref_geohash(la, lo, 6) for la, lo in cases]
+    assert got == want

@@ -13,6 +13,14 @@ technique proven by plans/zorder.py's Morton-key oracle).
 
 Scale: map-only projection (codegen); use as partitionBy/bucketing
 column so spatial scans prune like the time dimension does.
+
+Precision note: this uses the SCALING formulation (quantize once, then
+bit-split) rather than per-bit interval bisection. The two agree for
+any coordinate at real-world granularity (hypothesis-fuzzed at 1e-7
+degrees ~ 1 cm in tests/test_geo.py), but can differ for pathological
+inputs within ~1e-13 deg of a cell boundary, where adding 90/180
+absorbs the sub-epsilon offset. Spark and the SQL twin share the exact
+same formula, so the engines NEVER disagree with each other.
 """
 
 from __future__ import annotations
