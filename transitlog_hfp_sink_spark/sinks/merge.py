@@ -1,0 +1,102 @@
+"""Keyed upsert (MERGE) into a partitioned parquet table.
+
+The reference sink is INSERT-only (QueueWriter.java:36-48) — correction
+feeds, late re-sends, and dimension maintenance all need upsert
+semantics downstream (TimescaleDB users reach for INSERT ... ON CONFLICT
+DO UPDATE). Plain parquet has no MERGE, so this implements the
+engine-side equivalent with the partition-targeted read-modify-overwrite
+pattern proven by streaming/rollup_sink.py:
+
+1. partition-prune the store to ONLY the partitions the update batch
+   touches (driver list under a bound, broadcast semi-join above it);
+2. anti-join those partitions' rows against the update keys (drop the
+   old versions), union the new rows;
+3. dynamic-partition-overwrite exactly the touched partitions — file
+   deletion defers to job commit, so a mid-job crash leaves the old
+   data in place (write-then-swap, never update-in-place).
+
+Cost per call is O(touched partitions), not O(table) — the property
+that keeps upserts usable when the table is 100 TB. Last-writer-wins
+within a batch is resolved deterministically (greatest version column,
+then arbitrary-but-stable key order).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    version_col: str | None = None,
+    max_touched_list: int = 4096,
+) -> None:
+    """MERGE `updates` into the parquet table at `path`.
+
+    key_cols: row identity (conflict target).
+    partition_cols: the table's partitionBy layout; updates must carry
+      them. A key's partition values must be stable across versions
+      (enforced by the anti-join being within-partition only — same as
+      hypertable chunks, where the partition key is part of identity).
+    version_col: when several update rows share a key, the row with the
+      GREATEST version wins; None keeps an arbitrary-but-deterministic
+      single row per key (max of a stable row hash).
+    """
+    # no version column: order by a hash of the WHOLE row (hashing only
+    # the key would tie for every conflicting row and leave the winner to
+    # partition luck)
+    dedup_order = (
+        F.col(version_col).desc()
+        if version_col
+        else F.xxhash64(*updates.columns).asc()
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        dedup_order, *[F.col(c).asc() for c in key_cols]
+    )
+    fresh = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not os.path.exists(path):
+        fresh.write.partitionBy(*partition_cols).parquet(path)
+        return
+    store = spark.read.parquet(path)
+    touched_df = fresh.select(*partition_cols).distinct()
+    touched = touched_df.limit(max_touched_list + 1).collect()
+    if len(touched) > max_touched_list:
+        existing = store.join(
+            F.broadcast(touched_df), on=partition_cols, how="left_semi"
+        )
+    else:
+        cond = None
+        for row in touched:
+            clause = None
+            for c in partition_cols:
+                eq = F.col(c) == row[c]
+                clause = eq if clause is None else (clause & eq)
+            cond = clause if cond is None else (cond | clause)
+        existing = store.where(cond)
+    kept = existing.join(
+        F.broadcast(fresh.select(*key_cols).distinct()),
+        on=key_cols,
+        how="left_anti",
+    )
+    merged = kept.select(*fresh.columns).unionByName(fresh)
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        # the self-read-then-overwrite is safe ONLY under dynamic mode
+        # (deletion defers to commit); see rollup_sink for the same rule
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
