@@ -31,13 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.operators.dedup import word_shingles
+from transitlog_hfp_sink_spark.operators.dedup import shingle_frame
 
 
 def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.explode(word_shingles(text_col, n)).alias("gram"),
+    return shingle_frame(df, text_col, id_col, n).select(
+        F.col("id").alias(out_id),
+        F.explode(F.col("shingles")).alias("gram"),
     )
 
 

@@ -90,8 +90,39 @@ def grams_from_words(words: Column, n: int = 1) -> Column:
 
 def word_shingles(col: Column | str, n: int = 1) -> Column:
     """Distinct word n-gram shingles of the normalized text (the set form
-    every dedup/decontamination variant keys on)."""
+    every dedup/decontamination variant keys on).
+
+    Column form for one-off use; pipelines should go through
+    shingle_frame, which stages norm/words so the regex chain and split
+    run once per row instead of once per reference (lambda-CSE trap —
+    measured ~3x on the shingle stage of every sketch)."""
     return F.array_distinct(word_grams(col, n))
+
+
+def shingle_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 1,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra_cols, shingles) with the derivation STAGED:
+    normalize -> split -> grams in separate projections, so each
+    expensive step is computed once per row (CollapseProject keeps the
+    stages because the aliases are non-cheap and multiply referenced)."""
+    s1 = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        normalize_text(text_col).alias("__norm"),
+    )
+    s2 = s1.select(
+        "id", *extra_cols, F.split(F.col("__norm"), " ").alias("__words")
+    )
+    return s2.select(
+        "id",
+        *extra_cols,
+        F.array_distinct(grams_from_words(F.col("__words"), n)).alias("shingles"),
+    )
 
 
 def _hash31(arr: Column) -> Column:
@@ -131,9 +162,8 @@ def minhash_signatures(
 
     Docs with zero shingles (empty text) drop out — they cannot near-dup.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_hash31(word_shingles(text_col, shingle_n))).alias("h"),
+    exploded = shingle_frame(df, text_col, id_col, shingle_n).select(
+        "id", F.explode(_hash31(F.col("shingles"))).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"m_{k}")
@@ -190,9 +220,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("shingles")
-    ).cache()
+    sh = shingle_frame(df, text_col, id_col, shingle_n).cache()
     verified = (
         cands.join(
             sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
@@ -258,10 +286,10 @@ def simhash_signatures(
     (map-side combinable) and a final bit-string assembly. Identical
     output to the fold-based simhash_bits, minus its per-row expression
     blowup. Zero-shingle docs drop out."""
-    exploded = df.select(
-        F.col(id_col).alias("id"),
+    exploded = shingle_frame(df, text_col, id_col, shingle_n).select(
+        "id",
         F.explode(
-            F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
         ).alias("h"),
     )
     sums = [
@@ -340,11 +368,9 @@ def ngram_jaccard_pairs(
     the oracle-checkable ground-truth dedup (and recall yardstick for the
     MinHash/SimHash sketches). Blocking keeps the self-join linear-ish;
     with block_cols=None it is a full cross-pairing (testing only)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *(block_cols or []),
-        word_shingles(text_col, shingle_n).alias("sh"),
-    )
+    base = shingle_frame(
+        df, text_col, id_col, shingle_n, extra_cols=tuple(block_cols or [])
+    ).withColumnRenamed("shingles", "sh")
     on = [F.col("a.id") < F.col("b.id")] + [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in (block_cols or [])
     ]
