@@ -1,0 +1,117 @@
+"""Stress the document-family operators at ~sf1 (10x the largest driver
+testdata) and append the measured growth to SCALING.md.
+
+The sf1 input is synthesized ONCE into /tmp by unioning 10 deterministic
+copies of the driver's sf0.1 documents/embeddings tables with shifted ids
+(and a per-copy text suffix so near-dup sketches don't see 10 exact
+clones of every doc). This is evidence for the runtime-growth argument
+only — correctness inputs remain the driver-generated tables.
+
+Usage: python tools/stress_sf1.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import materialize
+from transitlog_hfp_sink_spark.session import build_session
+from transitlog_hfp_sink_spark.sources.files import read_table
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/spark_graft_stress_sf1"
+COPIES = 10
+
+
+def build_input(spark) -> None:
+    if os.path.exists(f"{DST}/documents.parquet"):
+        return
+    docs = read_table(spark, SRC, "documents")
+    n_docs = docs.count()
+    legs = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copyset{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(COPIES)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    emb = read_table(spark, SRC, "embeddings")
+    n_emb = emb.count()
+    elegs = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(COPIES)
+    ]
+    eout = elegs[0]
+    for leg in elegs[1:]:
+        eout = eout.unionByName(leg)
+    eout.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def main() -> None:
+    spark = build_session(app_name="stress-sf1", master="local[32]",
+                          shuffle_partitions=32)
+    build_input(spark)
+    from transitlog_hfp_sink_spark.queries import ml
+
+    names = [
+        "dedup_exact_documents",
+        "dedup_minhash_lsh",
+        "text_quality",
+        "text_search_bm25",
+        "pack_token_sequences",
+        "lm_score_documents",
+        "embedding_topk_exact",
+        "sample_documents",
+    ]
+    # warm page cache
+    read_table(spark, DST, "documents").count()
+    read_table(spark, DST, "embeddings").count()
+    rows = []
+    for name in names:
+        fn = ml.QUERIES[name]
+        materialize(fn(spark, DST))  # warmup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            materialize(fn(spark, DST))
+            best = min(best, time.time() - t0)
+        rows.append((name, best))
+        print(name, round(best, 3), flush=True)
+    lines = [
+        "",
+        "## sf1 stress (10x the largest driver SF; synthesized input, /tmp)",
+        "",
+        "Document-family operators at ~50k docs / 10x embeddings — the next",
+        "10x step of the growth argument (r vs the sf0.1 column above; the",
+        "sketch joins see 10 near-copies of every doc, so pair outputs grow",
+        "by design, not pathologically). Regenerate: `python tools/stress_sf1.py`.",
+        "",
+        "| query | sf1 (s) |",
+        "|---|---|",
+    ]
+    for name, t in rows:
+        lines.append(f"| {name} | {t:.3f} |")
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended to SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
