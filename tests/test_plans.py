@@ -41,7 +41,10 @@ def test_hfp_transform_pure_codegen(spark, sf_dir):
 
     v = synth_vehicles(spark, sf_dir)
     assert not has_python_eval(v)
-    # '* Node (n)' + 'codegen id' markers = whole-stage codegen spans
+    # '* Node (n)' + 'codegen id' markers = whole-stage codegen spans.
+    # The widening repartition makes this an adaptive plan, which only
+    # prints codegen ids once finalized — run it first.
+    v.collect()
     assert "codegen id" in explain_str(v, "formatted")
 
 

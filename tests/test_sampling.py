@@ -38,7 +38,14 @@ def test_hash_sample_is_scan_level_filter(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     plan = explain_str(hash_sample(docs, "doc_id", "40"), "simple")
-    assert "Exchange" not in plan  # pure per-row filter, no shuffle
+    # the sampling predicate executes AT THE SCAN (pushed through the
+    # small-input widening repartition, which is the only exchange):
+    # rows are dropped before any shuffle moves them
+    scan = plan[plan.index("FileScan"):]
+    assert "md5" in scan and "DataFilters" in scan
+    assert "Exchange" not in scan  # nothing below the scan shuffles
+    if "Exchange" in plan:  # widened inputs: filter must sit BELOW it
+        assert "Filter" not in plan.split("Exchange")[0]
 
 
 def test_stratified_take_caps_and_is_uniform(spark, sf_dir):

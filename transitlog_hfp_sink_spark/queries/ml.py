@@ -31,7 +31,7 @@ SQL_NORM = (
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return dd.exact_dedup(docs, "text", "doc_id")
 
 
@@ -52,7 +52,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      doc-per-duplicate-cluster.
     The pair graph is persisted so the cluster leg's iterative star rounds
     reuse it instead of re-running the blocked self-join."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     pairs = dd.ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=["source"], shingle_n=1, threshold=0.5
     ).persist()
@@ -107,7 +107,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles: the synthetic corpus shares a ~50-word vocabulary, so
     unigram Jaccard makes every pair a 'near-dup' (LSH degenerates to the
     cross product); trigram shingles are discriminative."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return dd.minhash_lsh_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
     )
@@ -127,7 +127,7 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracts are in tests/test_dedup.py."""
     from transitlog_hfp_sink_spark.operators.winnow import winnow_near_dups
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     sim_leg = dd.simhash_near_dups(
         docs, "text", "doc_id", max_hamming=3, shingle_n=3
     ).select(
@@ -167,7 +167,7 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically (tie-break doc_id)."""
     from transitlog_hfp_sink_spark.operators.search import bm25_search
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return bm25_search(docs, BM25_QUERIES, "text", "doc_id", topk=10)
 
 
@@ -215,7 +215,7 @@ FROM ranked WHERE rank <= 10
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-3 for the first 32 vectors as queries
     over the whole corpus."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -244,7 +244,7 @@ FROM ranked WHERE rank <= 3
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed approximate top-3 (rows-only; recall tested vs exact)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -256,7 +256,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer), nprobe-list probing, exact cosine re-rank — the
     index-based ANN scale path (rows-only; recall vs exact asserted in
     tests/test_similarity.py)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -280,7 +280,7 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     part='sq'      — top-3 over the int8 scalar-quantized corpus (the
                      4x-compressed storage tier), exact plan shape,
                      approximate values."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -316,7 +316,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(20,10), so the per-doc average hash-matches DuckDB."""
     from transitlog_hfp_sink_spark.operators.lm import lm_score, train_unigram_lm
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     lm = train_unigram_lm(docs, "text", k=0.5)
     return lm_score(docs, lm, "text", "doc_id", k=0.5)
 
@@ -350,7 +350,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs langid_documents — lang_pred + lang in one pass) plus the
     Gopher-style repetition signals (duplicate-line / duplicate-trigram
     fractions). Still a map-only single-scan projection."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return ta.analyze_documents(docs, "text", "doc_id", extra_cols=("lang",))
 
 
@@ -429,7 +429,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontaminate,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     bench = docs.where(F.col("doc_id") % 37 == 0)
     corpus = docs.where(F.col("doc_id") % 37 != 0)
     pairs = contamination_pairs(corpus, bench, "text", "doc_id", n=3)
@@ -486,7 +486,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    the stubbed slot — SURVEY north-star multimodal)."""
     from transitlog_hfp_sink_spark.operators.multimodal import frame_sample_plan
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     media = documents_as_media(docs)
     meta_leg = extract_bytes_meta(media).select(
         F.lit("meta").alias("part"),
@@ -528,7 +528,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against DuckDB, including the permutation order."""
     from transitlog_hfp_sink_spark.operators.pack import pack_chunks
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     return pack_chunks(docs, budget=512, n_shards=8, salt="pack")
 
 
@@ -581,7 +581,7 @@ def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_val_split,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     nosplit = F.lit(None).cast("string").alias("split")
     hash_leg = hash_sample(docs, "doc_id", keep_below="40").select(
         F.lit("hash").alias("part"), "doc_id", "lang", "source", "n_chars", nosplit
@@ -654,7 +654,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, oracle-checked bit-for-bit."""
     from transitlog_hfp_sink_spark.operators.redact import scrub_documents
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -740,7 +740,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_take,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     fp = F.md5(normalize_text(F.col("text"))).alias("fingerprint")
     w_dedup = Window.partitionBy("fingerprint")
     n_ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))

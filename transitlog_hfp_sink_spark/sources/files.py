@@ -33,13 +33,21 @@ TABLES = (
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """One driver testdata table (TESTDATA.md).
 
     events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; read it as raw int64 nanos (legacy conf) and convert
     with exact integer math (DIV 1000 -> micros), matching DuckDB's
     truncation semantics for TIMESTAMP_NS.
+
+    widen=True: see _widen_small_scan — for compute-heavy consumers
+    (tokenize/shingle/cosine over documents/embeddings) whose per-row
+    cost dwarfs one small shuffle. Scan-light relational queries must
+    NOT widen (measured: the extra exchange nearly doubled the TPC-H
+    suite at sf0.1 for zero map-stage benefit).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -51,8 +59,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    return _widen_small_scan(spark, df) if widen else df
+
+
+def _widen_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small-file inputs scan as ONE task (single-row-group parquet is
+    unsplittable), so every compute-heavy map stage (tokenize, shingle,
+    cosine) would run on one core until the first exchange. Round-robin
+    the rows across the session's parallelism when the scan is far
+    narrower than it — the repartition of a few MB is noise next to a
+    32x map-stage win. At production scale inputs carry thousands of
+    scan partitions and this branch never fires; results are unaffected
+    either way (no operator depends on partition layout: keys are
+    hash-derived, orderings explicit)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
