@@ -1,0 +1,67 @@
+"""End-to-end application drive: the Main.java startup-path parity
+(SURVEY §3.1) as a real subprocess — config, source, pipeline, sink,
+bounded shutdown, exit codes."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_app_subprocess_end_to_end(spark, tmp_path):
+    from hfp_fixtures import make_hfp_rows
+
+    from transitlog_hfp_sink_spark.schema import HFP_RAW_SCHEMA
+
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "vehicles")
+    raw = spark.createDataFrame(make_hfp_rows(200), schema=HFP_RAW_SCHEMA)
+    raw.coalesce(2).write.parquet(drops)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "transitlog_hfp_sink_spark.app",
+            "--source", drops,
+            "--source-format", "parquet",
+            "--sink", f"parquet:{out}",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--dead-letter", str(tmp_path / "dead"),
+            "--trigger-s", "1",
+            "--max-runtime-s", "45",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert len(got.columns) == 40 + 2  # vehicles + partition cols
+    # dead-letter populated for the invalid fixture rows
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() > 0
+
+
+def test_app_bad_sink_spec_exits_nonzero(tmp_path):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "transitlog_hfp_sink_spark.app",
+            "--source", str(tmp_path),
+            "--sink", "bogus:what",
+            "--max-runtime-s", "5",
+        ],
+        cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="2"),
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert proc.returncode == 1  # Main.java:31-38: log + close + fail
