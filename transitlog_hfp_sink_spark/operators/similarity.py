@@ -251,15 +251,21 @@ def ivf_centroids(
     import numpy as np
 
     vecs = corpus.select(_as_double(vec_col).alias("v"))
-    n = vecs.count()
-    if n > max_train_rows:
-        # oversample slightly so the sampled count stays >= ~max_train_rows
-        vecs = vecs.sample(
-            withReplacement=False,
-            fraction=min(1.0, 1.05 * max_train_rows / n),
-            seed=seed,
+    # ONE collect job in the common fits-in-budget case (a separate
+    # count() was a second full job of pure overhead). Only when the
+    # probe shows the corpus exceeds the budget do we pay a second,
+    # uniform pass: hash-ordered LIMIT = distributed partial top-k (no
+    # full sort shuffle), deterministic, order-bias-free.
+    probe = vecs.limit(max_train_rows + 1).toPandas()
+    if len(probe) > max_train_rows:
+        sampled = (
+            vecs.orderBy(F.xxhash64(F.concat_ws(",", F.col("v").cast("array<string>"))))
+            .limit(max_train_rows)
+            .toPandas()
         )
-    X = np.array(vecs.toPandas()["v"].tolist(), dtype=np.float64)
+        X = np.array(sampled["v"].tolist(), dtype=np.float64)
+    else:
+        X = np.array(probe["v"].tolist(), dtype=np.float64)
     C = _kmeans_np(X, n_lists, seed=seed, max_iter=max_iter)
     return [list(map(float, c)) for c in C]
 
