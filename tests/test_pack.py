@@ -94,3 +94,38 @@ def test_window_partitioned_by_shard_not_global(docs):
     assert "partitionBy=[shard" in plan.replace(" ", "").replace("#", "#") or (
         "hashpartitioning(shard" in plan
     )
+
+
+def test_fuzz_layout_invariants_over_budgets_and_shards(spark):
+    """Property: for random budgets/shard counts, the packed layout is
+    always contiguous per shard and the chunk math self-consistent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 7) % 23))) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    configs = []
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(min_value=1, max_value=200), st.integers(min_value=1, max_value=9))
+    def collect(budget, n_shards):
+        configs.append((budget, n_shards))
+
+    collect()
+    for budget, n_shards in set(configs):
+        packed = pack_chunks(docs, budget=budget, n_shards=n_shards).collect()
+        assert len(packed) == 120
+        by_shard = {}
+        for r in packed:
+            assert 0 <= r["shard"] < n_shards
+            assert r["first_seq"] == r["start_pos"] // budget
+            end = max(r["start_pos"] + r["n_tokens"] - 1, r["start_pos"])
+            assert r["last_seq"] == end // budget
+            assert r["offset_in_seq"] == r["start_pos"] % budget
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rows_ in by_shard.values():
+            rows_.sort(key=lambda r: r["start_pos"])
+            pos = 0
+            for r in rows_:
+                assert r["start_pos"] == pos, (budget, n_shards)
+                pos += r["n_tokens"]
