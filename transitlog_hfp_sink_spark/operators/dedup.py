@@ -26,6 +26,32 @@ from pyspark.sql import functions as F
 
 MERSENNE_31 = (1 << 31) - 1  # 2147483647, prime
 
+#: md5-mode hash width: 12 hex chars = 48 bits, fits signed int64 in both
+#: engines (DuckDB twin: ('0x' || substr(md5(x), 1, 12))::BIGINT — the
+#: md5-hex->bigint technique proven cross-engine in operators/pack.py).
+MD5_HEX_CHARS = 12
+MD5_BITS = 4 * MD5_HEX_CHARS
+
+
+def hash64(col: Column, hash_fn: str = "xxhash64") -> Column:
+    """Deterministic 64-bit-domain hash of a string column.
+
+    hash_fn="xxhash64": the JVM fast path (production default — cheapest
+    per-shingle hash Spark has, but engine-specific, so sketches built on
+    it get only a rows-only driver check).
+    hash_fn="md5": the portable mode — first 12 hex chars of md5 as a
+    48-bit bigint. Exists verbatim in DuckDB, which makes every sketch
+    built on it (MinHash permutations, SimHash bit tallies, winnowing
+    minima) statically SQL-expressible and therefore hash-checkable by
+    the driver's oracle gate. ~2x the hash cost of xxhash64; identical
+    plan shape.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, MD5_HEX_CHARS), 16, 10).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (expected 'xxhash64' or 'md5')")
+
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form shared by every dedup variant: lowercase,
@@ -125,10 +151,10 @@ def shingle_frame(
     )
 
 
-def _hash31(arr: Column) -> Column:
-    """Per-shingle 31-bit hashes (xxhash64 folded into [0, 2^31)):
+def _hash31(arr: Column, hash_fn: str = "xxhash64") -> Column:
+    """Per-shingle 31-bit hashes (hash64 folded into [0, 2^31)):
     keeps a*h+b inside signed-64 range under ANSI overflow checking."""
-    return F.transform(arr, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    return F.transform(arr, lambda s: F.pmod(hash64(s, hash_fn), F.lit(1 << 31)))
 
 
 def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -148,6 +174,7 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 1,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, m_0..m_{num_perm-1}) MinHash signatures via affine permutations
     h_i(x) = (a_i*x + b_i) mod p over the Mersenne prime p = 2^31-1.
@@ -163,7 +190,7 @@ def minhash_signatures(
     Docs with zero shingles (empty text) drop out — they cannot near-dup.
     """
     exploded = shingle_frame(df, text_col, id_col, shingle_n).select(
-        "id", F.explode(_hash31(F.col("shingles"))).alias("h")
+        "id", F.explode(_hash31(F.col("shingles"), hash_fn)).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(f"m_{k}")
@@ -181,6 +208,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 1,
     threshold: float = 0.7,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> banded LSH blocking -> exact
     word-shingle Jaccard verification >= threshold.
@@ -190,20 +218,24 @@ def minhash_lsh_pairs(
     join back to cached shingle arrays for exact verify. No cartesian
     anywhere; the only wide shuffles are keyed by band hash (AQE splits
     hot buckets) and by id for the verify join.
+
+    In md5 mode the band key is the raw comma-joined minima string (an
+    equality key needs no re-hash, and the string is portable to the
+    DuckDB twin); the xxhash64 fast path compresses it to 8 bytes to
+    shrink the band-join shuffle.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
-    band_hashes = [
-        F.xxhash64(
-            F.concat_ws(
-                ",", *[F.col(f"m_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-            )
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed, hash_fn)
+    band_keys = [
+        F.concat_ws(
+            ",", *[F.col(f"m_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         )
         for b in range(bands)
     ]
+    band_hashes = band_keys if hash_fn == "md5" else [F.xxhash64(k) for k in band_keys]
     banded = sig.select(
         "id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
     )
@@ -280,16 +312,22 @@ def simhash_signatures(
     id_col: str = "doc_id",
     bits: int = 64,
     shingle_n: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh) SimHash signatures via the scalable explode+agg plan:
     one row per (doc, shingle hash), then `bits` sign-sum aggregations
     (map-side combinable) and a final bit-string assembly. Identical
     output to the fold-based simhash_bits, minus its per-row expression
-    blowup. Zero-shingle docs drop out."""
+    blowup. Zero-shingle docs drop out.
+
+    md5 mode yields only MD5_BITS (48) usable hash bits, so callers must
+    keep bits <= 48 there (the default 64 is the xxhash64 fast path)."""
+    if hash_fn == "md5" and bits > MD5_BITS:
+        raise ValueError(f"md5 mode supplies {MD5_BITS} hash bits; got bits={bits}")
     exploded = shingle_frame(df, text_col, id_col, shingle_n).select(
         "id",
         F.explode(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            F.transform(F.col("shingles"), lambda s: hash64(s, hash_fn))
         ).alias("h"),
     )
     sums = [
@@ -313,11 +351,12 @@ def simhash_near_dups(
     band_bits: int = 16,
     max_hamming: int = 3,
     shingle_n: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on any shared band (bits/band_bits
     bands), verify Hamming distance <= max_hamming."""
     n_bands = bits // band_bits
-    base = simhash_signatures(df, text_col, id_col, bits, shingle_n)
+    base = simhash_signatures(df, text_col, id_col, bits, shingle_n, hash_fn)
     banded = base.select(
         "id",
         "sh",

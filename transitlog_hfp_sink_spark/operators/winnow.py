@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.operators.dedup import hash64, normalize_text
 
 
 def winnow_fingerprints(
@@ -31,6 +31,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fingerprint) rows: winnowed k-gram hash minima.
 
@@ -50,7 +51,7 @@ def winnow_fingerprints(
     ww = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     minima = grams.select(
         "id",
-        F.min(F.xxhash64("gram")).over(ww).alias("fingerprint"),
+        F.min(hash64(F.col("gram"), hash_fn)).over(ww).alias("fingerprint"),
     ).distinct()
     return minima
 
@@ -62,6 +63,7 @@ def winnow_near_dups(
     k: int = 8,
     window: int = 4,
     min_shared: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs scored by shared winnowed fingerprints.
 
@@ -69,7 +71,7 @@ def winnow_near_dups(
     AQE splits them; a stop-fingerprint filter dropping the most common
     hashes is the content-level mitigation at corpus scale).
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k, window)
+    fp = winnow_fingerprints(df, text_col, id_col, k, window, hash_fn)
     sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
     pairs = (
         fp.alias("a")

@@ -102,34 +102,104 @@ FROM labels
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (approximate -> rows-only check).
+    """MinHash+LSH near-dup pairs in hash_fn="md5" portable mode, so the
+    ENTIRE sketch — per-shingle 48-bit md5 hashes, the 64 affine
+    permutations, 16-band blocking, exact-Jaccard verify — is statically
+    SQL-expressible and hash-checked by the driver (round-2 directive #1;
+    the xxhash64 fast path keeps its recall-vs-exact test in
+    tests/test_dedup.py and its own bench timing).
 
     3-gram shingles: the synthetic corpus shares a ~50-word vocabulary, so
     unigram Jaccard makes every pair a 'near-dup' (LSH degenerates to the
     cross product); trigram shingles are discriminative."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
     return dd.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
+        docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3,
+        threshold=0.5, hash_fn="md5",
     )
 
 
+#: shared SQL fragments for the md5-mode sketch twins
+_SQL_H48 = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
+_SQL_TRIGRAMS = (
+    "list_distinct([array_to_string(words[i:i+2], ' ') "
+    "for i in range(1, len(words) - 2 + 1)])"
+)
+
+
+def _minhash_oracle(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5, seed: int = 7
+) -> str:
+    """DuckDB twin of q_minhash_pairs, generated from the SAME permutation
+    constants the Spark plan embeds (dedup._permutations) — any drift in
+    the hash fold, permutation table, band layout, or verify threshold
+    flips the driver row red."""
+    rows_per_band = num_perm // bands
+    perms = dd._permutations(num_perm, seed)
+    mins = ",\n    ".join(
+        f"min((h * {a} + {b}) % {dd.MERSENNE_31}) AS m_{k}"
+        for k, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(m_{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + ") AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id, string_split({SQL_NORM.format(c='text')}, ' ') AS words
+  FROM documents
+),
+sh AS (SELECT id, {_SQL_TRIGRAMS} AS shingles FROM w),
+ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+h AS (SELECT id, {_SQL_H48.format(s='s')} % 2147483648 AS h FROM ex),
+sig AS (
+  SELECT id,
+    {mins}
+  FROM h GROUP BY id
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.id = id_a
+  JOIN sh sb ON sb.id = id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle()
+
+
 def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both hash-fingerprint near-dup sketches as a tagged union (registry
-    consolidation, round 2 — frees a slot while keeping each leg
-    exercised by the driver):
+    """Both hash-fingerprint near-dup sketches as a tagged union, in
+    hash_fn="md5" portable mode so fingerprint SELECTION itself is
+    hash-checked by the driver's DuckDB twin (round-2 directive #1; the
+    xxhash64 fast path keeps its contract tests in tests/test_dedup.py):
 
-    part='simhash' — SimHash band-blocked pairs, metric = Hamming dist;
-    part='winnow'  — MOSS-style winnowed rolling-hash fingerprints,
-                     metric = containment, n_shared = shared prints.
-
-    Rows-only: fingerprint selection depends on the hash function, so
-    there is no engine-independent oracle; identity/containment/recall
-    contracts are in tests/test_dedup.py."""
+    part='simhash' — SimHash band-blocked pairs (48-bit md5-derived
+                     signatures, 3 x 16-bit bands), metric = Hamming dist;
+    part='winnow'  — MOSS-style winnowed k-gram fingerprints,
+                     metric = containment, n_shared = shared prints."""
     from transitlog_hfp_sink_spark.operators.winnow import winnow_near_dups
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
     sim_leg = dd.simhash_near_dups(
-        docs, "text", "doc_id", max_hamming=3, shingle_n=3
+        docs, "text", "doc_id", bits=48, max_hamming=3, shingle_n=3, hash_fn="md5"
     ).select(
         F.lit("simhash").alias("part"),
         "id_a",
@@ -138,7 +208,7 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_shared"),
     )
     win_leg = winnow_near_dups(
-        docs, "text", "doc_id", k=8, window=4, min_shared=10
+        docs, "text", "doc_id", k=8, window=4, min_shared=10, hash_fn="md5"
     ).select(
         F.lit("winnow").alias("part"),
         "id_a",
@@ -147,6 +217,95 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
     )
     return sim_leg.unionByName(win_leg)
+
+
+def _fingerprint_oracle(
+    bits: int = 48,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 10,
+) -> str:
+    """DuckDB twin of q_fingerprint_pairs: the simhash leg re-derives the
+    48 per-bit sign tallies and band blocking; the winnow leg re-derives
+    the windowed k-gram hash minima via substr positions (Spark's
+    posexplode+window formulation selects the same minima set)."""
+    n_bands = bits // band_bits
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
+        for i in range(bits)
+    )
+    sig_concat = ", ".join(
+        f"CASE WHEN b_{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, substr(sig, {b * band_bits + 1}, {band_bits}) AS band_val FROM ssig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id, string_split({SQL_NORM.format(c='text')}, ' ') AS words,
+         {SQL_NORM.format(c='text')} AS norm
+  FROM documents
+),
+sh AS (SELECT id, {_SQL_TRIGRAMS} AS shingles FROM w),
+shex AS (SELECT id, {_SQL_H48.format(s='unnest(shingles)')} AS h FROM sh),
+stall AS (
+  SELECT id,
+    {bit_sums}
+  FROM shex GROUP BY id
+),
+ssig AS (SELECT id, concat({sig_concat}) AS sig FROM stall),
+sband AS (
+  {band_selects}
+),
+spair AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM sband a
+  JOIN sband b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+),
+sham AS (
+  SELECT id_a, id_b,
+    len([i for i in range(1, {bits + 1})
+         if substr(sig_a, CAST(i AS INTEGER), 1) <> substr(sig_b, CAST(i AS INTEGER), 1)]) AS hamming
+  FROM spair
+),
+wpos AS (
+  SELECT id, norm, unnest(range(1, greatest(length(norm) - {k - 2}, 1))) AS p
+  FROM w
+),
+wh AS (
+  SELECT id, p, {_SQL_H48.format(s=f"substr(norm, CAST(p AS INTEGER), {k})")} AS hv
+  FROM wpos
+),
+wfp AS (
+  SELECT DISTINCT id,
+    min(hv) OVER (PARTITION BY id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint
+  FROM wh
+),
+wsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp FROM wfp GROUP BY id),
+wpair AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM wfp a JOIN wfp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT 'simhash' AS part, id_a, id_b, CAST(hamming AS DOUBLE) AS metric,
+       CAST(NULL AS BIGINT) AS n_shared
+FROM sham WHERE hamming <= {max_hamming}
+UNION ALL
+SELECT 'winnow' AS part, id_a, id_b,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS metric,
+       n_shared
+FROM wpair
+JOIN wsz sa ON sa.id = id_a
+JOIN wsz sb ON sb.id = id_b
+"""
+
+
+ORACLE_FINGERPRINT = _fingerprint_oracle()
 
 
 #: fixed audit queries over the synthetic corpus vocabulary
@@ -821,8 +980,8 @@ ORACLES = {
     "pack_token_sequences": ORACLE_PACK,
     "dedup_exact_documents": ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": ORACLE_JACCARD,
-    "dedup_minhash_lsh": None,  # approximate: rows-only check; recall vs exact in tests
-    "dedup_fingerprint_pairs": None,  # hash-dependent sketches: rows-only; contracts in tests
+    "dedup_minhash_lsh": ORACLE_MINHASH,
+    "dedup_fingerprint_pairs": ORACLE_FINGERPRINT,
     "text_search_bm25": ORACLE_TEXT_SEARCH,
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
     "embedding_sketches": None,  # SRP sketches: rows-only; recall in tests
