@@ -372,13 +372,33 @@ FROM ranked WHERE rank <= 10
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-3 for the first 32 vectors as queries
-    over the whole corpus."""
+    """Exact top-k two ways, tagged union (round-2 directive #2a):
+
+    part='brute'         — brute-force cosine top-3 for the first 32
+                           vectors as queries over the whole corpus;
+    part='ivf_fullprobe' — the IVF index probed with nprobe = n_lists,
+                           which is exact search by construction. Both
+                           legs share ONE oracle (the exact top-3 emitted
+                           under each part label), so the IVF machinery —
+                           centroid training, list assignment, probing,
+                           re-rank — is value-hash-checked end to end;
+                           only nprobe<n_lists recall remains test-only
+                           (tests/test_similarity.py)."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.brute_force_topk(emb, queries, k=3)
+    brute = sim.brute_force_topk(emb, queries, k=3).select(
+        F.lit("brute").alias("part"), "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+    cents = sim.ivf_centroids(emb, n_lists=16, max_iter=8)
+    fullprobe = sim.ivf_topk(
+        emb, queries, k=3, n_lists=16, nprobe=16, centroids=cents
+    ).select(
+        F.lit("ivf_fullprobe").alias("part"),
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    )
+    return brute.unionByName(fullprobe)
 
 
 ORACLE_EMBEDDING_TOPK = """
@@ -395,9 +415,15 @@ ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
+),
+topk AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, cos_sim,
+         CAST(rank AS INTEGER) AS rank
+  FROM ranked WHERE rank <= 3
 )
-SELECT CAST(query_id AS BIGINT) AS query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= 3
+SELECT 'brute' AS part, * FROM topk
+UNION ALL
+SELECT 'ivf_fullprobe' AS part, * FROM topk
 """
 
 
@@ -465,6 +491,102 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return topk_leg.unionByName(nd_leg).unionByName(sq_leg)
+
+
+def _srp_sig_sql(vec: str, dim: int, bits: int, seed: int) -> str:
+    """SRP signature as DuckDB SQL: the SAME seeded hyperplanes the Spark
+    plan embeds (similarity._hyperplanes), emitted as array literals —
+    sign of the dot product per plane, concatenated to the bucket key.
+    repr() floats round-trip exactly, so both engines see identical
+    plane coefficients."""
+    cases = []
+    for plane in sim._hyperplanes(dim, bits, seed):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        cases.append(
+            f"CASE WHEN list_dot_product({vec}, {arr}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ",\n    ".join(cases) + ")"
+
+
+def _sketches_oracle(
+    dim: int = 64, topk_bits: int = 6, nd_bits: int = 4,
+    seed: int = 11, k: int = 3, nd_threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of q_embedding_sketches (round-2 directive #2b): the
+    SRP bucket keys are recomputed from literal plane arrays; the int8
+    SQ leg replays encode (per-vector lo/span, round to 255 steps) and
+    decode (float32-rounded lo/span, exactly as stored) in SQL."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+tsig AS (
+  SELECT vec_id, v,
+    {_srp_sig_sql("v", dim, topk_bits, seed)} AS sig
+  FROM e
+),
+tq AS (SELECT vec_id AS query_id, v AS qv, sig FROM tsig WHERE vec_id < 32),
+tc AS (SELECT vec_id AS neighbor_id, v AS cv, sig FROM tsig),
+tscore AS (
+  SELECT query_id, neighbor_id, {cos.format(a="qv", b="cv")} AS cos_sim
+  FROM tc JOIN tq USING (sig) WHERE neighbor_id <> query_id
+),
+trank AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM tscore
+),
+nsig AS (
+  SELECT vec_id AS id, v,
+    {_srp_sig_sql("v", dim, nd_bits, seed)} AS sig
+  FROM e
+),
+npair AS (
+  SELECT a.id AS id_a, b.id AS id_b, {cos.format(a="a.v", b="b.v")} AS cos_sim
+  FROM nsig a JOIN nsig b ON a.sig = b.sig AND a.id < b.id
+),
+enc AS (
+  SELECT vec_id, v, list_min(v) AS lo, list_max(v) - list_min(v) AS span FROM e
+),
+codes AS (
+  SELECT vec_id,
+    CAST(CAST(lo AS REAL) AS DOUBLE) AS lo_f,
+    CAST(CAST(span AS REAL) AS DOUBLE) AS span_f,
+    [CASE WHEN span > 0 THEN CAST(round((x - lo) / span * 255.0) - 128 AS TINYINT)
+          ELSE CAST(-128 AS TINYINT) END for x in v] AS cds
+  FROM enc
+),
+dec AS (
+  SELECT vec_id AS neighbor_id,
+    [lo_f + (CAST(c AS DOUBLE) + 128.0) / 255.0 * span_f for c in cds] AS cv
+  FROM codes
+),
+sq_q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 32),
+sqscore AS (
+  SELECT query_id, neighbor_id, {cos.format(a="qv", b="cv")} AS cos_sim
+  FROM dec JOIN sq_q ON neighbor_id <> query_id
+),
+sqrank AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM sqscore
+)
+SELECT 'topk' AS part, CAST(query_id AS BIGINT) AS id_a, neighbor_id AS id_b,
+       cos_sim, CAST(rank AS INTEGER) AS rank
+FROM trank WHERE rank <= {k}
+UNION ALL
+SELECT 'neardup' AS part, id_a, id_b, cos_sim, CAST(NULL AS INTEGER) AS rank
+FROM npair WHERE cos_sim >= {nd_threshold}
+UNION ALL
+SELECT 'sq' AS part, CAST(query_id AS BIGINT) AS id_a, neighbor_id AS id_b,
+       cos_sim, CAST(rank AS INTEGER) AS rank
+FROM sqrank WHERE rank <= {k}
+"""
+
+
+ORACLE_EMBEDDING_SKETCHES = _sketches_oracle()
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,7 +1106,7 @@ ORACLES = {
     "dedup_fingerprint_pairs": ORACLE_FINGERPRINT,
     "text_search_bm25": ORACLE_TEXT_SEARCH,
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
-    "embedding_sketches": None,  # SRP sketches: rows-only; recall in tests
+    "embedding_sketches": ORACLE_EMBEDDING_SKETCHES,
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
     "lm_score_documents": ORACLE_LM,
     "text_quality": ORACLE_TEXT_QUALITY,
