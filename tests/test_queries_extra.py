@@ -61,12 +61,12 @@ def test_registry_names_are_wellformed():
 
     qs, os_ = queries(), oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 35
-    # every non-oracled query is a documented approximate/sketch op
+    # the driver's correctness gate evaluates exactly 50 entries in
+    # insertion order — stay at the cap, never above it
+    assert len(qs) == 50
+    # round 3: md5-mode sketches + SRP/SQ literals gave every sketch an
+    # oracle; the ONLY rows-only entry left is genuinely approximate
+    # (nprobe<n_lists IVF — its machinery is hash-checked via the
+    # fullprobe leg of embedding_topk_exact, its recall in tests)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "dedup_minhash_lsh",
-        "dedup_fingerprint_pairs",
-        "embedding_sketches",
-        "embedding_topk_ivf",
-    }
+    assert rows_only == {"embedding_topk_ivf"}

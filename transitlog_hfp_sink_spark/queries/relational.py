@@ -277,34 +277,53 @@ FROM ({ORACLE_CUBE}) AS c_t
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: customers that placed an order EXCEPT the BUILDING
-    segment; plus INTERSECT leg folded in via a union of tagged legs."""
+    """Set operations + anti join over customers, tagged legs (round-3
+    consolidation absorbs the former anti_join_customers entry):
+
+    leg='except'    — customers with an order EXCEPT the BUILDING segment;
+    leg='intersect' — the INTERSECT counterpart;
+    leg='anti'      — NOT EXISTS via left-anti join: customers with no
+                      order since 2000 (surface.q_anti_join), c_mktsegment
+                      carried so the anti output stays fully checked."""
+    from transitlog_hfp_sink_spark.queries.surface import q_anti_join
+
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     with_orders = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_semi"
     ).select("c_custkey")
     building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ns = F.lit(None).cast("string")
     except_leg = with_orders.exceptAll(building).distinct().select(
-        F.lit("except").alias("leg"), "c_custkey"
+        F.lit("except").alias("leg"), "c_custkey", ns.alias("c_mktsegment")
     )
     intersect_leg = with_orders.intersect(building).select(
-        F.lit("intersect").alias("leg"), "c_custkey"
+        F.lit("intersect").alias("leg"), "c_custkey", ns.alias("c_mktsegment")
     )
-    return except_leg.unionByName(intersect_leg)
+    anti_leg = q_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("leg"), "c_custkey", "c_mktsegment"
+    )
+    return except_leg.unionByName(intersect_leg).unionByName(anti_leg)
 
 
 ORACLE_SET_OPS = """
-SELECT 'except' AS leg, c_custkey FROM (
+SELECT 'except' AS leg, c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment FROM (
   SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
   EXCEPT
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 )
 UNION ALL
-SELECT 'intersect' AS leg, c_custkey FROM (
+SELECT 'intersect' AS leg, c_custkey, CAST(NULL AS VARCHAR) AS c_mktsegment FROM (
   SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
   INTERSECT
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'anti' AS leg, c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
 )
 """
 

@@ -112,24 +112,61 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles of order value."""
+    """Aggregation-profile union (registry consolidation, round 3 — frees
+    a slot for the new merge/resample rows while keeping every leg
+    driver-checked):
+
+    part='pctl'     — exact linear-interpolation percentiles of order
+                      value per priority (grp = o_orderpriority);
+    part='distinct' — the former distinct_counts entry: exact
+                      multi-column distinct aggregation + the HLL++
+                      |approx-exact|<=5% contract boolean per event type
+                      (grp = event_type)."""
     orders = read_table(spark, sf_dir, "orders")
     pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
-    return orders.groupBy("o_orderpriority").agg(
+    nb = F.lit(None).cast("bigint")
+    nt = F.lit(None).cast("timestamp")
+    pctl_leg = orders.groupBy(
+        F.col("o_orderpriority").alias("grp")
+    ).agg(
         F.round(F.element_at(pct, 1), 4).alias("p25"),
         F.round(F.element_at(pct, 2), 4).alias("p50"),
         F.round(F.element_at(pct, 3), 4).alias("p75"),
         F.round(F.element_at(pct, 4), 4).alias("p90"),
+    ).select(
+        F.lit("pctl").alias("part"), "grp", "p25", "p50", "p75", "p90",
+        nb.alias("n_users"), nb.alias("n_events"),
+        nt.alias("first_ts"), nt.alias("last_ts"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
     )
+    nd = F.lit(None).cast("double")
+    distinct_leg = q_distinct_counts(spark, sf_dir).select(
+        F.lit("distinct").alias("part"),
+        F.col("event_type").alias("grp"),
+        nd.alias("p25"), nd.alias("p50"), nd.alias("p75"), nd.alias("p90"),
+        "n_users", "n_events", "first_ts", "last_ts", "approx_within_5pct",
+    )
+    return pctl_leg.unionByName(distinct_leg)
 
 
 ORACLE_PERCENTILES = """
-SELECT o_orderpriority,
+SELECT 'pctl' AS part, o_orderpriority AS grp,
   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
   round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
   round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-  round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+  round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+  CAST(NULL AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS n_events,
+  CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts,
+  CAST(NULL AS BOOLEAN) AS approx_within_5pct
 FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'distinct' AS part, event_type AS grp,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS p90,
+  count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+  min(ts) AS first_ts, max(ts) AS last_ts,
+  TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
 """
 
 _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
@@ -316,16 +353,107 @@ FROM r
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE into a partitioned parquet store (sinks/merge.py) —
+    new driver row (round-2 directive #6; previously test-only). Runs
+    the REAL file-based upsert: seed a store from orders (keys not
+    divisible by 5, partitioned by order year), then merge an update
+    batch carrying (a) two conflicting versions per updated key —
+    greatest version must win, (b) brand-new keys. Returns the final
+    store content; the oracle states the INSERT .. ON CONFLICT DO
+    UPDATE outcome declaratively (winner-per-key CTE + anti-join +
+    union), so the hash checks conflict resolution, partition-pruned
+    rewrite, and read-back fidelity."""
+    import tempfile
+
+    from transitlog_hfp_sink_spark.sinks.merge import upsert_partitioned
+
+    orders = read_table(spark, sf_dir, "orders")
+    o_year = F.year("o_orderdate").cast("int").alias("o_year")
+    base = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", o_year, "o_totalprice", F.lit(0).alias("version")
+    )
+    upd_src = orders.where(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+    )
+    v1 = upd_src.select(
+        "o_orderkey", o_year,
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    v2 = upd_src.select(
+        "o_orderkey", o_year,
+        (F.col("o_totalprice") + 200.0).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    new = orders.where(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 == 0)
+    ).select("o_orderkey", o_year, "o_totalprice", F.lit(3).alias("version"))
+
+    path = tempfile.mkdtemp(prefix="spark_graft_merge_") + "/orders_store"
+    base.write.partitionBy("o_year").parquet(path)
+    upsert_partitioned(
+        spark,
+        path,
+        v1.unionByName(v2).unionByName(new),
+        key_cols=["o_orderkey"],
+        partition_cols=["o_year"],
+        version_col="version",
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey",
+        F.col("o_year").cast("int").alias("o_year"),
+        "o_totalprice",
+        "version",
+    )
+
+
+ORACLE_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_totalprice, 0 AS version
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+upd AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_totalprice + 100.0 AS o_totalprice, 1 AS version
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_totalprice + 200.0 AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         o_totalprice, 3 AS version
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 = 0
+),
+win AS (
+  SELECT o_orderkey, o_year, o_totalprice, version FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC, o_orderkey
+    ) AS rn FROM upd
+  ) WHERE rn = 1
+)
+SELECT o_orderkey, o_year, o_totalprice, version FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win)
+UNION ALL
+SELECT o_orderkey, o_year, o_totalprice, version FROM win
+"""
+
+
 # Registry consolidation (round 2): cube_events merged into relational's
 # rollup_cube_grouping; window_moving_1h merged into timeseries'
 # window_frames; approx_distinct_users merged into distinct_counts (its
-# slot now carries zorder_clustered_scan). The standalone callables
-# (q_cube, q_moving_window, q_approx_distinct) stay importable.
+# slot now carries zorder_clustered_scan). Round 3: distinct_counts
+# merged into percentiles_orders and anti_join_customers into
+# relational's set_ops_customers, freeing the 50-entry driver budget for
+# merge_upsert_store here and resample_trajectory (timeseries.py). The
+# standalone callables (q_cube, q_moving_window, q_approx_distinct,
+# q_anti_join, q_distinct_counts) stay importable.
 QUERIES = {
     "udtf_word_counts": q_udtf_word_counts,
     "scalar_functions": q_scalar_functions,
-    "anti_join_customers": q_anti_join,
-    "distinct_counts": q_distinct_counts,
+    "merge_upsert_store": q_merge_upsert,
     "zorder_clustered_scan": q_zorder_clustered_scan,
     "percentiles_orders": q_percentiles,
     "pivot_event_counts": q_pivot,
@@ -334,8 +462,7 @@ QUERIES = {
 ORACLES = {
     "udtf_word_counts": ORACLE_UDTF_WORDS,
     "scalar_functions": ORACLE_SCALAR,
-    "anti_join_customers": ORACLE_ANTI,
-    "distinct_counts": ORACLE_DISTINCT,
+    "merge_upsert_store": ORACLE_MERGE,
     "zorder_clustered_scan": ORACLE_ZORDER,
     "percentiles_orders": ORACLE_PERCENTILES,
     "pivot_event_counts": ORACLE_PIVOT,

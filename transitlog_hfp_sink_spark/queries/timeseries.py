@@ -679,7 +679,89 @@ FROM ({ORACLE_PROPS}) AS p_t
 """
 
 
+def q_resample_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key grid resampling with time-weighted linear interpolation
+    (operators/resample.py, grouped-map applyInPandas) — new driver row
+    (round-2 directive #6; previously test-only).
+
+    A deterministic GPS-ish track is derived from events (8 vehicles,
+    lat/long affine in value), pre-deduped on (key, ts) so the pandas
+    stage's sort/dedupe is order-independent, then resampled onto an
+    hourly grid. The oracle replays np.interp's exact arithmetic —
+    slope*(x-x0)+y0 over float64 epoch-nanoseconds — per grid point, so
+    the hash checks the interpolation math, the grid construction
+    (ceil/floor to the hour), and the per-key spans."""
+    from transitlog_hfp_sink_spark.operators.resample import resample_trajectories
+
+    ev = read_table(spark, sf_dir, "events")
+    pts = (
+        ev.select(
+            (F.col("user_id") % 8).cast("string").alias("vehicle_id"),
+            "ts",
+            (F.lit(60.0) + F.col("value") / 1000.0).alias("lat"),
+            (F.lit(24.0) + F.col("value") / 500.0).alias("long"),
+        )
+        .groupBy("vehicle_id", "ts")
+        .agg(F.min("lat").alias("lat"), F.min("long").alias("long"))
+    )
+    out = resample_trajectories(pts, "vehicle_id", "ts", freq="3600s")
+    return out.select(
+        "key",
+        "grid_ts",
+        F.round("lat", 6).alias("lat"),
+        F.round("long", 6).alias("long"),
+        "n_source_points",
+    )
+
+
+ORACLE_RESAMPLE = """
+WITH pts AS (
+  SELECT CAST(user_id % 8 AS VARCHAR) AS key, ts,
+         min(60.0 + value / 1000.0) AS lat,
+         min(24.0 + value / 500.0) AS long
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT key, min(ts) AS mn, max(ts) AS mx, CAST(count(*) AS INTEGER) AS n_src
+  FROM pts GROUP BY key HAVING count(*) >= 2
+),
+grid AS (
+  SELECT key, n_src,
+    unnest(generate_series(
+      CASE WHEN time_bucket(INTERVAL 3600 SECONDS, mn) = mn THEN mn
+           ELSE time_bucket(INTERVAL 3600 SECONDS, mn) + INTERVAL 3600 SECONDS END,
+      time_bucket(INTERVAL 3600 SECONDS, mx),
+      INTERVAL 3600 SECONDS)) AS grid_ts
+  FROM b
+),
+seg AS (
+  SELECT g.key, g.grid_ts, g.n_src,
+    (SELECT max(p.ts) FROM pts p WHERE p.key = g.key AND p.ts <= g.grid_ts) AS t0,
+    (SELECT min(p.ts) FROM pts p WHERE p.key = g.key AND p.ts >= g.grid_ts) AS t1
+  FROM grid g
+),
+j AS (
+  SELECT s.key, s.grid_ts, s.n_src,
+    CAST(epoch_ns(s.grid_ts) AS DOUBLE) AS xg,
+    CAST(epoch_ns(s.t0) AS DOUBLE) AS x0,
+    CAST(epoch_ns(s.t1) AS DOUBLE) AS x1,
+    p0.lat AS lat0, p0.long AS lon0, p1.lat AS lat1, p1.long AS lon1
+  FROM seg s
+  JOIN pts p0 ON p0.key = s.key AND p0.ts = s.t0
+  JOIN pts p1 ON p1.key = s.key AND p1.ts = s.t1
+)
+SELECT key, grid_ts,
+  round(CASE WHEN x1 = x0 THEN lat0
+             ELSE (lat1 - lat0) / (x1 - x0) * (xg - x0) + lat0 END, 6) AS lat,
+  round(CASE WHEN x1 = x0 THEN lon0
+             ELSE (lon1 - lon0) / (x1 - x0) * (xg - x0) + lon0 END, 6) AS long,
+  n_src AS n_source_points
+FROM j
+"""
+
+
 QUERIES = {
+    "resample_trajectory": q_resample_trajectory,
     "semistructured_extract": q_semistructured,
     "salted_skew_agg": q_salted_agg,
     "streaming_stream_join": q_streaming_stream_join,
@@ -693,6 +775,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "resample_trajectory": ORACLE_RESAMPLE,
     "semistructured_extract": ORACLE_SEMISTRUCTURED,
     "salted_skew_agg": ORACLE_SALTED,
     "streaming_stream_join": ORACLE_STREAM_JOIN,

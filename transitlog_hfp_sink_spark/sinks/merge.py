@@ -23,10 +23,10 @@ then arbitrary-but-stable key order).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.fs import path_exists
 
 
 def upsert_partitioned(
@@ -65,12 +65,16 @@ def upsert_partitioned(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    if not os.path.exists(path):
+    if not path_exists(spark, path):
         fresh.write.partitionBy(*partition_cols).parquet(path)
         return
     store = spark.read.parquet(path)
     touched_df = fresh.select(*partition_cols).distinct()
     touched = touched_df.limit(max_touched_list + 1).collect()
+    if not touched:
+        # empty update batch: nothing to merge — and proceeding would
+        # build a WHERE over zero partition clauses (round-2 ADVICE)
+        return
     if len(touched) > max_touched_list:
         existing = store.join(
             F.broadcast(touched_df), on=partition_cols, how="left_semi"

@@ -21,6 +21,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transitlog_hfp_sink_spark.fs import path_exists
+
 _DEC = "decimal(30,12)"
 
 
@@ -101,7 +103,7 @@ class ContinuousRollupSink:
             if not touched:
                 return
             merged = new_partials
-            if os.path.exists(self.path):
+            if path_exists(self.spark, self.path):
                 store = self.spark.read.parquet(self.path)
                 if len(touched) > self.max_touched_list:
                     # giant replay: no driver-side bucket list; restrict the
