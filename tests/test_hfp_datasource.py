@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from transitlog_hfp_sink_spark.sources.hfp_datasource import (
     HfpDataSource,
+    HfpWireStreamReader,
     read_wire_file,
     write_wire_file,
 )
@@ -127,3 +128,37 @@ def test_streaming_tail_picks_up_new_files(spark, tmp_path):
         assert spark.table(name).count() == 2 * len(msgs)
     finally:
         q.stop()
+
+
+def test_stream_offsets_are_filename_watermarks(tmp_path):
+    """Round-2 ADVICE: a late file sorting BELOW consumed names must not
+    re-index the listing (count offsets re-emitted the tail and skipped
+    the newcomer forever). Watermark offsets ignore the late file and
+    keep offset-range replay stable as the listing grows."""
+    d = tmp_path / "wm"
+    d.mkdir()
+    msgs = _wire_messages()
+    write_wire_file(str(d / "m.hfpw"), msgs)
+    write_wire_file(str(d / "t.hfpw"), msgs)
+    rdr = HfpWireStreamReader({"path": str(d)})
+    start = rdr.initialOffset()
+    rows, end = rdr.read(start)
+    assert end == {"last": "t.hfpw"}
+    assert len(list(rows)) == 2 * len(msgs)
+    # a late arrival sorting below the watermark is ignored...
+    write_wire_file(str(d / "a.hfpw"), msgs)
+    rows2, end2 = rdr.read(end)
+    assert list(rows2) == [] and end2 == {"last": "t.hfpw"}
+    # ...and offset-range replay stays a pure name-interval selection:
+    # the two consumed files are re-delivered exactly once each; the late
+    # in-interval file rides along (at-least-once: delivered on replay,
+    # never duplicated, never index-shifts other files)
+    replay = list(rdr.readBetweenOffsets(start, end))
+    assert len(replay) == 3 * len(msgs)
+    # a properly-named newcomer above the watermark is consumed
+    write_wire_file(str(d / "z.hfpw"), msgs)
+    rows3, end3 = rdr.read(end2)
+    assert len(list(rows3)) == len(msgs) and end3 == {"last": "z.hfpw"}
+    # legacy count offsets from a round-2 checkpoint still resolve
+    legacy = list(rdr.readBetweenOffsets({"n": 0}, {"n": 2}))
+    assert len(legacy) == 2 * len(msgs)

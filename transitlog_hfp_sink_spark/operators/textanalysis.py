@@ -28,6 +28,51 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
+#: quality_score rule set — ONE definition shared by the single-column
+#: helper and analyze_documents' staged projection (round-2 ADVICE: the
+#: two used to repeat these literals and could drift silently)
+QUALITY_LENGTH_RANGE = (10, 10000)  # whitespace-token count
+QUALITY_WORDLEN_RANGE = (2.0, 12.0)  # average word length
+QUALITY_STOPWORD_MIN = 0.05  # stopword ratio
+QUALITY_PUNCT_MAX = 0.2  # punctuation ratio
+QUALITY_WEIGHTS = (0.3, 0.2, 0.3, 0.2)  # length, wordlen, stopword, punct
+
+
+def _quality_from_parts(n_ws: Column, wl: Column, sw: Column, pr: Column) -> Column:
+    """Composite quality from the four precomputed signals."""
+    w_len, w_wl, w_sw, w_pr = QUALITY_WEIGHTS
+    lo, hi = QUALITY_LENGTH_RANGE
+    wlo, whi = QUALITY_WORDLEN_RANGE
+    length_ok = F.when((n_ws >= lo) & (n_ws <= hi), F.lit(1.0)).otherwise(F.lit(0.0))
+    wordlen_ok = F.when((wl >= wlo) & (wl <= whi), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(sw >= QUALITY_STOPWORD_MIN, F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(pr <= QUALITY_PUNCT_MAX, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        w_len * length_ok + w_wl * wordlen_ok + w_sw * sw_ok + w_pr * punct_ok, 4
+    )
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """Argmax of marker-hit counts; ties break in alphabetical language
+    order; zero hits -> 'und'. Shared by detect_language and
+    analyze_documents so the winner rule has one definition."""
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in sorted(scores):  # alphabetical; strict > keeps first winner
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def _marker_scores(distinct_words: Column) -> dict[str, Column]:
+    """Marker-hit counts per language over a distinct-word array."""
+    return {
+        lang: F.size(
+            F.array_intersect(distinct_words, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
 
 def token_count(col: Column | str) -> Column:
     """Tokens per the shared BPE-ish pattern."""
@@ -65,40 +110,23 @@ def avg_word_length(col: Column | str) -> Column:
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: enough tokens, sane word length,
     some stopwords, little punctuation. Deterministic, SQL-mirrorable."""
-    n = whitespace_token_count(col)
-    length_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    wl = avg_word_length(col)
-    wordlen_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    sw = stopword_ratio(col)
-    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
-    pr = punct_ratio(col)
-    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round(
-        0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * sw_ok + 0.2 * punct_ok, 4
+    return _quality_from_parts(
+        whitespace_token_count(col),
+        avg_word_length(col),
+        stopword_ratio(col),
+        punct_ratio(col),
     )
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Marker-hit counts per language over the word set."""
-    words = F.array_distinct(_word_array(col))
-    return {
-        lang: F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    return _marker_scores(F.array_distinct(_word_array(col)))
 
 
 def detect_language(col: Column | str) -> Column:
     """Argmax of marker-hit counts; ties break in alphabetical language
     order; zero hits -> 'und' (undetermined)."""
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):  # alphabetical; strict > keeps first winner
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    return _argmax_lang(lang_scores(col))
 
 
 def duplicate_line_fraction(col: Column | str) -> Column:
@@ -160,24 +188,10 @@ def analyze_documents(
     wl = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
     n_ws = F.size(F.split(F.trim(c), r"\s+"))
     pr = punct_ratio(c)
-    distinct_words = F.array_distinct(words)
-    scores = {
-        lang: F.size(
-            F.array_intersect(
-                distinct_words, F.array(*[F.lit(m) for m in markers])
-            )
-        )
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    for lang in sorted(scores):  # alphabetical; strict > keeps first winner
-        is_better = scores[lang] > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    length_ok = F.when((n_ws >= 10) & (n_ws <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    wordlen_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    # shared definitions (_marker_scores/_argmax_lang/_quality_from_parts)
+    # applied to the STAGED columns, so the rule set has one source of
+    # truth while the expensive derivations still run once per row
+    best_lang = _argmax_lang(_marker_scores(F.array_distinct(words)))
     # three stages so each expensive derivation runs ONCE: norm (regex
     # chain) -> words (split) -> grams/lines; CollapseProject leaves the
     # stages intact because each alias is non-cheap and multiply used
@@ -209,9 +223,7 @@ def analyze_documents(
         F.round(wl, 4).alias("avg_word_len"),
         F.round(sw, 4).alias("stopword_ratio"),
         F.round(pr, 4).alias("punct_ratio"),
-        F.round(
-            0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * sw_ok + 0.2 * punct_ok, 4
-        ).alias("quality"),
+        _quality_from_parts(n_ws, wl, sw, pr).alias("quality"),
         F.round(
             F.when(n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines)
             .otherwise(F.lit(0.0)),

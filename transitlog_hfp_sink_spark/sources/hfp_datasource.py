@@ -21,8 +21,14 @@ rolled files, one per topic-partition per interval, so executor fan-out
 is natural). Decode is per-partition Python, the same cost class as the
 mapInPandas codec path; no driver involvement beyond listing files. The
 streaming reader is a SimpleDataSourceStreamReader whose offset is the
-count of consumed files in sorted order (monotone, replayable — the
-at-least-once contract M3 maps onto Structured Streaming's offset log).
+NAME of the last consumed file (a filename watermark): a batch admits
+only names strictly greater, and offset-range replay re-resolves to the
+same name interval however the listing has grown since — the
+at-least-once contract M3 maps onto Structured Streaming's offset log.
+Capture filenames must therefore be monotone (rolled captures are
+timestamp-named, so they are); a late file sorting BELOW the watermark
+is ignored with a warning rather than silently shifting every index as
+the count-based offset of round 2 did (round-2 ADVICE).
 """
 
 from __future__ import annotations
@@ -134,30 +140,69 @@ class HfpWireReader(DataSourceReader):
 
 
 class HfpWireStreamReader(SimpleDataSourceStreamReader):
-    """Directory-tailing stream: offset = {"n": files consumed} over the
-    sorted listing. New files between offsets form the micro-batch."""
+    """Directory-tailing stream: offset = {"last": <basename>} filename
+    watermark over the sorted listing. A micro-batch consumes every file
+    whose name sorts strictly ABOVE the watermark; replay between two
+    offsets re-selects the same (start, end] name interval regardless of
+    how the listing has grown since (a count-based offset re-indexes the
+    whole directory when a late file sorts below consumed names —
+    duplicates plus a permanently skipped file). Late sub-watermark
+    arrivals violate the documented monotone-naming requirement and are
+    ignored with a one-time warning; a late file landing INSIDE a
+    replayed interval is delivered by that replay (at-least-once, never
+    twice — it stays below the watermark for all later batches)."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("hfp source requires a path (.load(path))")
+        self._warned_late: set[str] = set()
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"last": ""}
+
+    def _watermark(self, offset: dict, files: list[str]) -> str:
+        if "last" in offset:
+            return offset["last"]
+        # legacy count-based offset (pre round 3): position in today's
+        # sorted listing, converted once to the equivalent name watermark
+        n = offset.get("n", 0)
+        return os.path.basename(files[n - 1]) if 0 < n <= len(files) else ""
 
     def read(self, start: dict):
         files = _list_files(self.path)
-        end = {"n": len(files)}
+        mark = self._watermark(start, files)
+        batch = [p for p in files if os.path.basename(p) > mark]
+        if "last" in start:
+            # previously consumed files also sort <= mark; without a full
+            # consumed-set in the offset they are indistinguishable from
+            # late arrivals, so remember the names seen at this watermark
+            # and warn only when a NEW sub-watermark name appears later
+            below = {os.path.basename(p) for p in files if os.path.basename(p) <= mark}
+            late = below - self._warned_late
+            if self._warned_late and late:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "hfp stream: %d file(s) sort below the consumed-name "
+                    "watermark %r and will be IGNORED (monotone naming "
+                    "violated): %s", len(late), mark, sorted(late)[:10],
+                )
+            self._warned_late |= below
+        end = {"last": os.path.basename(batch[-1]) if batch else mark}
         rows = []
-        for p in files[start["n"] :]:
+        for p in batch:
             rows.extend(_decode_rows(read_wire_file(p)))
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_files(self.path)
+        lo = self._watermark(start, files)
+        hi = self._watermark(end, files)
         rows = []
-        for p in files[start["n"] : end["n"]]:
-            rows.extend(_decode_rows(read_wire_file(p)))
+        for p in files:
+            if lo < os.path.basename(p) <= hi:
+                rows.extend(_decode_rows(read_wire_file(p)))
         return iter(rows)
 
 

@@ -198,8 +198,14 @@ def streaming_sessionize_tws(
             if flush_final and start_us is not None:
                 out.append((user_id, sid, start_us, last_us, n, vsum))
                 self._open.clear()
-            else:
+            elif start_us is not None:
                 self._open.update((sid, start_us, last_us, n, vsum))
+            else:
+                # no open session (empty micro-batch slice or pre-first
+                # event): writing a (0, None, ...) placeholder would pin
+                # never-cleaned NULL-timestamp state for the key
+                # (round-2 ADVICE) — leave state absent instead
+                self._open.clear()
             if out:
                 yield pd.DataFrame(
                     {
