@@ -47,14 +47,67 @@ BENCH_QUERIES = [
     "text_quality",
     "multimodal_pipeline",
     "text_search_bm25",
+    "text_search_bm25_postings",
     "pack_token_sequences",
     "lm_score_documents",
+    "dedup_minhash_lsh_md5",
 ]
 
 
+def _bm25_postings_query():
+    """The 100 TB BM25 serving shape: postings/doclens built ONCE and
+    persisted (parquet), queries scored against the stored index
+    (bm25_score_postings). The one-time index build is excluded from the
+    timed runs — that is the point of an index."""
+    state: dict[str, str] = {}
+
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from transitlog_hfp_sink_spark.operators.search import (
+            bm25_score_postings,
+            build_postings,
+            search_tokens,
+        )
+        from transitlog_hfp_sink_spark.queries.ml import BM25_QUERIES
+        from transitlog_hfp_sink_spark.sources.files import read_table
+
+        if "dir" not in state:
+            docs = read_table(spark, sf_dir, "documents", widen=True)
+            postings, doclens = build_postings(docs)
+            d = tempfile.mkdtemp(prefix="bench-bm25-")
+            postings.write.parquet(d + "/postings")
+            doclens.write.parquet(d + "/doclens")
+            state["dir"] = d
+        qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
+        query_terms = qdf.select(
+            "query_id",
+            F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
+        )
+        return bm25_score_postings(
+            spark.read.parquet(state["dir"] + "/postings"),
+            spark.read.parquet(state["dir"] + "/doclens"),
+            query_terms,
+        )
+
+    return fn
+
+
 def bench_overrides():
-    """name -> callable for consolidated registry entries (batch legs)."""
+    """name -> callable for consolidated registry entries (batch legs) and
+    for entries whose registry form changed mode/shape in round 3 — the
+    override keeps the TIMED plan identical to what the name measured in
+    BENCH_r01/r02, so round-over-round ratios stay meaningful. The new
+    modes get their own entries (dedup_minhash_lsh_md5,
+    text_search_bm25_postings)."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators import dedup as dd
+    from transitlog_hfp_sink_spark.operators import similarity as sim
     from transitlog_hfp_sink_spark.operators.sessionize import session_stats
+    from transitlog_hfp_sink_spark.queries.ml import q_minhash_pairs
     from transitlog_hfp_sink_spark.queries.timeseries import (
         q_hourly_rollup,
         q_running_total,
@@ -65,10 +118,31 @@ def bench_overrides():
         ev = read_table(spark, sf_dir, "events")
         return session_stats(ev, key="user_id", ts="ts", gap_seconds=1800, value="value")
 
+    def _minhash_xx(spark, sf_dir):
+        # the xxhash64 production fast path (registry runs md5 mode for
+        # its DuckDB oracle; identical plan, cheaper hash)
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
+        )
+
+    def _brute_topk(spark, sf_dir):
+        # brute-force leg only (the registry entry now unions in the IVF
+        # full-probe equivalence leg for the correctness gate)
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        queries = emb.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.brute_force_topk(emb, queries, k=3)
+
     return {
         "events_hourly_rollup": q_hourly_rollup,
         "window_running_total": q_running_total,
         "sessionize_events": _sessionize_batch,
+        "dedup_minhash_lsh": _minhash_xx,
+        "dedup_minhash_lsh_md5": q_minhash_pairs,
+        "embedding_topk_exact": _brute_topk,
+        "text_search_bm25_postings": _bm25_postings_query(),
     }
 
 THROUGHPUT_ROWS = 2_000_000
@@ -97,7 +171,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     batch = synthetic_hfp_batch(spark, THROUGHPUT_ROWS, partitions=int(CPUS))
-    materialize(hfp_transform(batch))  # JIT/codegen warmup (first run is ~4x slower)
+    # JIT/codegen warmup: the first run is ~4x slower AND the next two
+    # still carry C2 compilation (~15% — the r2 "regression" was exactly
+    # this ramp: measured runs 2-3 sit at ~1.2s, steady state is ~1.0s),
+    # so warm until the ramp is consumed before timing
+    for _ in range(3):
+        materialize(hfp_transform(batch))
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()

@@ -156,6 +156,127 @@ def test_wire_dataframe_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Compiled descriptor set (sources/descriptor.py) + gated spark-protobuf leg
+# ---------------------------------------------------------------------------
+
+
+def _walk_msg(buf: bytes):
+    """Minimal independent wire reader: [(field_num, wire_type, value)]."""
+    from transitlog_hfp_sink_spark.sources.protowire import _read_varint
+
+    out, pos = [], 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        num, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+        out.append((num, wt, v))
+    return out
+
+
+def test_checked_in_descriptor_matches_build():
+    """resources/hfp.desc is exactly what descriptor.py builds from the
+    codec's field tables — the artifact cannot drift from the code."""
+    from transitlog_hfp_sink_spark.sources.descriptor import (
+        RESOURCE,
+        build_file_descriptor_set,
+    )
+
+    with open(RESOURCE, "rb") as f:
+        assert f.read() == build_file_descriptor_set()
+
+
+def test_descriptor_structure_mirrors_wire_tables():
+    """Independent structural parse of the FileDescriptorSet: message
+    names, field numbers, and enum value numbering must equal the wire
+    codec's tables (what protoc would have been given)."""
+    from transitlog_hfp_sink_spark.sources.descriptor import build_file_descriptor_set
+    from transitlog_hfp_sink_spark.sources.protowire import _ENUMS
+
+    (fdset_field,) = _walk_msg(build_file_descriptor_set())
+    assert fdset_field[0] == 1  # FileDescriptorSet.file
+    fdp = _walk_msg(fdset_field[2])
+    assert [v for n, _, v in fdp if n == 1][0] == b"hfp.proto"
+    assert [v for n, _, v in fdp if n == 12][0] == b"proto2"
+    messages = {}
+    for n, _, v in fdp:
+        if n == 4:  # message_type
+            entries = _walk_msg(v)
+            mname = [x for f, _, x in entries if f == 1][0].decode()
+            fields = {}
+            for f, _, x in entries:
+                if f == 2:  # field
+                    fe = _walk_msg(x)
+                    fname = [y for g, _, y in fe if g == 1][0].decode()
+                    fnum = [y for g, _, y in fe if g == 3][0]
+                    fields[fname] = fnum
+            messages[mname] = fields
+    assert set(messages) == {"Data", "Topic", "Payload"}
+    assert messages["Data"] == {"schema_version": 1, "topic": 2, "payload": 3}
+    for tbl, mname in ((TOPIC_FIELDS, "Topic"), (PAYLOAD_FIELDS, "Payload")):
+        expect = {name: num for num, name, _ in tbl}
+        expect["schema_version"] = 1
+        assert messages[mname] == expect
+    enums = {}
+    for n, _, v in fdp:
+        if n == 5:  # enum_type
+            entries = _walk_msg(v)
+            ename = [x for f, _, x in entries if f == 1][0].decode()
+            vals = []
+            for f, _, x in entries:
+                if f == 2:
+                    ve = _walk_msg(x)
+                    vals.append(
+                        ([y for g, _, y in ve if g == 1][0].decode(),
+                         [y for g, _, y in ve if g == 2][0])
+                    )
+            enums[ename] = vals
+    # every codec enum appears with 0-based contiguous numbering in order
+    expected_enums = {
+        "JourneyType": _ENUMS["journey_type"],
+        "TemporalType": _ENUMS["temporal_type"],
+        "EventType": _ENUMS["event_type"],
+        "TransportMode": _ENUMS["transport_mode"],
+        "LocationQualityMethod": _ENUMS["loc"],
+    }
+    for ename, domain in expected_enums.items():
+        assert enums[ename] == [(v, i) for i, v in enumerate(domain)]
+
+
+def test_from_protobuf_agrees_with_protowire_or_jar_absent(spark):
+    """When the spark-protobuf connector jar is present, the JVM decode of
+    a protowire-encoded Data message against resources/hfp.desc must agree
+    with the pure-Python decode (field-for-field on the Topic/Payload
+    structs). Without the jar — this sandbox — the capability gate raises
+    and the test skips, proving the gate is the only missing piece."""
+    from transitlog_hfp_sink_spark.sources.decode import (
+        decode_hfp_protobuf,
+        has_spark_protobuf,
+    )
+
+    t, p = _full_topic(), _full_payload()
+    wire = encode_data(t, p)
+    df = spark.createDataFrame([(bytearray(wire),)], "value binary")
+    if not has_spark_protobuf(spark):
+        with pytest.raises(NotImplementedError):
+            decode_hfp_protobuf(df)
+        pytest.skip("spark-protobuf jar not on classpath (deployment artifact)")
+    decoded = decode_hfp_protobuf(df).first()
+    got_t = decoded["topic"].asDict()
+    got_p = decoded["payload"].asDict()
+    for _, name, kind in TOPIC_FIELDS:
+        assert got_t[name] == t[name], name
+    for _, name, kind in PAYLOAD_FIELDS:
+        assert got_p[name] == p[name], name
+
+
+# ---------------------------------------------------------------------------
 # Property fuzz: the codec is lossless over the full value space
 # ---------------------------------------------------------------------------
 

@@ -49,20 +49,47 @@ def encode_hfp_json(df: DataFrame) -> DataFrame:
     )
 
 
+def has_spark_protobuf(spark) -> bool:
+    """True when the org.apache.spark:spark-protobuf connector jar is on
+    the JVM classpath (a deployment artifact, not bundled with pyspark)."""
+    try:
+        # NOT ...sql.protobuf.functions: spark-sql bundles that as a stub
+        # that raises PROTOBUF_NOT_LOADED at call time; ProtobufUtils only
+        # exists when the real connector jar is present
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.utils.ProtobufUtils"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def decode_hfp_protobuf(
     df: DataFrame,
     value_col: str = "value",
     descriptor_path: str | None = None,
     message_name: str = "Data",
 ) -> DataFrame:
-    """Protobuf decode via spark-protobuf. Requires the connector jar on
-    the classpath and the compiled descriptor set for hfp.proto."""
+    """Protobuf decode via spark-protobuf (the JVM-side production path,
+    MessageProcessor.java:119). The compiled descriptor set ships with
+    the package (resources/hfp.desc, built by sources/descriptor.py from
+    the same field tables as the pure-Python wire codec); only the
+    connector jar remains a deployment artifact — without it this raises
+    the documented capability gate."""
+    from pyspark.sql import SparkSession
+
     if descriptor_path is None:
+        from transitlog_hfp_sink_spark.sources.descriptor import RESOURCE
+
+        descriptor_path = RESOURCE
+    spark = SparkSession.getActiveSession()
+    if spark is not None and not has_spark_protobuf(spark):
         raise NotImplementedError(
-            "protobuf decode needs a compiled descriptor set (hfp.proto) and "
-            "the org.apache.spark:spark-protobuf jar; pass descriptor_path "
-            "once deployed. The JSON path (decode_hfp_json) exercises the "
-            "identical downstream plan."
+            "protobuf decode needs the org.apache.spark:spark-protobuf jar "
+            "on the classpath (--packages org.apache.spark:spark-protobuf_"
+            "2.13:<spark version>). The descriptor set is bundled "
+            "(resources/hfp.desc); the protowire/JSON paths exercise the "
+            "identical downstream plan without the jar."
         )
     from pyspark.sql.protobuf.functions import from_protobuf
 
