@@ -13,7 +13,9 @@ PICKS = {
     "events_hourly_rollup": "rollup: partial (map-side) + final HashAggregate pair",
     "dedup_minhash_lsh": "LSH: explode+agg signatures, band equi-join, no cartesian",
     "embedding_topk_exact": "brute-force ANN: broadcast queries, map-only scoring, tiny top-k window",
+    "q16_supplier_counts": "distinct-agg: broadcast anti/dim joins run MAP-SIDE before the only wide distinct (round-3 reorder, 2.3x)",
     "q17_small_quantity": "correlated-avg rewrite: two broadcast joins into the fact, no shuffle join",
+    "q18_large_volume": "top-k after join: one lineitem agg exchange; semi/customer/re-join sides broadcast (size-based at this SF)",
     "q21_waiting_supplier": "EXISTS/NOT-EXISTS rewrite: one window shuffle on l_orderkey, dims broadcast",
     "zorder_clustered_scan": "Z-ordered layout: both range predicates pushed to the clustered parquet scan",
     "embedding_topk_ivf": "IVF ANN: index built on a bounded sample; centroids broadcast, corpus scored map-only",

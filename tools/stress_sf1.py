@@ -75,17 +75,23 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_quality",
         "text_search_bm25",
+        "text_search_bm25_postings",
         "pack_token_sequences",
         "lm_score_documents",
         "embedding_topk_exact",
         "sample_documents",
     ]
+    # same mode/shape continuity rules as bench.py (xxhash64 fast path
+    # under the historical names; postings serving shape; brute-only topk)
+    from bench import bench_overrides
+
+    overrides = bench_overrides()
     # warm page cache
     read_table(spark, DST, "documents").count()
     read_table(spark, DST, "embeddings").count()
     rows = []
     for name in names:
-        fn = ml.QUERIES[name]
+        fn = overrides.get(name) or ml.QUERIES[name]
         materialize(fn(spark, DST))  # warmup
         best = float("inf")
         for _ in range(2):
