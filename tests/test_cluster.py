@@ -60,6 +60,29 @@ def test_chain_collapses_to_min(spark):
     assert got == {i: 0 for i in range(12)}
 
 
+def test_convergence_stats_observable(spark):
+    """The stats out-param reports rounds and the per-round edge counts
+    (a 100 TB dedup run watches these instead of a silent loop)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(pairs, stats=stats)
+    assert out.count() == 12
+    assert stats["rounds"] >= 2  # diameter-11 path needs several rounds
+    assert stats["initial_edges"] == 11
+    assert stats["final_edges"] == 11  # star fixpoint: one edge per non-root
+    assert len(stats["edge_counts"]) == stats["rounds"] + 1
+    # empty graph: zero rounds, zeros throughout
+    empty: dict = {}
+    connected_components(
+        spark.createDataFrame([], "id_a long, id_b long"), stats=empty
+    ).count()
+    assert empty == {
+        "rounds": 0, "initial_edges": 0, "final_edges": 0, "edge_counts": [0],
+    }
+
+
 def test_duplicate_and_reversed_edges(spark):
     got = _spark_components(spark, [(2, 1), (1, 2), (2, 1), (3, 3), (3, 4)])
     # (3,3) self-loop is dropped but 3 survives via (3,4)

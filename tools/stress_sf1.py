@@ -80,12 +80,31 @@ def main() -> None:
         "lm_score_documents",
         "embedding_topk_exact",
         "sample_documents",
+        "dedup_cluster_cc",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)
     from bench import bench_overrides
 
     overrides = bench_overrides()
+
+    def _cluster_cc(spark, sf_dir):
+        # the cluster leg at sf1 (round-2 directive #8): transitive
+        # closure over the near-dup pair graph; convergence metrics land
+        # in the log via the stats hook
+        from transitlog_hfp_sink_spark.operators.cluster import connected_components
+        from transitlog_hfp_sink_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
+        )
+        stats: dict = {}
+        out = connected_components(pairs, stats=stats)
+        print("  cc stats:", stats, flush=True)
+        return out
+
+    overrides["dedup_cluster_cc"] = _cluster_cc
     # warm page cache
     read_table(spark, DST, "documents").count()
     read_table(spark, DST, "embeddings").count()

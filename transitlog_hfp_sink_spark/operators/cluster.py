@@ -89,6 +89,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`, where
     component = the minimum node id reachable from it. Nodes with no
@@ -97,7 +98,17 @@ def connected_components(
 
     Deterministic: the component label is the set minimum, independent of
     partitioning or iteration order.
+
+    Pass a dict as `stats` to observe convergence (round-2 directive #8 —
+    a 100 TB dedup run needs to see the loop): it is filled in-place with
+    ``rounds``, ``initial_edges``, ``final_edges``, and per-round
+    ``edge_counts``; the same numbers go to the module logger at INFO.
+    The driver-side cost of the metrics is the O(1)-per-round signature
+    the loop already computes for its fixpoint test — no extra jobs.
     """
+    import logging
+
+    log = logging.getLogger(__name__)
     e = (
         pairs.select(
             F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
@@ -107,16 +118,33 @@ def connected_components(
     )
     cur = e.localCheckpoint(eager=True)
     sig = _signature(cur)
+    rounds, edge_counts = 0, [sig[0]]
     if sig[0]:
         for _ in range(max_iter):
             new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
             new_sig = _signature(new)
             cur = new
+            rounds += 1
+            edge_counts.append(new_sig[0])
+            log.info(
+                "connected_components round %d: %d edges", rounds, new_sig[0]
+            )
             if new_sig == sig:  # round was a no-op -> star fixpoint
                 break
             sig = new_sig
         else:
             raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    if stats is not None:
+        stats.update(
+            rounds=rounds,
+            initial_edges=edge_counts[0],
+            final_edges=edge_counts[-1],
+            edge_counts=edge_counts,
+        )
+    log.info(
+        "connected_components converged: %d rounds, %d -> %d edges",
+        rounds, edge_counts[0], edge_counts[-1],
+    )
     # At the fixpoint each component is a star (node -> root); roots appear
     # only on the right. The min() is a belt-and-braces dedup, not a merge.
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
