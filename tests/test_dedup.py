@@ -78,6 +78,20 @@ def test_minhash_recall_and_precision(corpus, ground_truth):
     assert recall >= 0.9, f"recall={recall}"
 
 
+def test_minhash_md5_mode_recall(corpus, ground_truth):
+    """The portable md5 hash mode (the registry/oracle mode since round 3)
+    must keep the sketch's recall contract, not just match its SQL twin —
+    hash choice changes which candidates collide, never the verify step."""
+    got = dd.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_perm=64, bands=16, shingle_n=3,
+        threshold=0.5, hash_fn="md5",
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert got_pairs <= ground_truth  # exact-Jaccard verify: precision 1.0
+    recall = len(got_pairs & ground_truth) / len(ground_truth)
+    assert recall >= 0.9, f"recall={recall}"
+
+
 def test_minhash_jaccard_estimates_match_exact(corpus):
     """Signature agreement rate approximates true Jaccard (property of
     MinHash); check planted near-dup pairs are estimated high."""
