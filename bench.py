@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "pack_token_sequences",
     "lm_score_documents",
     "dedup_minhash_lsh_md5",
+    "hybrid_search_rrf",
+    "embedding_diversity_sample",
 ]
 
 

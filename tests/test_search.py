@@ -86,3 +86,34 @@ def test_score_postings_reuses_prebuilt_index(spark, corpus):
     assert {r["doc_id"] for r in out} == {1, 2}
     # doc 2 has tf=2 of banana -> must rank first
     assert sorted(out, key=lambda r: r["rank"])[0]["doc_id"] == 2
+
+
+def test_rrf_fuse_math_and_ranking(spark):
+    from transitlog_hfp_sink_spark.operators.search import rrf_fuse
+
+    # doc 10 is rank 1 in both legs; doc 20 rank 2 sparse only; doc 30
+    # rank 2 dense only; doc 40 rank 3 sparse only.
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 40, 3)], "query_id int, doc_id int, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2)], "query_id int, doc_id int, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([sparse, dense], topk=10).collect()}
+    assert out[10]["rank"] == 1 and out[10]["n_legs"] == 2
+    assert abs(out[10]["rrf_score"] - 2 / 61) < 1e-7
+    # single-leg rank-2 docs tie exactly; doc_id breaks the tie
+    assert abs(out[20]["rrf_score"] - 1 / 62) < 1e-7
+    assert out[20]["rank"] == 2 and out[30]["rank"] == 3
+    assert out[40]["rank"] == 4
+
+
+def test_rrf_fuse_topk_cut(spark):
+    from transitlog_hfp_sink_spark.operators.search import rrf_fuse
+
+    leg = spark.createDataFrame(
+        [(1, d, d) for d in range(1, 8)], "query_id int, doc_id int, rank int"
+    )
+    out = rrf_fuse([leg], topk=3).collect()
+    assert len(out) == 3
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]

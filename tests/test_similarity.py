@@ -234,3 +234,64 @@ def test_sq_constant_vector_decodes_to_lo(spark):
         sq_decode(F.col("codes"), F.col("sq_lo"), F.col("sq_span")).alias("d")
     ).first()
     assert row["d"] == [2.5, 2.5, 2.5]
+
+
+# ---------------------------------------------------------------------------
+# codebook assignment + diversity sampling
+# ---------------------------------------------------------------------------
+
+
+def test_codebook_assign_matches_python_argmin(corpus):
+    cents_rows = corpus.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    out = {r["vec_id"]: r for r in sim.codebook_assign(corpus, cents).collect()}
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+    for vid, v in data.items():
+        d2s = [
+            round(sum(a * a for a in v) - 2 * sum(a * b for a, b in zip(v, c))
+                  + sum(b * b for b in c), 6)
+            for c in cents
+        ]
+        want = min(range(len(cents)), key=lambda i: (d2s[i], i))
+        assert out[vid]["cluster_id"] == want, vid
+        assert abs(out[vid]["dist2"] - d2s[want]) < 1e-6
+    # each centroid's own vector assigns to itself at distance 0
+    for i in range(4):
+        assert out[i]["cluster_id"] == i and out[i]["dist2"] == 0.0
+
+
+def test_diversity_sample_exact_and_salt_invariant(corpus):
+    cents_rows = corpus.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    a = sim.diversity_sample(corpus, cents, per_cluster=3, salt_buckets=32)
+    b = sim.diversity_sample(corpus, cents, per_cluster=3, salt_buckets=5)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    # the salted two-phase top-k is exact: bucketing must not change results
+    assert ra == rb
+    # global check against the assignment + per-cluster sort
+    assigned = sim.codebook_assign(corpus, cents).collect()
+    by_c = {}
+    for r in assigned:
+        by_c.setdefault(r["cluster_id"], []).append((r["dist2"], r["vec_id"]))
+    for cid, members in by_c.items():
+        want = sorted(members)[:3]
+        got = sorted(
+            (r["dist2"], r["vec_id"]) for r in a.collect() if r["cluster_id"] == cid
+        )
+        assert got == want
+        sizes = {r["cluster_size"] for r in a.collect() if r["cluster_id"] == cid}
+        assert sizes == {len(members)}
+
+
+def test_diversity_sample_plan_no_corpus_window(corpus):
+    # the corpus-sized leg must be hash-aggregated (partial combine), not
+    # funneled through a per-cluster Window sort
+    cents = [[float(x) for x in r["embedding"]]
+             for r in corpus.where(F.col("vec_id") < 4).collect()]
+    df = sim.diversity_sample(corpus, cents, per_cluster=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

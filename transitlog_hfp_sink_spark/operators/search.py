@@ -40,6 +40,9 @@ from transitlog_hfp_sink_spark.operators.dedup import normalize_text
 K1 = 1.2
 B = 0.75
 
+#: Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009's k=60)
+RRF_K = 60
+
 
 def search_tokens(col: Column | str) -> Column:
     """Lowercased word tokens of the normalized text (the indexing unit).
@@ -209,6 +212,52 @@ def bm25_search(
             "query_id",
             "doc_id",
             F.round(F.col("__score").cast("double"), 4).alias("score"),
+            "rank",
+        )
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame], k: int = RRF_K, topk: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval legs — the standard
+    way to combine sparse (BM25) and dense (embedding) retrieval into one
+    hybrid ranking without score calibration:
+
+        rrf(q, d) = sum over legs containing (q, d) of 1 / (k + rank)
+
+    Each leg is a DataFrame with columns (query_id, doc_id, rank); legs
+    are per-query top-N tables, so by the time fusion runs the data is
+    tiny regardless of corpus size — the corpus-scale work already
+    happened inside each retriever. The fusion itself is one union + one
+    hash-agg + one per-query window over |queries| x topk x n_legs rows.
+
+    Cross-engine determinism: each 1/(k+rank) term is an exact double
+    (identical IEEE division on both engines) cast to DECIMAL(20,12) and
+    summed as DECIMAL — order-independent, so the fused ranking cannot
+    flip between engines; ties break on doc_id.
+    """
+    tagged = None
+    for leg in legs:
+        part = leg.select("query_id", "doc_id", "rank")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    term = (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).cast(
+        "decimal(20,12)"
+    )
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum(term).alias("__rrf"), F.count("*").alias("n_legs")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__rrf").cast("double"), 8).alias("rrf_score"),
+            F.col("n_legs").cast("int").alias("n_legs"),
             "rank",
         )
     )

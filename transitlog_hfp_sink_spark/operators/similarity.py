@@ -425,3 +425,105 @@ def sq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Codebook assignment + cluster-balanced (diversity) sampling
+# ---------------------------------------------------------------------------
+
+def codebook_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest codebook centroid — the serving
+    half of k-means clustering (the codebook is trained once, offline;
+    assignment is what runs over the 100 TB corpus). MAP-ONLY: the
+    centroid list is a broadcast literal, distances are pure expressions,
+    no shuffle, no UDF.
+
+    Returns (id_col, cluster_id int, dist2 double): squared L2 distance
+    to the winning centroid, ROUNDED to 6 digits BEFORE the argmin so the
+    winner is stable across engines (same pattern as the rounded-cosine
+    ranking in brute_force_topk); ties break on cluster_id asc.
+
+    dist2 is computed as v.v - 2*(v.c) + c.c — the dot-product form whose
+    fold order matches DuckDB's list_dot_product exactly (the idiom the
+    hash-green cosine oracles already rely on); v.v is STAGED once per
+    row (not once per centroid), c.c is a Python-side constant.
+    """
+    v = _as_double(vec_col)
+    staged = df.select(F.col(id_col), v.alias("__v"), dot(v, v).alias("__vv"))
+    scored = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(x) for x in c])
+        cc = 0.0
+        for x in c:  # sequential fold, same order as list_dot_product
+            cc += x * x
+        d2 = F.col("__vv") - 2.0 * dot(F.col("__v"), carr) + F.lit(cc)
+        scored.append(F.struct(F.round(d2, 6).alias("d"), F.lit(i).alias("i")))
+    best = F.array_sort(
+        F.array(*scored),
+        lambda a, b: F.when(a["d"] < b["d"], -1)
+        .when(a["d"] > b["d"], 1)
+        .otherwise(a["i"] - b["i"]),
+    )[0]
+    return staged.select(
+        F.col(id_col),
+        best["i"].cast("int").alias("cluster_id"),
+        best["d"].alias("dist2"),
+    )
+
+
+def diversity_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    per_cluster: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Cluster-balanced sampling: the per_cluster vectors NEAREST each
+    codebook centroid, plus the cluster's population — the standard
+    diversity/curriculum sampler (cover every semantic region instead of
+    letting the head clusters dominate the sample).
+
+    Scale shape: with only |codebook| clusters, a plain per-cluster
+    window would funnel the whole corpus through a handful of reducers.
+    Instead: map-only assignment, then a SALTED two-phase top-k —
+    per-(cluster, salt) partial top-k (hash-agg with map-side combine),
+    then merge the <= salt_buckets x per_cluster survivors per cluster.
+    The ordering (dist2, id) is total, so each partial top-k is a
+    superset filter of the global one: results are exact and
+    deterministic, never all-rows-on-one-reducer.
+
+    Returns (cluster_id, id_col, dist2, rank, cluster_size).
+    """
+    assigned = codebook_assign(df, centroids, id_col, vec_col)
+    salted = assigned.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    pair = F.struct(F.col("dist2").alias("d"), F.col(id_col).alias("i"))
+    partial = salted.groupBy("cluster_id", "__salt").agg(
+        F.slice(F.array_sort(F.collect_list(pair)), 1, per_cluster).alias("__top"),
+        F.count("*").alias("__n"),
+    )
+    merged = partial.groupBy("cluster_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__top"))), 1, per_cluster).alias(
+            "__top"
+        ),
+        F.sum("__n").alias("cluster_size"),
+    )
+    exploded = merged.select(
+        "cluster_id",
+        F.posexplode("__top").alias("__pos", "__pair"),
+        "cluster_size",
+    )
+    return exploded.select(
+        "cluster_id",
+        F.col("__pair.i").alias(id_col),
+        F.col("__pair.d").alias("dist2"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+        "cluster_size",
+    )

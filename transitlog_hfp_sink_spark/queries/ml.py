@@ -371,6 +371,106 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: sparse BM25 + dense embedding cosine fused with
+    reciprocal-rank fusion (operators/search.py:rrf_fuse) — the shape a
+    curation stack actually serves (keyword recall + semantic recall,
+    no score calibration). Sparse leg: BM25 top-20 for the 4 standing
+    queries; dense leg: exact cosine top-20 using embeddings 1..4 as the
+    query vectors (ids align 1:1 with doc_id). Fusion sums exact
+    DECIMAL-cast 1/(60+rank) terms, so both engines rank identically.
+
+    Scale shape: each leg does its corpus-scale work in its own
+    already-verified operator (postings/broadcast for BM25, broadcast
+    queries for cosine); fusion sees only |q| x 20 x 2 rows."""
+    from transitlog_hfp_sink_spark.operators.search import bm25_search, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    sparse = bm25_search(docs, BM25_QUERIES, "text", "doc_id", topk=20)
+    qvecs = emb.where(F.col("vec_id").between(1, 4)).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    dense = sim.brute_force_topk(emb, qvecs, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense], topk=10
+    )
+
+
+ORACLE_HYBRID_SEARCH = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tok AS (
+  SELECT doc_id, unnest(string_split({SQL_NORM.format(c='text')}, ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+bscored AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * (1.2 + 1.0))
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+      AS DECIMAL(20,8)) AS s
+  FROM q
+  JOIN dfreq USING (term)
+  JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+bagg AS (SELECT query_id, doc_id, sum(s) AS score_dec FROM bscored GROUP BY 1, 2),
+sparse AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score_dec DESC, doc_id ASC) AS rank
+    FROM bagg
+  ) WHERE rank <= 20
+),
+qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dscored AS (
+  SELECT query_id, doc_id,
+    round(list_dot_product(qv.v, cv.v) /
+          (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))),
+          6) AS cos_sim
+  FROM qv JOIN cv ON doc_id <> query_id
+),
+dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC) AS rank
+    FROM dscored
+  ) WHERE rank <= 20
+),
+legs AS (
+  SELECT * FROM sparse UNION ALL SELECT * FROM dense
+),
+fused AS (
+  SELECT query_id, doc_id,
+    sum(CAST(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE))
+             AS DECIMAL(20,12))) AS rrf,
+    CAST(count(*) AS INTEGER) AS n_legs
+  FROM legs GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf, n_legs,
+    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+       round(CAST(rrf AS DOUBLE), 8) AS rrf_score, n_legs,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k two ways, tagged union (round-2 directive #2a):
 
@@ -424,6 +524,60 @@ topk AS (
 SELECT 'brute' AS part, * FROM topk
 UNION ALL
 SELECT 'ivf_fullprobe' AS part, * FROM topk
+"""
+
+
+def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced DIVERSITY SAMPLING (operators/similarity.py:
+    diversity_sample): assign every embedding to its nearest codebook
+    centroid (map-only; codebook = the first 8 corpus vectors, standing
+    in for an offline-trained quantizer exactly as in IVF serving), then
+    take the 3 nearest vectors per cluster plus the cluster population —
+    the coverage-first sampler a curation stack uses so head clusters
+    don't dominate. Top-k per cluster runs as a SALTED two-phase partial
+    top-k (8 clusters would otherwise funnel the corpus through 8
+    reducers). dist2 uses the dot-product form + round-before-argmin so
+    the DuckDB twin is bit-identical."""
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    cents_rows = (
+        emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in cents_rows]
+    return sim.diversity_sample(emb, cents, per_cluster=3)
+
+
+ORACLE_EMBEDDING_DIVERSITY = """
+WITH c AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+d AS (
+  SELECT vec_id, cid,
+    round(list_dot_product(vv, vv) - 2.0 * list_dot_product(vv, cv)
+          + list_dot_product(cv, cv), 6) AS dist2
+  FROM v CROSS JOIN c
+),
+best AS (
+  SELECT vec_id, cid, dist2 FROM (
+    SELECT vec_id, cid, dist2,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM best GROUP BY 1),
+ranked AS (
+  SELECT cid, vec_id, dist2,
+    row_number() OVER (PARTITION BY cid ORDER BY dist2 ASC, vec_id ASC) AS rank
+  FROM best
+)
+SELECT r.cid AS cluster_id, r.vec_id, r.dist2,
+       CAST(r.rank AS INTEGER) AS rank, s.cluster_size
+FROM ranked r JOIN sizes s ON r.cid = s.cid
+WHERE r.rank <= 3
 """
 
 
@@ -1086,7 +1240,9 @@ QUERIES = {
     "dedup_minhash_lsh": q_minhash_pairs,
     "dedup_fingerprint_pairs": q_fingerprint_pairs,
     "text_search_bm25": q_text_search,
+    "hybrid_search_rrf": q_hybrid_search,
     "embedding_topk_exact": q_embedding_topk,
+    "embedding_diversity_sample": q_embedding_diversity,
     "embedding_sketches": q_embedding_sketches,
     "embedding_topk_ivf": q_embedding_ivf_topk,
     "lm_score_documents": q_lm_score,
@@ -1105,7 +1261,9 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_fingerprint_pairs": ORACLE_FINGERPRINT,
     "text_search_bm25": ORACLE_TEXT_SEARCH,
+    "hybrid_search_rrf": ORACLE_HYBRID_SEARCH,
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
+    "embedding_diversity_sample": ORACLE_EMBEDDING_DIVERSITY,
     "embedding_sketches": ORACLE_EMBEDDING_SKETCHES,
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
     "lm_score_documents": ORACLE_LM,

@@ -560,6 +560,65 @@ WHERE l.event_type = 'click' AND r.event_type = 'error'
 """
 
 
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT DEDUP with bounded state
+    (dropDuplicatesWithinWatermark): the events stream unioned with a
+    full duplicate of itself — every event arrives twice — deduped on
+    event_id. State holds only a watermark's worth of keys (here 1 h of
+    event-time), which is what makes at-least-once upstream + exactly-once
+    emission tractable at 100 TB: the M3 dedup-view idea (transform.py:
+    dedup_vehicles) in its streaming-native form, where the key set never
+    has to fit in a static table. Run bounded (availableNow) so the
+    result is deterministic; oracle = the events table itself (event_id
+    is unique, so dedup must restore exactly one copy of each)."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return s.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+
+    doubled = _stream().unionByName(_stream()).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_id, user_id, event_type, ts FROM events
+"""
+
+
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TimescaleDB continuous-aggregate parity: the hourly rollup
     maintained INCREMENTALLY over three overlapping micro-batches (each
@@ -765,6 +824,7 @@ QUERIES = {
     "semistructured_extract": q_semistructured,
     "salted_skew_agg": q_salted_agg,
     "streaming_stream_join": q_streaming_stream_join,
+    "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "streaming_sessionize_state": q_streaming_sessionize,
     "events_hourly_rollup": q_hourly_rollup_all,
     "window_frames": q_window_frames,
@@ -779,6 +839,7 @@ ORACLES = {
     "semistructured_extract": ORACLE_SEMISTRUCTURED,
     "salted_skew_agg": ORACLE_SALTED,
     "streaming_stream_join": ORACLE_STREAM_JOIN,
+    "streaming_dedup_watermark": ORACLE_STREAM_DEDUP,
     "streaming_sessionize_state": ORACLE_SESSIONS,
     "events_hourly_rollup": ORACLE_HOURLY_ALL,
     "window_frames": ORACLE_WINDOW_FRAMES,
