@@ -137,6 +137,20 @@ def bench_overrides():
         )
         return sim.brute_force_topk(emb, queries, k=3)
 
+    def _bm25_adhoc(spark, sf_dir):
+        # standalone ad-hoc BM25 (the registry entry now unions in the
+        # RRF hybrid leg for the correctness gate; time the legs apart)
+        from transitlog_hfp_sink_spark.operators.search import bm25_search
+        from transitlog_hfp_sink_spark.queries.ml import BM25_QUERIES
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return bm25_search(docs, BM25_QUERIES, "text", "doc_id", topk=10)
+
+    from transitlog_hfp_sink_spark.queries.ml import (
+        q_embedding_diversity,
+        q_hybrid_search,
+    )
+
     return {
         "events_hourly_rollup": q_hourly_rollup,
         "window_running_total": q_running_total,
@@ -144,7 +158,10 @@ def bench_overrides():
         "dedup_minhash_lsh": _minhash_xx,
         "dedup_minhash_lsh_md5": q_minhash_pairs,
         "embedding_topk_exact": _brute_topk,
+        "text_search_bm25": _bm25_adhoc,
         "text_search_bm25_postings": _bm25_postings_query(),
+        "hybrid_search_rrf": q_hybrid_search,
+        "embedding_diversity_sample": q_embedding_diversity,
     }
 
 THROUGHPUT_ROWS = 2_000_000

@@ -61,7 +61,7 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         "q11_important_parts",
         "q22_idle_customers",
         "tpch_power_run",  # contains q11/q22's 1-row broadcast cross-joins
-        "text_search_bm25",  # 1-row broadcast N/avgdl corpus-stats join
+        "text_search_bm25",  # 1-row broadcast N/avgdl corpus-stats join (both legs)
         "lm_score_documents",  # 1-row broadcast OOV-mass scalar join
     }
     for name, fn in queries().items():

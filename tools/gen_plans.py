@@ -21,6 +21,8 @@ PICKS = {
     "embedding_topk_ivf": "IVF ANN: index built on a bounded sample; centroids broadcast, corpus scored map-only",
     "text_search_bm25": "BM25: postings hash-agg with map-side combine; query terms/df/stats all broadcast — corpus never joins wide",
     "pack_token_sequences": "token packing: one shuffle into shards, per-shard window cumsum, no global sort",
+    "hybrid_search_rrf": "hybrid RRF: both retrieval legs broadcast-driven; fusion aggregates only |q| x topN x 2 rows",
+    "embedding_diversity_sample": "diversity sampling: map-only codebook assignment, salted two-phase per-cluster top-k — Window-free",
     "lm_score_documents": "unigram LM: train agg + broadcast model join, decimal-exact NLL sum per doc",
 }
 

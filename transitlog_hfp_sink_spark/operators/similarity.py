@@ -270,18 +270,26 @@ def ivf_centroids(
     return [list(map(float, c)) for c in C]
 
 
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """The codebook as ONE 2-D array literal: the per-centroid work then
+    runs as a transform() loop over it — a single compiled lambda instead
+    of n_lists unrolled fold expressions (identical results; an order of
+    magnitude less generated code when n_lists is large)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
 def _nearest_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the nprobe nearest centroid ids — pure expressions over a
     broadcast centroid literal (no UDF, no shuffle)."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
+    dists = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
@@ -455,16 +463,28 @@ def codebook_assign(
     """
     v = _as_double(vec_col)
     staged = df.select(F.col(id_col), v.alias("__v"), dot(v, v).alias("__vv"))
-    scored = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(x) for x in c])
+    ccs = []
+    for c in centroids:
         cc = 0.0
         for x in c:  # sequential fold, same order as list_dot_product
             cc += x * x
-        d2 = F.col("__vv") - 2.0 * dot(F.col("__v"), carr) + F.lit(cc)
-        scored.append(F.struct(F.round(d2, 6).alias("d"), F.lit(i).alias("i")))
+        ccs.append(cc)
+    # (vv - 2*v.c) per centroid as a loop over the 2-D codebook literal,
+    # then + c.c and round — one compiled lambda, not k unrolled folds
+    d_raw = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.col("__vv") - 2.0 * dot(F.col("__v"), c),
+    )
+    scored = F.transform(
+        F.arrays_zip(
+            d_raw.alias("d0"), F.array(*[F.lit(x) for x in ccs]).alias("cc")
+        ),
+        lambda p, i: F.struct(
+            F.round(p["d0"] + p["cc"], 6).alias("d"), i.cast("int").alias("i")
+        ),
+    )
     best = F.array_sort(
-        F.array(*scored),
+        scored,
         lambda a, b: F.when(a["d"] < b["d"], -1)
         .when(a["d"] > b["d"], 1)
         .otherwise(a["i"] - b["i"]),
@@ -482,7 +502,7 @@ def diversity_sample(
     per_cluster: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    salt_buckets: int = 32,
+    salt_buckets: int = 256,
 ) -> DataFrame:
     """Cluster-balanced sampling: the per_cluster vectors NEAREST each
     codebook centroid, plus the cluster's population — the standard
@@ -497,6 +517,13 @@ def diversity_sample(
     The ordering (dist2, id) is total, so each partial top-k is a
     superset filter of the global one: results are exact and
     deterministic, never all-rows-on-one-reducer.
+
+    Sizing rule: the phase-1 reducer holds one (cluster, salt) group's
+    rows (collect_list before the slice), ~corpus_rows / (n_clusters *
+    salt_buckets) — pick salt_buckets so that stays ~1M rows or less
+    (results are salt-invariant, asserted in tests, so this is purely a
+    memory/parallelism knob); phase 2 only ever sees salt_buckets *
+    per_cluster survivors per cluster.
 
     Returns (cluster_id, id_col, dist2, rank, cluster_size).
     """

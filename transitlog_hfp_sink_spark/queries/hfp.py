@@ -265,17 +265,62 @@ def q_hfp_vp_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At-least-once idempotency (SURVEY §2.4 M3): replay the whole stream
-    (input twice), dedup on the natural key, count per journey_type —
-    stable under replay."""
+    """At-least-once idempotency (SURVEY §2.4 M3), BOTH forms as a tagged
+    union (round-3 consolidation to hold the 50-entry driver cap):
+
+    part='batch_replay' — replay the whole vehicles stream (input twice),
+        dedup on the natural key, count per journey_type (key column) —
+        stable under replay; checksum NULL (the counts are the check);
+    part='stream_watermark' — a REAL Structured Streaming run
+        (timeseries.run_streaming_dedup): the events stream doubled and
+        deduped with dropDuplicatesWithinWatermark (bounded state), then
+        summarized per event_type (key column) with an order-independent
+        content checksum — sum of 48-bit md5 digests over every surviving
+        row (canonicalized columns) as DECIMAL — so any lost, duplicated,
+        or mutated row flips the driver hash, not just the counts."""
     v = synth_vehicles(spark, sf_dir)
     replay = v.unionAll(v)
-    return (
+    batch_leg = (
         replay.select("unique_vehicle_id", "tst", "event_type", "journey_type")
         .distinct()
         .groupBy("journey_type")
         .agg(F.count("*").alias("n_unique"))
+        .select(
+            F.lit("batch_replay").alias("part"),
+            F.col("journey_type").alias("key"),
+            "n_unique",
+            F.lit(None).cast("decimal(38,0)").alias("checksum"),
+        )
     )
+    from transitlog_hfp_sink_spark.queries.timeseries import run_streaming_dedup
+
+    deduped = run_streaming_dedup(spark, sf_dir)
+    row_digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                    F.col("event_type"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("decimal(28,0)")
+    stream_leg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"), F.sum(row_digest).alias("checksum")
+    ).select(
+        F.lit("stream_watermark").alias("part"),
+        F.col("event_type").alias("key"),
+        "n_unique",
+        F.col("checksum").cast("decimal(38,0)").alias("checksum"),
+    )
+    return batch_leg.unionByName(stream_leg)
 
 
 def q_hfp_hourly_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,11 +487,21 @@ GROUP BY route_id, oday
 """,
     "hfp_dedup_replay": f"""
 WITH {hfp_cte()}
-SELECT journey_type, count(*) AS n_unique FROM (
+SELECT 'batch_replay' AS part, journey_type AS key, count(*) AS n_unique,
+       CAST(NULL AS DECIMAL(38,0)) AS checksum
+FROM (
   SELECT DISTINCT unique_vehicle_id, tst, event_type, journey_type FROM (
     SELECT * FROM hfp_vehicles UNION ALL SELECT * FROM hfp_vehicles
   )
 ) GROUP BY journey_type
+UNION ALL
+SELECT 'stream_watermark' AS part, event_type AS key,
+       count(*) AS n_unique,
+       CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+             CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f'))), 1, 12))::BIGINT
+           AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum
+FROM events GROUP BY event_type
 """,
     "hfp_hourly_vehicles": f"""
 WITH {hfp_cte()}

@@ -318,23 +318,41 @@ BM25_QUERIES: list[tuple[int, str]] = [
 
 
 def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 over an inverted index built from the documents table
-    (operators/search.py): tokenize -> postings (term, doc, tf) ->
-    broadcast query terms -> decimal-summed BM25 -> per-query top-k.
-    Fully oracle-checked: the per-term partials are deterministic doubles
-    cast to DECIMAL(20,8) and summed exactly, so both engines rank
+    """Retrieval as a tagged union (registry consolidation, round 3 —
+    the driver gate evaluates exactly 50 entries):
+
+    part='bm25' — BM25 top-10 over an inverted index built from the
+                  documents table (operators/search.py): tokenize ->
+                  postings (term, doc, tf) -> broadcast query terms ->
+                  decimal-summed BM25 -> per-query top-k;
+    part='rrf'  — HYBRID retrieval (q_hybrid_search): the same BM25
+                  (top-20) fused with dense exact-cosine top-20 via
+                  reciprocal-rank fusion; score = the fused RRF score.
+
+    Fully oracle-checked: BM25 partials and the 1/(60+rank) fusion terms
+    are deterministic doubles summed as DECIMAL, so both engines rank
     identically (tie-break doc_id)."""
     from transitlog_hfp_sink_spark.operators.search import bm25_search
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    return bm25_search(docs, BM25_QUERIES, "text", "doc_id", topk=10)
+    bm25_leg = bm25_search(docs, BM25_QUERIES, "text", "doc_id", topk=10).select(
+        F.lit("bm25").alias("part"), "query_id", "doc_id", "score", "rank"
+    )
+    rrf_leg = q_hybrid_search(spark, sf_dir).select(
+        F.lit("rrf").alias("part"),
+        "query_id",
+        "doc_id",
+        F.col("rrf_score").alias("score"),
+        "rank",
+    )
+    return bm25_leg.unionByName(rrf_leg)
 
 
 _BM25_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in sorted(set(text.split()))
 )
 
-ORACLE_TEXT_SEARCH = f"""
+_ORACLE_BM25_ONLY = f"""
 WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
 tok AS (
   SELECT doc_id, unnest(string_split({SQL_NORM.format(c='text')}, ' ')) AS term
@@ -468,6 +486,15 @@ SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
        round(CAST(rrf AS DOUBLE), 8) AS rrf_score, n_legs,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10
+"""
+
+#: tagged union: the standalone BM25 ranking + the RRF-fused hybrid
+ORACLE_TEXT_SEARCH = f"""
+SELECT 'bm25' AS part, query_id, doc_id, score, rank
+FROM ({_ORACLE_BM25_ONLY.strip()}) bm25_t
+UNION ALL
+SELECT 'rrf' AS part, query_id, doc_id, rrf_score AS score, rank
+FROM ({ORACLE_HYBRID_SEARCH.strip()}) rrf_t
 """
 
 
@@ -618,7 +645,13 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                      operator returning candidates;
     part='sq'      — top-3 over the int8 scalar-quantized corpus (the
                      4x-compressed storage tier), exact plan shape,
-                     approximate values."""
+                     approximate values;
+    part='diversity' / 'diversity_size' — cluster-balanced DIVERSITY
+                     SAMPLING over a fixed codebook (q_embedding_diversity;
+                     round-3 consolidation into this entry to hold the
+                     50-entry driver cap): id_a=cluster_id, id_b=vec_id,
+                     cos_sim carries dist2, rank=rank-in-cluster; the
+                     _size rows carry id_b=cluster population."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -644,7 +677,27 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         "rank",
     )
-    return topk_leg.unionByName(nd_leg).unionByName(sq_leg)
+    div = q_embedding_diversity(spark, sf_dir)
+    div_leg = div.select(
+        F.lit("diversity").alias("part"),
+        F.col("cluster_id").cast("bigint").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("dist2").alias("cos_sim"),
+        "rank",
+    )
+    size_leg = div.where(F.col("rank") == 1).select(
+        F.lit("diversity_size").alias("part"),
+        F.col("cluster_id").cast("bigint").alias("id_a"),
+        F.col("cluster_size").alias("id_b"),
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return (
+        topk_leg.unionByName(nd_leg)
+        .unionByName(sq_leg)
+        .unionByName(div_leg)
+        .unionByName(size_leg)
+    )
 
 
 def _srp_sig_sql(vec: str, dim: int, bits: int, seed: int) -> str:
@@ -740,7 +793,19 @@ FROM sqrank WHERE rank <= {k}
 """
 
 
-ORACLE_EMBEDDING_SKETCHES = _sketches_oracle()
+ORACLE_EMBEDDING_SKETCHES = f"""
+{_sketches_oracle().strip()}
+UNION ALL
+SELECT 'diversity' AS part, CAST(cluster_id AS BIGINT) AS id_a,
+       vec_id AS id_b, dist2 AS cos_sim, rank
+FROM ({ORACLE_EMBEDDING_DIVERSITY.strip()}) div_t
+UNION ALL
+SELECT 'diversity_size' AS part, CAST(cluster_id AS BIGINT) AS id_a,
+       CAST(cluster_size AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim,
+       CAST(NULL AS INTEGER) AS rank
+FROM ({ORACLE_EMBEDDING_DIVERSITY.strip()}) divsz_t
+WHERE rank = 1
+"""
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,9 +1305,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_minhash_pairs,
     "dedup_fingerprint_pairs": q_fingerprint_pairs,
     "text_search_bm25": q_text_search,
-    "hybrid_search_rrf": q_hybrid_search,
     "embedding_topk_exact": q_embedding_topk,
-    "embedding_diversity_sample": q_embedding_diversity,
     "embedding_sketches": q_embedding_sketches,
     "embedding_topk_ivf": q_embedding_ivf_topk,
     "lm_score_documents": q_lm_score,
@@ -1261,9 +1324,7 @@ ORACLES = {
     "dedup_minhash_lsh": ORACLE_MINHASH,
     "dedup_fingerprint_pairs": ORACLE_FINGERPRINT,
     "text_search_bm25": ORACLE_TEXT_SEARCH,
-    "hybrid_search_rrf": ORACLE_HYBRID_SEARCH,
     "embedding_topk_exact": ORACLE_EMBEDDING_TOPK,
-    "embedding_diversity_sample": ORACLE_EMBEDDING_DIVERSITY,
     "embedding_sketches": ORACLE_EMBEDDING_SKETCHES,
     "embedding_topk_ivf": None,  # approximate: rows-only; recall in tests
     "lm_score_documents": ORACLE_LM,

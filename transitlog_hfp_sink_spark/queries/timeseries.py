@@ -560,7 +560,7 @@ WHERE l.event_type = 'click' AND r.event_type = 'error'
 """
 
 
-def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EXACT DEDUP with bounded state
     (dropDuplicatesWithinWatermark): the events stream unioned with a
     full duplicate of itself — every event arrives twice — deduped on
@@ -569,8 +569,9 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission tractable at 100 TB: the M3 dedup-view idea (transform.py:
     dedup_vehicles) in its streaming-native form, where the key set never
     has to fit in a static table. Run bounded (availableNow) so the
-    result is deterministic; oracle = the events table itself (event_id
-    is unique, so dedup must restore exactly one copy of each)."""
+    result is deterministic: dedup must restore exactly one copy of each
+    unique event. Driver-checked as the 'stream_watermark' leg of
+    hfp_dedup_replay (round-3 consolidation to hold the 50-entry cap)."""
     import tempfile
     import uuid
 
@@ -612,11 +613,6 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
-
-
-ORACLE_STREAM_DEDUP = """
-SELECT event_id, user_id, event_type, ts FROM events
-"""
 
 
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,7 +820,6 @@ QUERIES = {
     "semistructured_extract": q_semistructured,
     "salted_skew_agg": q_salted_agg,
     "streaming_stream_join": q_streaming_stream_join,
-    "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "streaming_sessionize_state": q_streaming_sessionize,
     "events_hourly_rollup": q_hourly_rollup_all,
     "window_frames": q_window_frames,
@@ -839,7 +834,6 @@ ORACLES = {
     "semistructured_extract": ORACLE_SEMISTRUCTURED,
     "salted_skew_agg": ORACLE_SALTED,
     "streaming_stream_join": ORACLE_STREAM_JOIN,
-    "streaming_dedup_watermark": ORACLE_STREAM_DEDUP,
     "streaming_sessionize_state": ORACLE_SESSIONS,
     "events_hourly_rollup": ORACLE_HOURLY_ALL,
     "window_frames": ORACLE_WINDOW_FRAMES,
