@@ -3,10 +3,14 @@
 entry(spark)   — flagship query at sf0.001 (smoke check).
 queries()      — one callable per implemented operator (SURVEY.md §2 +
                  north-star extensions), (spark, sf_dir) -> DataFrame.
-oracle_sql()   — DuckDB-equivalent SQL per query; approximate/sketch
-                 operators (MinHash/SimHash/SRP-LSH) are intentionally
-                 omitted -> rows-only check; their recall is asserted
-                 against exact ground truth in tests/test_dedup.py.
+oracle_sql()   — DuckDB-equivalent SQL per query. 49 of the 50 entries
+                 carry a value-hash oracle (sketches run a portable
+                 hash_fn="md5" mode; SRP planes are SQL array literals);
+                 the one omission is embedding_topk_ivf — genuinely
+                 approximate nprobe<n_lists search, whose machinery is
+                 hash-checked via the IVF full-probe leg of
+                 embedding_topk_exact and whose recall is asserted in
+                 tests/test_similarity.py.
 """
 
 from __future__ import annotations

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "lm_score_documents",
     "dedup_minhash_lsh_md5",
     "hybrid_search_rrf",
+    "hybrid_search_rrf_postings",
     "embedding_diversity_sample",
 ]
 
@@ -92,6 +93,62 @@ def _bm25_postings_query():
             spark.read.parquet(state["dir"] + "/postings"),
             spark.read.parquet(state["dir"] + "/doclens"),
             query_terms,
+        )
+
+    return fn
+
+
+def _hybrid_postings_query():
+    """The 100 TB HYBRID serving shape: the RRF fusion with the sparse leg
+    reading the PERSISTED postings index (bm25_score_postings) instead of
+    re-tokenizing the corpus per query; the dense leg is unchanged
+    (broadcast queries, map-only cosine). The ad-hoc hybrid_search_rrf
+    entry grows with corpus tokenization; this one tracks matched
+    postings + one map-only embedding scan."""
+    state: dict[str, str] = {}
+
+    def fn(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from transitlog_hfp_sink_spark.operators import similarity as sim
+        from transitlog_hfp_sink_spark.operators.search import (
+            bm25_score_postings,
+            build_postings,
+            rrf_fuse,
+            search_tokens,
+        )
+        from transitlog_hfp_sink_spark.queries.ml import BM25_QUERIES
+        from transitlog_hfp_sink_spark.sources.files import read_table
+
+        if "dir" not in state:
+            docs = read_table(spark, sf_dir, "documents", widen=True)
+            postings, doclens = build_postings(docs)
+            d = tempfile.mkdtemp(prefix="bench-hybrid-")
+            postings.write.parquet(d + "/postings")
+            doclens.write.parquet(d + "/doclens")
+            state["dir"] = d
+        qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
+        query_terms = qdf.select(
+            "query_id",
+            F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
+        )
+        sparse = bm25_score_postings(
+            spark.read.parquet(state["dir"] + "/postings"),
+            spark.read.parquet(state["dir"] + "/doclens"),
+            query_terms,
+            topk=20,
+        )
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        qvecs = emb.where(F.col("vec_id").between(1, 4)).select(
+            F.col("vec_id").cast("int").alias("query_id"), "embedding"
+        )
+        dense = sim.brute_force_topk(emb, qvecs, k=20).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse(
+            [sparse.select("query_id", "doc_id", "rank"), dense], topk=10
         )
 
     return fn
@@ -161,6 +218,7 @@ def bench_overrides():
         "text_search_bm25": _bm25_adhoc,
         "text_search_bm25_postings": _bm25_postings_query(),
         "hybrid_search_rrf": q_hybrid_search,
+        "hybrid_search_rrf_postings": _hybrid_postings_query(),
         "embedding_diversity_sample": q_embedding_diversity,
     }
 

@@ -61,6 +61,14 @@ def main(sf_dir="/root/testdata/sf0.01"):
         )
 
     qs["zorder_clustered_scan"] = _zorder_scan_plan
+    # consolidated round-3 legs: snapshot their standalone plans
+    from transitlog_hfp_sink_spark.queries.ml import (
+        q_embedding_diversity,
+        q_hybrid_search,
+    )
+
+    qs["hybrid_search_rrf"] = q_hybrid_search
+    qs["embedding_diversity_sample"] = q_embedding_diversity
     out = ["# PLANS — physical-plan snapshots (sf0.01, local[8])", "",
            "Auto-generated evidence that headline queries compile to the plans",
            "the 100 TB design calls for. Regenerate: `python tools/gen_plans.py`.", ""]

@@ -81,6 +81,9 @@ def main() -> None:
         "embedding_topk_exact",
         "sample_documents",
         "dedup_cluster_cc",
+        "hybrid_search_rrf",
+        "hybrid_search_rrf_postings",
+        "embedding_diversity_sample",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)
