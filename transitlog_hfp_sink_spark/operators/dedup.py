@@ -185,7 +185,13 @@ def minhash_signatures(
     shuffle carries ~|docs| rows, not |shingles|. (A column-level variant
     building array(array_min(transform(...)) x 64) re-evaluates the whole
     shingle pipeline per permutation because CollapseProject re-inlines
-    it — measured ~40x slower at 64 perms.)
+    it — measured ~40x slower at 64 perms. A PROPERLY staged map-only
+    variant — hashed-shingle array materialized behind a double-reference
+    barrier, one transform over a (a,b)-pair literal — is value-identical
+    and shuffle-free but still measured 1.4x slower at sf0.1: 64
+    intermediate arrays per row allocate more than the post-combine
+    shuffle costs. Revisit only if a profile shows this shuffle
+    dominating at production scale.)
 
     Docs with zero shingles (empty text) drop out — they cannot near-dup.
     """
