@@ -117,3 +117,51 @@ def test_rrf_fuse_topk_cut(spark):
     out = rrf_fuse([leg], topk=3).collect()
     assert len(out) == 3
     assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_rrf_fuse_matches_python_referee(spark):
+    """Randomized legs vs an independent Python RRF implementation."""
+    import random
+
+    from transitlog_hfp_sink_spark.operators.search import rrf_fuse
+
+    rng = random.Random(23)
+    legs_py = []
+    for _ in range(3):
+        rows = []
+        for q in range(1, 4):
+            docs = rng.sample(range(100), rng.randint(0, 12))
+            rows += [(q, d, r + 1) for r, d in enumerate(docs)]
+        legs_py.append(rows)
+    legs = [
+        spark.createDataFrame(rows or [(0, 0, 1)], "query_id int, doc_id int, rank int")
+        .where(F.lit(bool(rows)))
+        for rows in legs_py
+    ]
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in rrf_fuse(legs, topk=100).collect()
+    }
+    # referee
+    from collections import defaultdict
+
+    score = defaultdict(float)
+    nlegs = defaultdict(int)
+    for rows in legs_py:
+        for q, d, r in rows:
+            score[(q, d)] += 1.0 / (60 + r)
+            nlegs[(q, d)] += 1
+    assert set(got) == set(score)
+    for key, r in got.items():
+        assert abs(r["rrf_score"] - score[key]) < 1e-6
+        assert r["n_legs"] == nlegs[key]
+    # per-query rank ordering matches (score desc, doc_id asc)
+    for q in {k[0] for k in score}:
+        want = sorted(
+            (k[1] for k in score if k[0] == q),
+            key=lambda d: (-round(score[(q, d)], 12), d),
+        )
+        by_rank = sorted(
+            (r["rank"], r["doc_id"]) for k, r in got.items() if k[0] == q
+        )
+        assert [d for _, d in by_rank] == want

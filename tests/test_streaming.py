@@ -351,3 +351,56 @@ def test_transform_with_state_twin_matches_apply_in_pandas(spark, tmp_path, sf_d
         "RocksDBStateStoreProvider",
     )
     assert a == b and len(a) > 0
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, tmp_path):
+    """Stream-STATIC enrichment: the streaming side joins a small static
+    dimension that is broadcast per micro-batch — the standard pattern
+    for decorating a 100 TB stream with reference data (no state store,
+    no watermark needed; the static side never shuffles the stream)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", "event_type")
+    )
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    enriched = stream.join(F.broadcast(dim), on="event_type", how="left")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .join(dim, on="event_type", how="left")
+    )
+    assert got.count() == batch.count()
+    assert got.where(F.col("weight").isNull()).count() == batch.where(
+        F.col("weight").isNull()
+    ).count()
+    # spot-check a few rows against the batch twin
+    sample = {r["event_id"]: r for r in got.limit(50).collect()}
+    want = {
+        r["event_id"]: r
+        for r in batch.where(F.col("event_id").isin(list(sample))).collect()
+    }
+    for eid, r in sample.items():
+        assert r["weight"] == want[eid]["weight"]
+        assert r["event_type"] == want[eid]["event_type"]
