@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_search_bm25_postings",
     "pack_token_sequences",
     "lm_score_documents",
+    "lm_score_bigram",
     "dedup_minhash_lsh_md5",
     "hybrid_search_rrf",
     "hybrid_search_rrf_postings",
@@ -208,6 +209,21 @@ def bench_overrides():
         q_hybrid_search,
     )
 
+    def _lm_unigram(spark, sf_dir):
+        # unigram leg only (the registry entry now unions in the bigram
+        # model; keep this name's timing comparable across rounds)
+        from transitlog_hfp_sink_spark.operators.lm import lm_score, train_unigram_lm
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return lm_score(docs, train_unigram_lm(docs, "text", k=0.5), "text", "doc_id", k=0.5)
+
+    def _lm_bigram(spark, sf_dir):
+        from transitlog_hfp_sink_spark.operators.lm import bigram_score, train_bigram_lm
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        pairs, hist, vstat = train_bigram_lm(docs, "text", "doc_id")
+        return bigram_score(docs, pairs, hist, vstat, "text", "doc_id", k=0.5)
+
     return {
         "events_hourly_rollup": q_hourly_rollup,
         "window_running_total": q_running_total,
@@ -220,6 +236,8 @@ def bench_overrides():
         "hybrid_search_rrf": q_hybrid_search,
         "hybrid_search_rrf_postings": _hybrid_postings_query(),
         "embedding_diversity_sample": q_embedding_diversity,
+        "lm_score_documents": _lm_unigram,
+        "lm_score_bigram": _lm_bigram,
     }
 
 THROUGHPUT_ROWS = 2_000_000

@@ -94,3 +94,85 @@ def lm_score(
             F.sum("nll").cast("double") / F.count("*"), 4
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM — conditional add-k model p(term | prev)
+# ---------------------------------------------------------------------------
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, prev, term) — one row per consecutive token pair. Staged
+    (normalize -> words -> shifted-slice zip) so the regex chain runs
+    once per row; docs with <2 tokens contribute nothing (they have no
+    bigram evidence either way)."""
+    s1 = docs.select(
+        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("__norm")
+    )
+    s2 = s1.select("doc_id", F.split("__norm", " ").alias("__w"))
+    n = F.size("__w")
+    pairs = F.arrays_zip(
+        F.slice("__w", 1, F.greatest(n - 1, F.lit(0))).alias("p"),
+        F.slice(F.col("__w"), 2, F.greatest(n - 1, F.lit(0))).alias("t"),
+    )
+    return s2.select("doc_id", F.explode(pairs).alias("__pt")).select(
+        "doc_id", F.col("__pt.p").alias("prev"), F.col("__pt.t").alias("term")
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The conditional model's three tables, all plain DataFrames:
+
+    pairs — (prev, term, c2): bigram counts;
+    hist  — (prev, c1h): history counts (sum of c2 per prev — the
+            denominator that makes the conditionals normalize);
+    vstat — 1-row (v): unigram vocabulary size for the add-k mass.
+
+    Same scale shape as the unigram trainer: explode + hash-agg with
+    map-side combine; pairs/hist persist like dimension tables and
+    BROADCAST at scoring time (bigram tables over a normalized web vocab
+    are ~100s of MB; beyond that, drop the hint and the term join
+    degrades to a shuffle join)."""
+    bi = _doc_bigrams(docs, text_col, id_col)
+    pairs = bi.groupBy("prev", "term").agg(F.count("*").alias("c2"))
+    hist = pairs.groupBy("prev").agg(F.sum("c2").alias("c1h"))
+    vstat = (
+        docs.select(F.explode(F.split(normalize_text(text_col), " ")).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return pairs, hist, vstat
+
+
+def bigram_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    hist: DataFrame,
+    vstat: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """Per-document conditional cross-entropy: (doc_id, n_units, avg_nll)
+    with n_units = bigram count. p(t|prev) = (c2 + k) / (c1h + k*V);
+    unseen pairs/histories take the smoothed mass (c2=0 / c1h=0), so a
+    disjoint corpus scores cleanly. DECIMAL-summed like lm_score."""
+    bi = _doc_bigrams(docs, text_col, id_col)
+    joined = (
+        bi.join(F.broadcast(pairs), on=["prev", "term"], how="left")
+        .join(F.broadcast(hist), on="prev", how="left")
+        .crossJoin(F.broadcast(vstat))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + k)
+                    / (F.coalesce(F.col("c1h"), F.lit(0)) + k * F.col("v"))
+                )
+            ).cast("decimal(20,10)").alias("nll"),
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_units"),
+        F.round(F.sum("nll").cast("double") / F.count("*"), 4).alias("avg_nll"),
+    )

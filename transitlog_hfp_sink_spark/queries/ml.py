@@ -809,16 +809,39 @@ WHERE rank = 1
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM cross-entropy scoring (operators/lm.py): train the
-    add-k model on the corpus itself, score every document by average
-    negative log-likelihood — the CCNet-style reference-likeness ranking
-    signal. Per-token log-probs are deterministic doubles summed as
-    DECIMAL(20,10), so the per-doc average hash-matches DuckDB."""
-    from transitlog_hfp_sink_spark.operators.lm import lm_score, train_unigram_lm
+    """LM cross-entropy scoring (operators/lm.py), both model orders as a
+    tagged union — the CCNet-style reference-likeness ranking signal:
+
+    part='unigram' — add-k unigram model trained on the corpus itself,
+                     per-doc average NLL over tokens (n_units = tokens);
+    part='bigram'  — conditional add-k bigram model p(term|prev)
+                     (round 3): per-doc average NLL over consecutive
+                     pairs (n_units = bigrams; docs with <2 tokens have
+                     no bigram evidence and appear only in the unigram
+                     leg).
+
+    Per-unit log-probs are deterministic doubles summed as
+    DECIMAL(20,10), so both legs hash-match DuckDB."""
+    from transitlog_hfp_sink_spark.operators.lm import (
+        bigram_score,
+        lm_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
     lm = train_unigram_lm(docs, "text", k=0.5)
-    return lm_score(docs, lm, "text", "doc_id", k=0.5)
+    uni = lm_score(docs, lm, "text", "doc_id", k=0.5).select(
+        F.lit("unigram").alias("part"),
+        "doc_id",
+        F.col("n_tokens").alias("n_units"),
+        "avg_nll",
+    )
+    pairs, hist, vstat = train_bigram_lm(docs, "text", "doc_id")
+    bi = bigram_score(docs, pairs, hist, vstat, "text", "doc_id", k=0.5).select(
+        F.lit("bigram").alias("part"), "doc_id", "n_units", "avg_nll"
+    )
+    return uni.unionByName(bi)
 
 
 ORACLE_LM = f"""
@@ -837,10 +860,28 @@ scored AS (
   SELECT doc_id,
     CAST(-ln((c + 0.5) / (total + 0.5 * v)) AS DECIMAL(20,10)) AS nll
   FROM tok JOIN cnt USING (term) CROSS JOIN tot
+),
+bip AS (
+  SELECT doc_id, words[i] AS prev, words[i + 1] AS term
+  FROM (SELECT doc_id, string_split(norm, ' ') AS words FROM base),
+       unnest(generate_series(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 2
+),
+c2 AS (SELECT prev, term, CAST(count(*) AS BIGINT) AS c2 FROM bip GROUP BY 1, 2),
+hist AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1h FROM c2 GROUP BY 1),
+bscored AS (
+  SELECT doc_id,
+    CAST(-ln((c2 + 0.5) / (c1h + 0.5 * v)) AS DECIMAL(20,10)) AS nll
+  FROM bip JOIN c2 USING (prev, term) JOIN hist USING (prev)
+  CROSS JOIN (SELECT v FROM tot)
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+SELECT 'unigram' AS part, doc_id, CAST(count(*) AS BIGINT) AS n_units,
        round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
-FROM scored GROUP BY 1
+FROM scored GROUP BY 2
+UNION ALL
+SELECT 'bigram' AS part, doc_id, CAST(count(*) AS BIGINT) AS n_units,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+FROM bscored GROUP BY 2
 """
 
 
