@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "embedding_topk_exact",
     "embedding_topk_ivf",
+    "embedding_topk_pq",
     "streaming_sessionize_state",
     "text_quality",
     "multimodal_pipeline",
@@ -217,6 +218,17 @@ def bench_overrides():
         docs = read_table(spark, sf_dir, "documents", widen=True)
         return lm_score(docs, train_unigram_lm(docs, "text", k=0.5), "text", "doc_id", k=0.5)
 
+    def _pq_adc(spark, sf_dir):
+        # PQ/ADC tier: codes built per run (map-only); at scale both the
+        # codebooks and the codes table persist with the index
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        cents = sim.pq_train(emb, m=8, k=16)
+        codes = sim.pq_encode(emb, cents)
+        queries = emb.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.pq_adc_topk(codes, queries, cents, k=5)
+
     def _lm_bigram(spark, sf_dir):
         from transitlog_hfp_sink_spark.operators.lm import bigram_score, train_bigram_lm
 
@@ -238,6 +250,7 @@ def bench_overrides():
         "embedding_diversity_sample": q_embedding_diversity,
         "lm_score_documents": _lm_unigram,
         "lm_score_bigram": _lm_bigram,
+        "embedding_topk_pq": _pq_adc,
     }
 
 THROUGHPUT_ROWS = 2_000_000

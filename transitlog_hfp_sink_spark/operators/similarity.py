@@ -554,3 +554,162 @@ def diversity_sample(
         (F.col("__pos") + 1).cast("int").alias("rank"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 16-32x-compressed ANN tier
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 29,
+    max_iter: int = 12,
+    max_train_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Train m per-subvector codebooks of k centroids each on a BOUNDED
+    seeded sample (same design as ivf_centroids: one distributed
+    sample+collect, in-memory seeded kmeans++ per subvector — index-build
+    cost stays flat as the corpus grows). Returns codebooks[j][c] =
+    centroid c of subvector j; dim must divide evenly by m."""
+    import numpy as np
+
+    vecs = corpus.select(_as_double(vec_col).alias("v"))
+    probe = vecs.limit(max_train_rows + 1).toPandas()
+    if len(probe) > max_train_rows:
+        probe = (
+            vecs.orderBy(F.xxhash64(F.concat_ws(",", F.col("v").cast("array<string>"))))
+            .limit(max_train_rows)
+            .toPandas()
+        )
+    X = np.array(probe["v"].tolist(), dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        C = _kmeans_np(sub, k, seed=seed + j, max_iter=max_iter)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _sub_assign(vec: Column, book: list[list[float]], lo: int, dsub: int) -> Column:
+    """Nearest-centroid CODE of vec[lo:lo+dsub] in one codebook — the
+    transform-over-literal loop (one compiled lambda per subvector)."""
+    sub = F.slice(vec, lo + 1, dsub)
+    dists = F.transform(
+        _centroid_literal(book),
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(book) - 1))
+    pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["d"] < b["d"], -1)
+        .when(a["d"] > b["d"], 1)
+        .otherwise(a["i"] - b["i"]),
+    )[0]
+    return best["i"].cast("tinyint")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<tinyint> of length m): each subvector replaced by
+    its nearest codebook index. MAP-ONLY (codebooks are broadcast
+    literals); with m=8, k=16 a 64-dim float32 vector compresses 256B ->
+    8B (32x) — the at-rest tier a 100 TB embedding store actually keeps,
+    with exact vectors only for the final re-rank."""
+    dsub = len(codebooks[0][0])
+    v = _as_double(vec_col)
+    staged = df.select(F.col(id_col), v.alias("__v"))
+    codes = F.array(
+        *[
+            _sub_assign(F.col("__v"), book, j * dsub, dsub)
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    return staged.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: for each query,
+    dist(q, x) ~ sum_j table_j[codes_j] with table_j[c] = ||q_j - C_jc||^2
+    — the query-side lookup tables are built ONCE PER QUERY ROW as pure
+    expressions over the codebook literal, then the corpus leg reads ONLY
+    the 8-byte codes (never the vectors) and scores with m array lookups
+    per row. Same broadcast-queries / map-only-corpus shape as the exact
+    path; approximation quality is a recall-vs-exact contract in tests.
+
+    Returns (query_id, neighbor_id, approx_dist2, rank).
+    """
+    dsub = len(codebooks[0][0])
+    qv = _as_double(vec_col)
+
+    # tables: array over j of array over c of ||q_j - C_jc||^2. NB: the
+    # subvector offset must be bound via a factory, NOT a second lambda
+    # parameter — a 2-arg transform() lambda means (element, index) and
+    # would silently rebind the offset to the centroid index.
+    def _qtable(book: list[list[float]], lo: int) -> Column:
+        sub = F.slice(F.col("__qv"), lo + 1, dsub)
+        return F.transform(
+            _centroid_literal(book),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    tables = F.array(
+        *[_qtable(book, j * dsub) for j, book in enumerate(codebooks)]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), qv.alias("__qv")
+    ).select("query_id", tables.alias("__tabs"))
+    c = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    scored = c.join(
+        F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__tabs"),
+                    F.col("codes"),
+                    lambda tab, code: F.element_at(tab, code.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("approx_dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist2", "rank")
+    )
