@@ -84,6 +84,8 @@ def main() -> None:
         "hybrid_search_rrf",
         "hybrid_search_rrf_postings",
         "embedding_diversity_sample",
+        "lm_score_bigram",
+        "embedding_topk_pq",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)
