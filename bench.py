@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_topk_exact",
     "embedding_topk_ivf",
     "embedding_topk_pq",
+    "embedding_topk_ivfpq",
     "streaming_sessionize_state",
     "text_quality",
     "multimodal_pipeline",
@@ -243,6 +244,32 @@ def bench_overrides():
             k=5,
         )
 
+    _ivfpq_state: dict = {}
+
+    def _ivfpq(spark, sf_dir):
+        # composed IVF-PQ serving shape: coarse centroids + residual
+        # codebooks + (list_id, codes) table persisted once; timed plan =
+        # probe nprobe lists, residual tables per (query, list), ADC scan
+        import tempfile
+
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        if "dir" not in _ivfpq_state:
+            cents, books = sim.ivfpq_train(emb, n_lists=16, m=8, k=16)
+            d = tempfile.mkdtemp(prefix="bench-ivfpq-")
+            sim.ivfpq_encode(emb, cents, books).write.parquet(d + "/index")
+            _ivfpq_state.update(dir=d, cents=cents, books=books)
+        queries = emb.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.ivfpq_topk(
+            spark.read.parquet(_ivfpq_state["dir"] + "/index"),
+            queries,
+            _ivfpq_state["cents"],
+            _ivfpq_state["books"],
+            k=5,
+            nprobe=4,
+        )
+
     def _lm_bigram(spark, sf_dir):
         from transitlog_hfp_sink_spark.operators.lm import bigram_score, train_bigram_lm
 
@@ -265,6 +292,7 @@ def bench_overrides():
         "lm_score_documents": _lm_unigram,
         "lm_score_bigram": _lm_bigram,
         "embedding_topk_pq": _pq_adc,
+        "embedding_topk_ivfpq": _ivfpq,
     }
 
 THROUGHPUT_ROWS = 2_000_000

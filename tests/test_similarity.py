@@ -366,3 +366,61 @@ def test_pq_adc_matches_python_table_scoring(corpus):
             continue
         want = round(sum(tables[j][c] for j, c in enumerate(cs)), 6)
         assert abs(got[vid] - want) < 1e-5, vid
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed index
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_encode_consistency(corpus):
+    cents, books = sim.ivfpq_train(corpus, n_lists=4, m=8, k=16)
+    idx = sim.ivfpq_encode(corpus, cents, books)
+    rows = idx.collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        assert 0 <= r["list_id"] < 4
+        assert len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+    # list assignment must agree with the raw-vector argmin
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+    for r in rows:
+        v = data[r["vec_id"]]
+        d2 = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+        assert r["list_id"] == min(range(4), key=lambda i: (round(d2[i], 6), i))
+
+
+def test_ivfpq_topk_recall_and_fullprobe_dominance(corpus):
+    cents, books = sim.ivfpq_train(corpus, n_lists=4, m=8, k=16)
+    idx = sim.ivfpq_encode(corpus, cents, books)
+    queries = corpus.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.ivfpq_topk(idx, queries, cents, books, k=5, nprobe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+    hits = total = 0
+    for qid in range(16):
+        qv = data[qid]
+        d2 = {vid: sum((a - b) ** 2 for a, b in zip(qv, v))
+              for vid, v in data.items() if vid != qid}
+        exact = {vid for vid, _ in sorted(d2.items(), key=lambda kv: (kv[1], kv[0]))[:5]}
+        hits += len(exact & by_q.get(qid, set()))
+        total += 5
+    assert hits / total >= 0.4, hits / total
+    # planted near-identical pair: same list, near-zero ADC distance
+    assert 100 in by_q[0]
+    # full probe can only improve or match nprobe=2 recall
+    full = sim.ivfpq_topk(idx, queries, cents, books, k=5, nprobe=4)
+    by_q_full = {}
+    for r in full.collect():
+        by_q_full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits_full = sum(
+        len({vid for vid, _ in sorted(
+            {v: sum((a - b) ** 2 for a, b in zip(data[q], data[v]))
+             for v in data if v != q}.items(), key=lambda kv: (kv[1], kv[0]))[:5]}
+            & by_q_full.get(q, set()))
+        for q in range(16)
+    )
+    assert hits_full >= hits

@@ -713,3 +713,171 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — inverted lists over residual PQ codes (the composed 100 TB index)
+# ---------------------------------------------------------------------------
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 31,
+    max_iter: int = 12,
+    max_train_rows: int = 100_000,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the composed index on ONE bounded seeded sample: coarse
+    centroids (IVF) and per-subvector codebooks over the RESIDUALS
+    (v - centroid[list]) — quantizing residuals instead of raw vectors is
+    what makes 8-byte codes usable after the coarse quantizer has already
+    absorbed most of the variance. Returns (centroids, codebooks)."""
+    import numpy as np
+
+    vecs = corpus.select(_as_double(vec_col).alias("v"))
+    probe = vecs.limit(max_train_rows + 1).toPandas()
+    if len(probe) > max_train_rows:
+        probe = (
+            vecs.orderBy(F.xxhash64(F.concat_ws(",", F.col("v").cast("array<string>"))))
+            .limit(max_train_rows)
+            .toPandas()
+        )
+    X = np.array(probe["v"].tolist(), dtype=np.float64)
+    C = _kmeans_np(X, n_lists, seed=seed, max_iter=max_iter)
+    assign = (
+        (X**2).sum(1)[:, None] + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
+    ).argmin(1)
+    R = X - C[assign]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = R[:, j * dsub : (j + 1) * dsub]
+        books.append(
+            [[float(x) for x in c] for c in _kmeans_np(sub, k, seed=seed + 1 + j, max_iter=max_iter)]
+        )
+    return [[float(x) for x in c] for c in C], books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, codes): coarse-assign each vector, then PQ-encode its
+    residual. MAP-ONLY — both quantizers are broadcast literals; at
+    100 TB this is the one pass that builds the index, persisted
+    partitioned/bucketed by list_id."""
+    dsub = len(codebooks[0][0])
+    v = _as_double(vec_col)
+    C_lit = _centroid_literal(centroids)
+    staged = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.element_at(_nearest_lists(v, centroids, 1), 1).alias("list_id"),
+    )
+    resid = F.zip_with(
+        F.col("__v"),
+        F.element_at(C_lit, F.col("list_id").cast("int") + 1),
+        lambda a, b: a - b,
+    )
+    staged2 = staged.select(F.col(id_col), "list_id", resid.alias("__r"))
+    codes = F.array(
+        *[
+            _sub_assign(F.col("__r"), book, j * dsub, dsub)
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    return staged2.select(F.col(id_col), F.col("list_id").cast("int").alias("list_id"), codes.alias("codes"))
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC search over the composed index: each query probes its nprobe
+    nearest lists; within a probed list the lookup tables are built from
+    the query's RESIDUAL against that list's centroid (one table set per
+    (query, list) row on the tiny broadcast side), and corpus rows are
+    scored with m code lookups — the corpus leg reads (list_id, codes)
+    only, joined on list_id, never shuffled.
+
+    Returns (query_id, neighbor_id, approx_dist2, rank)."""
+    dsub = len(codebooks[0][0])
+    C_lit = _centroid_literal(centroids)
+    qv = _as_double(vec_col)
+    q1 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("__qv"),
+        F.explode(_nearest_lists(qv, centroids, nprobe)).alias("list_id"),
+    )
+    q2 = q1.select(
+        "query_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.zip_with(
+            F.col("__qv"),
+            F.element_at(C_lit, F.col("list_id").cast("int") + 1),
+            lambda a, b: a - b,
+        ).alias("__qr"),
+    )
+
+    def _qtable(book: list[list[float]], lo: int) -> Column:
+        sub = F.slice(F.col("__qr"), lo + 1, dsub)
+        return F.transform(
+            _centroid_literal(book),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    q3 = q2.select(
+        "query_id",
+        "list_id",
+        F.array(*[_qtable(book, j * dsub) for j, book in enumerate(codebooks)]).alias(
+            "__tabs"
+        ),
+    )
+    c = index.select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
+    scored = (
+        c.join(F.broadcast(q3), on="list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__tabs"),
+                        F.col("codes"),
+                        lambda tab, code: F.element_at(tab, code.cast("int") + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist2", "rank")
+    )
