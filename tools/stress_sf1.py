@@ -86,6 +86,7 @@ def main() -> None:
         "embedding_diversity_sample",
         "lm_score_bigram",
         "embedding_topk_pq",
+        "embedding_topk_ivfpq",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)
