@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "hybrid_search_rrf_postings",
     "embedding_diversity_sample",
+    "embedding_semdedup",
+    "nb_classifier_score",
 ]
 
 
@@ -270,6 +272,34 @@ def bench_overrides():
             nprobe=4,
         )
 
+    def _semdedup(spark, sf_dir):
+        # SemDeDup over the fixed 8-entry codebook (the registry's
+        # embedding_sketches semdedup legs, timed standalone): map-only
+        # assignment + within-cluster pair join + left-anti keep
+        from transitlog_hfp_sink_spark.queries.ml import _fixed_codebook
+
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        pairs, keep = sim.semantic_dedup(emb, _fixed_codebook(emb), threshold=0.3)
+        return pairs.select("id_a", F.col("id_b").alias("other"), "cos_sim").unionByName(
+            keep.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("cluster_id").cast("bigint").alias("other"),
+                F.col("dist2").alias("cos_sim"),
+            )
+        )
+
+    def _nb_classifier(spark, sf_dir):
+        # hashed-feature Naive-Bayes train + score (the registry's 'nb'
+        # leg of lm_score_documents, timed standalone)
+        from transitlog_hfp_sink_spark.operators.classifier import (
+            nb_score,
+            train_nb_classifier,
+        )
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        weights, prior = train_nb_classifier(docs, "text", "lang", "en")
+        return nb_score(docs, weights, prior)
+
     def _lm_bigram(spark, sf_dir):
         from transitlog_hfp_sink_spark.operators.lm import bigram_score, train_bigram_lm
 
@@ -293,6 +323,8 @@ def bench_overrides():
         "lm_score_bigram": _lm_bigram,
         "embedding_topk_pq": _pq_adc,
         "embedding_topk_ivfpq": _ivfpq,
+        "embedding_semdedup": _semdedup,
+        "nb_classifier_score": _nb_classifier,
     }
 
 THROUGHPUT_ROWS = 2_000_000

@@ -424,3 +424,106 @@ def test_ivfpq_topk_recall_and_fullprobe_dominance(corpus):
         for q in range(16)
     )
     assert hits_full >= hits
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup over a k-means codebook (arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def _semdedup_setup(corpus):
+    cents_rows = corpus.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in cents_rows]
+
+
+def test_semdedup_pairs_match_python_referee(corpus):
+    cents = _semdedup_setup(corpus)
+    pairs, keep = sim.semantic_dedup(corpus, cents, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+    # referee: assignment by argmin dist2 (rounded), then within-cluster
+    # pairwise cosine at the same rounding
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in corpus.collect()}
+
+    def assign(v):
+        d2s = [
+            round(sum(a * a for a in v) - 2 * sum(a * b for a, b in zip(v, c))
+                  + sum(b * b for b in c), 6)
+            for c in cents
+        ]
+        return min(range(len(cents)), key=lambda i: (d2s[i], i))
+
+    clusters = {vid: assign(v) for vid, v in data.items()}
+    want = {}
+    for a in data:
+        for b in data:
+            if a < b and clusters[a] == clusters[b]:
+                cs = round(_cos(data[a], data[b]), 6)
+                if cs >= 0.3:
+                    want[(a, b)] = cs
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert got[k_] == pytest.approx(v, abs=2e-6)
+    # every pair is intra-cluster by construction and id-ordered
+    for (a, b) in got:
+        assert a < b and clusters[a] == clusters[b]
+    # the planted near-identical pair (0, 100) must surface if co-clustered
+    if clusters[0] == clusters[100]:
+        assert (0, 100) in got
+
+
+def test_semdedup_keep_rule_one_survivor_per_clique(spark):
+    # 3 mutually-near-identical vectors + 1 distinct, all in one cluster:
+    # exactly one of the clique survives, and it is the one FARTHEST from
+    # the centroid (max dist2, SemDeDup's keep preference)
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.02, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.5, 0.0]),  # not a duplicate of anything
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    cents = [base]  # single cluster: everything assigns to centroid 0
+    pairs, keep = sim.semantic_dedup(df, cents, threshold=0.99)
+    kept = {r["vec_id"] for r in keep.collect()}
+    # vec 3 has cosine < 0.99 with everyone -> kept; clique {0,1,2}
+    # keeps exactly its max-dist2 member (vec 2, farthest from base)
+    assert 3 in kept
+    assert kept & {0, 1, 2} == {2}
+    # pairs cover the full clique
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_semdedup_keep_union_dropped_is_corpus(corpus):
+    cents = _semdedup_setup(corpus)
+    pairs, keep = sim.semantic_dedup(corpus, cents, threshold=0.3)
+    kept = {r["vec_id"] for r in keep.collect()}
+    all_ids = {r["vec_id"] for r in corpus.collect()}
+    dropped = all_ids - kept
+    assert kept | dropped == all_ids
+    # every dropped id appears in some surviving-pair relationship
+    pair_ids = set()
+    for r in pairs.collect():
+        pair_ids.add(r["id_a"])
+        pair_ids.add(r["id_b"])
+    assert dropped <= pair_ids
+    # determinism under repartitioning
+    pairs2, keep2 = sim.semantic_dedup(corpus.repartition(7), cents, threshold=0.3)
+    assert {r["vec_id"] for r in keep2.collect()} == kept
+
+
+def test_semdedup_plan_no_cartesian(corpus):
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    cents = _semdedup_setup(corpus)
+    pairs, keep = sim.semantic_dedup(corpus, cents, threshold=0.3)
+    for df in (pairs, keep):
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -444,6 +444,7 @@ def codebook_assign(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest codebook centroid — the serving
     half of k-means clustering (the codebook is trained once, offline;
@@ -460,6 +461,10 @@ def codebook_assign(
     fold order matches DuckDB's list_dot_product exactly (the idiom the
     hash-green cosine oracles already rely on); v.v is STAGED once per
     row (not once per centroid), c.c is a Python-side constant.
+
+    With keep_vec=True the output also carries the (double-cast) vector
+    as `vec` — for consumers like semantic_dedup that need both the
+    assignment and the vector without a second scan/join.
     """
     v = _as_double(vec_col)
     staged = df.select(F.col(id_col), v.alias("__v"), dot(v, v).alias("__vv"))
@@ -489,11 +494,14 @@ def codebook_assign(
         .when(a["d"] > b["d"], 1)
         .otherwise(a["i"] - b["i"]),
     )[0]
-    return staged.select(
+    out_cols = [
         F.col(id_col),
         best["i"].cast("int").alias("cluster_id"),
         best["d"].alias("dist2"),
-    )
+    ]
+    if keep_vec:
+        out_cols.append(F.col("__v").alias("vec"))
+    return staged.select(*out_cols)
 
 
 def diversity_sample(
@@ -554,6 +562,80 @@ def diversity_sample(
         (F.col("__pos") + 1).cast("int").alias("rank"),
         "cluster_size",
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with an
+    offline-trained k-means codebook, then look for cosine-near-duplicate
+    pairs ONLY within each cluster — the candidate join is bounded by
+    cluster populations, never the corpus-wide all-pairs product.
+
+    Returns (pairs, keep):
+
+    - pairs: (cluster_id, id_a, id_b, cos_sim) with id_a < id_b and
+      cos_sim >= threshold (rounded to 6 digits before the comparison so
+      the cut is identical cross-engine);
+    - keep:  (id_col, cluster_id, dist2) — the survivors. Keep rule
+      (deterministic, single-pass): order each cluster by
+      (dist2 DESC, id ASC) — SemDeDup's "keep the example farthest from
+      its centroid" preference — and DROP a vector iff some same-cluster
+      near-duplicate partner precedes it in that order. For a mutually
+      duplicate clique exactly the first member survives; for chains this
+      is the standard one-pass relaxation of greedy selection (documented
+      deviation: a chain a~b, b~c with a!~c keeps only a, as large-scale
+      SemDeDup implementations do — no iterative matching).
+
+    Scale shape: assignment is MAP-ONLY (broadcast codebook literal, no
+    UDF); the self-join shuffles both sides once on cluster_id. At 100 TB
+    the codebook has 10^4-10^5 entries so per-cluster populations stay
+    bounded (SemDeDup's own regime); AQE's skew-join handles outlier
+    clusters, and a hard cap can be enforced upstream by splitting
+    oversize clusters on a salted sub-key before the join.
+    """
+    base = codebook_assign(df, centroids, id_col, vec_col, keep_vec=True)
+    a = base.select(
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col("dist2").alias("__da"),
+        F.col("vec").alias("__va"),
+    )
+    b = base.select(
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.col("dist2").alias("__db"),
+        F.col("vec").alias("__vb"),
+    )
+    pairs = (
+        a.join(b, on="cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            "__da",
+            "__db",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    # the pair member LATER in (dist2 DESC, id ASC) keep order is dropped;
+    # id_a < id_b always holds here, so on a dist2 tie id_b loses
+    dropped = pairs.select(
+        F.when(F.col("__da") >= F.col("__db"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias(id_col)
+    ).distinct()
+    keep = base.join(dropped, on=id_col, how="left_anti").select(
+        F.col(id_col), "cluster_id", "dist2"
+    )
+    return pairs.select("cluster_id", "id_a", "id_b", "cos_sim"), keep
 
 
 # ---------------------------------------------------------------------------

@@ -566,14 +566,21 @@ def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducers). dist2 uses the dot-product form + round-before-argmin so
     the DuckDB twin is bit-identical."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    return sim.diversity_sample(emb, _fixed_codebook(emb), per_cluster=3)
+
+
+def _fixed_codebook(emb: DataFrame) -> list[list[float]]:
+    """The first 8 corpus vectors as a codebook — a fixed, engine-neutral
+    stand-in for an offline-trained quantizer (exactly how IVF serving
+    sees its centroids). Shared by the diversity and semantic-dedup
+    legs so both sides of the oracle agree on the same literal."""
     cents_rows = (
         emb.where(F.col("vec_id") < 8)
         .orderBy("vec_id")
         .select(F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     )
-    cents = [list(r["v"]) for r in cents_rows]
-    return sim.diversity_sample(emb, cents, per_cluster=3)
+    return [list(r["v"]) for r in cents_rows]
 
 
 ORACLE_EMBEDDING_DIVERSITY = """
@@ -651,7 +658,17 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                      round-3 consolidation into this entry to hold the
                      50-entry driver cap): id_a=cluster_id, id_b=vec_id,
                      cos_sim carries dist2, rank=rank-in-cluster; the
-                     _size rows carry id_b=cluster population."""
+                     _size rows carry id_b=cluster population;
+    part='semdedup_pair' / 'semdedup_keep' — SemDeDup semantic
+                     deduplication (similarity.semantic_dedup, arXiv:
+                     2303.09540) over the SAME fixed codebook: pair rows
+                     are within-cluster cosine-near-duplicates
+                     (id_a<id_b, cos_sim>=0.3); keep rows are the
+                     survivors under the farthest-from-centroid keep
+                     order (id_a=vec_id, id_b=cluster_id, cos_sim
+                     carries dist2). Both legs value-hash-checked —
+                     assignment, within-cluster pairing, and the drop
+                     rule are replayed in SQL."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -692,11 +709,28 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cos_sim"),
         F.lit(None).cast("int").alias("rank"),
     )
+    sd_pairs, sd_keep = sim.semantic_dedup(emb, _fixed_codebook(emb), threshold=0.3)
+    sd_pair_leg = sd_pairs.select(
+        F.lit("semdedup_pair").alias("part"),
+        F.col("id_a"),
+        F.col("id_b"),
+        "cos_sim",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    sd_keep_leg = sd_keep.select(
+        F.lit("semdedup_keep").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").cast("bigint").alias("id_b"),
+        F.col("dist2").alias("cos_sim"),
+        F.lit(None).cast("int").alias("rank"),
+    )
     return (
         topk_leg.unionByName(nd_leg)
         .unionByName(sq_leg)
         .unionByName(div_leg)
         .unionByName(size_leg)
+        .unionByName(sd_pair_leg)
+        .unionByName(sd_keep_leg)
     )
 
 
@@ -793,6 +827,44 @@ FROM sqrank WHERE rank <= {k}
 """
 
 
+#: nearest-centroid assignment over the fixed first-8-vectors codebook —
+#: the SQL twin of similarity.codebook_assign (round-before-argmin,
+#: dot-product-form dist2), shared by the semdedup oracle legs
+_ORACLE_ASSIGN = """
+WITH c AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+d AS (
+  SELECT vec_id, cid,
+    round(list_dot_product(vv, vv) - 2.0 * list_dot_product(vv, cv)
+          + list_dot_product(cv, cv), 6) AS dist2
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, cid, dist2 FROM (
+  SELECT vec_id, cid, dist2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM d
+) WHERE rn = 1
+"""
+
+#: within-cluster cosine pairs over that assignment — the twin of
+#: semantic_dedup's candidate join (id_a < id_b, cosine rounded to 6)
+_ORACLE_SEMDEDUP_PAIRS = f"""
+WITH m AS (
+  SELECT b.vec_id, b.cid, b.dist2, v2.vv
+  FROM ({_ORACLE_ASSIGN.strip()}) b
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings) v2
+    USING (vec_id)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.dist2 AS da, b.dist2 AS db,
+  round(list_dot_product(a.vv, b.vv) /
+        (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))),
+        6) AS cos_sim
+FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+"""
+
 ORACLE_EMBEDDING_SKETCHES = f"""
 {_sketches_oracle().strip()}
 UNION ALL
@@ -805,23 +877,49 @@ SELECT 'diversity_size' AS part, CAST(cluster_id AS BIGINT) AS id_a,
        CAST(NULL AS INTEGER) AS rank
 FROM ({ORACLE_EMBEDDING_DIVERSITY.strip()}) divsz_t
 WHERE rank = 1
+UNION ALL
+SELECT 'semdedup_pair' AS part, id_a, id_b, cos_sim,
+       CAST(NULL AS INTEGER) AS rank
+FROM ({_ORACLE_SEMDEDUP_PAIRS.strip()}) sd_p
+WHERE cos_sim >= 0.3
+UNION ALL
+SELECT 'semdedup_keep' AS part, a.vec_id AS id_a, CAST(a.cid AS BIGINT) AS id_b,
+       a.dist2 AS cos_sim, CAST(NULL AS INTEGER) AS rank
+FROM ({_ORACLE_ASSIGN.strip()}) a
+WHERE a.vec_id NOT IN (
+  SELECT CASE WHEN da >= db THEN id_b ELSE id_a END
+  FROM ({_ORACLE_SEMDEDUP_PAIRS.strip()}) sd_l
+  WHERE cos_sim >= 0.3
+)
 """
 
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM cross-entropy scoring (operators/lm.py), both model orders as a
-    tagged union — the CCNet-style reference-likeness ranking signal:
+    """Model-based document scoring (operators/lm.py + operators/
+    classifier.py) as a tagged union — the CCNet-style reference-likeness
+    and quality-router signals:
 
     part='unigram' — add-k unigram model trained on the corpus itself,
-                     per-doc average NLL over tokens (n_units = tokens);
+                     per-doc average NLL over tokens (n_units = tokens,
+                     score = avg NLL in nats/token);
     part='bigram'  — conditional add-k bigram model p(term|prev)
                      (round 3): per-doc average NLL over consecutive
                      pairs (n_units = bigrams; docs with <2 tokens have
                      no bigram evidence and appear only in the unigram
-                     leg).
+                     leg);
+    part='nb'      — hashed-feature Naive-Bayes log-odds classifier
+                     (round 3, operators/classifier.py — the
+                     fastText-shaped quality/domain filter): binary
+                     model lang=='en' vs rest over 4096 md5-hashed
+                     token buckets; score = (prior + sum of per-token
+                     log-odds) / n_tokens.
 
-    Per-unit log-probs are deterministic doubles summed as
-    DECIMAL(20,10), so both legs hash-match DuckDB."""
+    Per-unit log terms are deterministic doubles summed as
+    DECIMAL(20,10), so all legs hash-match DuckDB."""
+    from transitlog_hfp_sink_spark.operators.classifier import (
+        nb_score,
+        train_nb_classifier,
+    )
     from transitlog_hfp_sink_spark.operators.lm import (
         bigram_score,
         lm_score,
@@ -835,13 +933,25 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("unigram").alias("part"),
         "doc_id",
         F.col("n_tokens").alias("n_units"),
-        "avg_nll",
+        F.col("avg_nll").alias("score"),
     )
     pairs, hist, vstat = train_bigram_lm(docs, "text", "doc_id")
     bi = bigram_score(docs, pairs, hist, vstat, "text", "doc_id", k=0.5).select(
-        F.lit("bigram").alias("part"), "doc_id", "n_units", "avg_nll"
+        F.lit("bigram").alias("part"),
+        "doc_id",
+        "n_units",
+        F.col("avg_nll").alias("score"),
     )
-    return uni.unionByName(bi)
+    weights, prior = train_nb_classifier(
+        docs, "text", "lang", "en", num_features=4096, k=0.5
+    )
+    nb = nb_score(docs, weights, prior, "text", "doc_id", num_features=4096).select(
+        F.lit("nb").alias("part"),
+        "doc_id",
+        F.col("n_tokens").alias("n_units"),
+        F.col("avg_logodds").alias("score"),
+    )
+    return uni.unionByName(bi).unionByName(nb)
 
 
 ORACLE_LM = f"""
@@ -874,14 +984,50 @@ bscored AS (
     CAST(-ln((c2 + 0.5) / (c1h + 0.5 * v)) AS DECIMAL(20,10)) AS nll
   FROM bip JOIN c2 USING (prev, term) JOIN hist USING (prev)
   CROSS JOIN (SELECT v FROM tot)
+),
+nbf AS (
+  SELECT doc_id, lang = 'en' AS pos,
+    CAST(('0x' || substr(md5('nbf' || term), 1, 8))::BIGINT % 4096 AS INTEGER) AS feature
+  FROM (SELECT b.doc_id, d.lang, unnest(string_split(b.norm, ' ')) AS term
+        FROM base b JOIN documents d USING (doc_id))
+),
+nbc AS (
+  SELECT feature,
+    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM nbf GROUP BY 1
+),
+nbt AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos, CAST(sum(c_neg) AS BIGINT) AS t_neg
+  FROM nbc
+),
+nbw AS (
+  SELECT feature,
+    ln((c_pos + 0.5) / (t_pos + 0.5 * 4096)) - ln((c_neg + 0.5) / (t_neg + 0.5 * 4096)) AS w
+  FROM nbc CROSS JOIN nbt
+),
+nbprior AS (
+  SELECT ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 0.5)
+       - ln(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 0.5) AS prior
+  FROM documents
+),
+nbdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+         sum(CAST(w AS DECIMAL(20,10))) AS sum_w
+  FROM nbf JOIN nbw USING (feature)
+  GROUP BY 1
 )
 SELECT 'unigram' AS part, doc_id, CAST(count(*) AS BIGINT) AS n_units,
-       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS score
 FROM scored GROUP BY 2
 UNION ALL
 SELECT 'bigram' AS part, doc_id, CAST(count(*) AS BIGINT) AS n_units,
-       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_nll
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS score
 FROM bscored GROUP BY 2
+UNION ALL
+SELECT 'nb' AS part, doc_id, n_units,
+       round((prior + CAST(sum_w AS DOUBLE)) / n_units, 4) AS score
+FROM nbdoc CROSS JOIN nbprior
 """
 
 
