@@ -241,32 +241,76 @@ def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_udtf_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF via LATERAL join (functions/udfs.py): per-document
-    word histogram. The UDTF is the genuine table-function API (not an
-    explode rewrite) — the oracle is DuckDB unnest + GROUP BY, proving
-    the Python surface agrees with the relational semantics."""
+    """Word-frequency surface, tagged union (round 3 adds the sketch):
+
+    part='udtf' — Python UDTF via LATERAL join (functions/udfs.py):
+                  per-document word histogram. The UDTF is the genuine
+                  table-function API (not an explode rewrite) — the
+                  oracle is DuckDB unnest + GROUP BY, proving the Python
+                  surface agrees with the relational semantics.
+    part='cms'  — count-min-sketch heavy hitters (operators/sketch.py):
+                  global words whose 4x2048 md5-bucketed CMS estimate
+                  reaches 50 (doc_id NULL, n = the estimate). The full
+                  sketch build + probe + min-over-seeds is replayed in
+                  SQL, so every counter and estimate is
+                  value-hash-checked; the est>=true guarantee and
+                  collision behavior live in tests/test_sketch.py."""
     from transitlog_hfp_sink_spark.functions.udfs import register_udtfs
+    from transitlog_hfp_sink_spark.operators.sketch import heavy_hitters
 
     register_udtfs(spark)
-    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents_udtf_v"
-    )
-    return spark.sql(
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_udtf_v")
+    udtf_leg = spark.sql(
         """
         SELECT d.doc_id, w.word, w.n
         FROM documents_udtf_v d, LATERAL word_counts(d.text) w
         """
+    ).select(F.lit("udtf").alias("part"), "doc_id", "word", F.col("n").cast("bigint"))
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    cms_leg = heavy_hitters(words, "word", min_count=50, depth=4, width=2048).select(
+        F.lit("cms").alias("part"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        "word",
+        F.col("est").alias("n"),
     )
+    return udtf_leg.unionByName(cms_leg)
 
 
 ORACLE_UDTF_WORDS = """
-SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+WITH cms_wz AS (
+  SELECT word FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+  ) WHERE word <> ''
+),
+cms_cells AS (
+  SELECT word, seed,
+    CAST(('0x' || substr(md5('cms' || CAST(seed AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+         % 2048 AS INTEGER) AS bucket
+  FROM cms_wz CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS seed)
+),
+cms_grid AS (
+  SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cms_cells GROUP BY 1, 2
+),
+cms_probe AS (SELECT DISTINCT word, seed, bucket FROM cms_cells),
+cms_est AS (
+  SELECT word, min(cnt) AS est
+  FROM cms_probe JOIN cms_grid USING (seed, bucket)
+  GROUP BY 1
+)
+SELECT 'udtf' AS part, doc_id, word, CAST(count(*) AS BIGINT) AS n
 FROM (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
   FROM documents
 )
 WHERE word <> ''
 GROUP BY doc_id, word
+UNION ALL
+SELECT 'cms' AS part, CAST(NULL AS BIGINT) AS doc_id, word, est AS n
+FROM cms_est WHERE est >= 50
 """
 
 
