@@ -82,3 +82,63 @@ def decontaminate(
         corpus, benchmark, text_col, id_col, n, min_shared, broadcast_benchmark
     ).select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def contamination_gram_candidates(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 5,
+    m: int = 1 << 14,
+) -> DataFrame:
+    """Bloom-prefilter stage: (corpus_id, candidate_grams) — for each
+    corpus doc, how many of its distinct n-grams MIGHT be benchmark
+    grams per an m-bit/k-hash Bloom filter built over the benchmark's
+    gram set (operators/bloom.py). Docs with zero candidate grams (the
+    vast majority of a clean corpus) are omitted — they can skip the
+    exact-verify join entirely.
+
+    This is the 100 TB shape when the benchmark gram set is too wide to
+    broadcast as strings: the broadcast artifact becomes the <= m-row
+    position set. No false negatives, so prefilter + exact verify is
+    result-identical to the exact join (decontaminate_with_bloom)."""
+    from transitlog_hfp_sink_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    bgrams = _gram_rows(benchmark, text_col, id_col, n, "bench_id").select("gram")
+    filt = bloom_build(bgrams, "gram", k=k, m=m)
+    cgrams = _gram_rows(corpus, text_col, id_col, n, "corpus_id")
+    verdicts = bloom_might_contain(filt, cgrams.select("gram"), "gram", k=k, m=m)
+    return (
+        cgrams.join(verdicts.where(F.col("might_contain")), on="gram")
+        .groupBy("corpus_id")
+        .agg(F.count("*").alias("candidate_grams"))
+    )
+
+
+def decontaminate_with_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 1,
+    k: int = 5,
+    m: int = 1 << 14,
+) -> DataFrame:
+    """decontaminate(), but only Bloom-candidate docs enter the exact
+    verify join. Result-identical to the exact path (no false
+    negatives); the exact join's corpus side shrinks from every doc to
+    the candidate tail (tests pin the equality)."""
+    cand_ids = contamination_gram_candidates(
+        corpus, benchmark, text_col, id_col, n, k, m
+    ).select(F.col("corpus_id").alias(id_col))
+    suspects = corpus.join(cand_ids, id_col, "left_semi")
+    dirty = contamination_pairs(
+        suspects, benchmark, text_col, id_col, n, min_shared
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(dirty, id_col, "left_anti")

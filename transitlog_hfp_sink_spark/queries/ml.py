@@ -1109,9 +1109,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval/benchmark set, the rest the training corpus. Tagged union:
     part='pair'  — (corpus doc, benchmark doc, shared distinct trigrams);
     part='clean' — corpus docs with zero benchmark overlap (the rows a
-    pipeline would keep; short no-gram docs are trivially clean).
+    pipeline would keep; short no-gram docs are trivially clean);
+    part='bloom' — the Bloom prefilter stage (round 3,
+                   operators/bloom.py): per corpus doc, how many of its
+                   distinct trigrams MIGHT be benchmark grams per a
+                   16384-bit / 5-hash filter built over the benchmark
+                   gram set — the 100 TB shape where the broadcast
+                   artifact is the bit-position set, not the gram
+                   strings (shared = candidate-gram count). Every bit
+                   position and verdict is replayed in SQL.
     The benchmark gram side is broadcast, so the corpus never shuffles."""
     from transitlog_hfp_sink_spark.operators.decontaminate import (
+        contamination_gram_candidates,
         contamination_pairs,
         decontaminate,
     )
@@ -1132,7 +1141,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("bench_id"),
         F.lit(None).cast("bigint").alias("shared"),
     )
-    return pair_leg.unionByName(clean_leg)
+    bloom_leg = contamination_gram_candidates(
+        corpus, bench, "text", "doc_id", n=3, k=5, m=1 << 14
+    ).select(
+        F.lit("bloom").alias("part"),
+        F.col("corpus_id"),
+        F.lit(None).cast("bigint").alias("bench_id"),
+        F.col("candidate_grams").alias("shared"),
+    )
+    return pair_leg.unionByName(clean_leg).unionByName(bloom_leg)
 
 
 ORACLE_DECONTAMINATE = f"""
@@ -1151,6 +1168,31 @@ c AS (SELECT doc_id AS corpus_id, gram FROM x WHERE doc_id % 37 <> 0),
 j AS (
   SELECT corpus_id, bench_id, CAST(count(*) AS BIGINT) AS shared
   FROM c JOIN b USING (gram) GROUP BY 1, 2
+),
+bpos AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5('bloom' || CAST(jj AS VARCHAR) || ':' || gram), 1, 8))::BIGINT
+         % 16384 AS INTEGER) AS pos
+  FROM (SELECT DISTINCT gram FROM b)
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS jj)
+),
+ccell AS (
+  SELECT gram, jj,
+    CAST(('0x' || substr(md5('bloom' || CAST(jj AS VARCHAR) || ':' || gram), 1, 8))::BIGINT
+         % 16384 AS INTEGER) AS pos
+  FROM (SELECT DISTINCT gram FROM c)
+  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS jj)
+),
+cpass AS (
+  SELECT gram
+  FROM ccell LEFT JOIN (SELECT pos, 1 AS hit FROM bpos) USING (pos)
+  GROUP BY gram
+  HAVING min(coalesce(hit, 0)) = 1
+),
+bloomleg AS (
+  SELECT corpus_id, CAST(count(*) AS BIGINT) AS candidate_grams
+  FROM c JOIN cpass USING (gram)
+  GROUP BY 1
 )
 SELECT 'pair' AS part, corpus_id, bench_id, shared FROM j
 UNION ALL
@@ -1158,6 +1200,10 @@ SELECT 'clean' AS part, doc_id AS corpus_id,
        CAST(NULL AS BIGINT) AS bench_id, CAST(NULL AS BIGINT) AS shared
 FROM documents
 WHERE doc_id % 37 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM j)
+UNION ALL
+SELECT 'bloom' AS part, corpus_id, CAST(NULL AS BIGINT) AS bench_id,
+       candidate_grams AS shared
+FROM bloomleg
 """
 
 
