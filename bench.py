@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "embedding_diversity_sample",
     "embedding_semdedup",
     "nb_classifier_score",
+    "dedup_spans_exact",
 ]
 
 
@@ -300,6 +301,15 @@ def bench_overrides():
         weights, prior = train_nb_classifier(docs, "text", "lang", "en")
         return nb_score(docs, weights, prior)
 
+    def _spans(spark, sf_dir):
+        # duplicated-substring coverage (the 'span' leg of
+        # dedup_exact_documents, timed standalone): window hashing +
+        # one hash-agg + dup-set join + per-doc interval union
+        from transitlog_hfp_sink_spark.operators.spans import duplicated_window_stats
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return duplicated_window_stats(docs, "text", "doc_id", n=8)
+
     def _lm_bigram(spark, sf_dir):
         from transitlog_hfp_sink_spark.operators.lm import bigram_score, train_bigram_lm
 
@@ -325,6 +335,7 @@ def bench_overrides():
         "embedding_topk_ivfpq": _ivfpq,
         "embedding_semdedup": _semdedup,
         "nb_classifier_score": _nb_classifier,
+        "dedup_spans_exact": _spans,
     }
 
 THROUGHPUT_ROWS = 2_000_000

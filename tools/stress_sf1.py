@@ -87,6 +87,9 @@ def main() -> None:
         "lm_score_bigram",
         "embedding_topk_pq",
         "embedding_topk_ivfpq",
+        "embedding_semdedup",
+        "nb_classifier_score",
+        "dedup_spans_exact",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)

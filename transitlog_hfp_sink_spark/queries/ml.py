@@ -31,14 +31,73 @@ SQL_NORM = (
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at both granularities, tagged union (round 3 adds the
+    window level):
+
+    part='doc'  — document-level exact dedup (normalize -> md5 group):
+                  fingerprint, id = keep_id (min doc_id), n = copies;
+    part='span' — duplicated-SUBSTRING coverage (operators/spans.py,
+                  Lee et al. 2022 arXiv:2107.06499): per doc, how many
+                  of its 8-token windows occur >1 time corpus-wide
+                  (n = dup_windows) and the merged-interval fraction of
+                  its tokens inside such windows (frac). Every doc
+                  appears, zeros included. The full window hashing,
+                  duplicate counting, and interval union replay in SQL.
+    """
+    from transitlog_hfp_sink_spark.operators.spans import duplicated_window_stats
+
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    return dd.exact_dedup(docs, "text", "doc_id")
+    doc_leg = dd.exact_dedup(docs, "text", "doc_id").select(
+        F.lit("doc").alias("part"),
+        "fingerprint",
+        F.col("keep_id").alias("id"),
+        F.col("n_copies").alias("n"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    span_leg = duplicated_window_stats(docs, "text", "doc_id", n=8).select(
+        F.lit("span").alias("part"),
+        F.lit(None).cast("string").alias("fingerprint"),
+        F.col("doc_id").alias("id"),
+        F.col("dup_windows").alias("n"),
+        F.col("dup_token_frac").alias("frac"),
+    )
+    return doc_leg.unionByName(span_leg)
 
 
 ORACLE_DEDUP_EXACT = f"""
-SELECT md5({SQL_NORM.format(c='text')}) AS fingerprint,
-       min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY 1
+WITH sp_b AS (
+  SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS words
+  FROM documents
+),
+sp_tok AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM sp_b),
+sp_w AS (
+  SELECT doc_id, i - 1 AS start,
+    ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 15))::BIGINT AS whash
+  FROM sp_b, unnest(generate_series(1, len(words) - 8 + 1)) AS t(i)
+  WHERE len(words) >= 8
+),
+sp_dup AS (SELECT whash FROM sp_w GROUP BY 1 HAVING count(*) >= 2),
+sp_dw AS (
+  SELECT doc_id, start,
+    lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+  FROM (SELECT doc_id, start FROM sp_w JOIN sp_dup USING (whash))
+),
+sp_per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+    CAST(sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(nxt - start, 8) END) AS BIGINT)
+      AS dup_tokens
+  FROM sp_dw GROUP BY 1
+)
+SELECT 'doc' AS part, md5({SQL_NORM.format(c='text')}) AS fingerprint,
+       min(doc_id) AS id, count(*) AS n, CAST(NULL AS DOUBLE) AS frac
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'span' AS part, CAST(NULL AS VARCHAR) AS fingerprint, t.doc_id AS id,
+       coalesce(p.dup_windows, 0) AS n,
+       round(CASE WHEN t.n_tokens > 0
+                  THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens
+                  ELSE 0.0 END, 6) AS frac
+FROM sp_tok t LEFT JOIN sp_per p USING (doc_id)
 """
 
 
