@@ -24,6 +24,9 @@ PICKS = {
     "hybrid_search_rrf": "hybrid RRF: both retrieval legs broadcast-driven; fusion aggregates only |q| x topN x 2 rows",
     "embedding_diversity_sample": "diversity sampling: map-only codebook assignment, salted two-phase per-cluster top-k — Window-free",
     "lm_score_documents": "unigram LM: train agg + broadcast model join, decimal-exact NLL sum per doc",
+    "embedding_semdedup": "SemDeDup: map-only codebook assignment; within-cluster equi-join, never corpus all-pairs",
+    "nb_classifier_score": "NB classifier: hashed features, broadcast <=D-row model join, decimal-exact per-doc sum",
+    "dedup_spans_exact": "duplicated substrings: window hash-agg (map-side combine), dup-set equi-join, per-doc interval-union window",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):
@@ -36,6 +39,13 @@ def main(sf_dir="/root/testdata/sf0.01"):
     # the TPC-H tail lives behind tpch_power_run; snapshot members directly
     from transitlog_hfp_sink_spark.queries import tpch_extra
     qs.update(tpch_extra.QUERIES)
+    # round-3 standalone operators (registry runs them as legs of
+    # consolidated entries; snapshot the standalone bench shapes)
+    from bench import bench_overrides
+
+    _ov = bench_overrides()
+    for _n in ("embedding_semdedup", "nb_classifier_score", "dedup_spans_exact"):
+        qs[_n] = _ov[_n]
 
     # zorder_clustered_scan's registry entry re-derives the 32-term Morton
     # key per row (hash evidence), which swamps the snapshot cap; the plan
