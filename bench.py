@@ -200,6 +200,14 @@ def bench_overrides():
         )
         return sim.brute_force_topk(emb, queries, k=3)
 
+    def _dedup_exact_doc(spark, sf_dir):
+        # doc-level leg only (the registry entry now unions in the
+        # duplicated-substring span leg, timed as dedup_spans_exact)
+        from transitlog_hfp_sink_spark.operators.dedup import exact_dedup
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return exact_dedup(docs, "text", "doc_id")
+
     def _bm25_adhoc(spark, sf_dir):
         # standalone ad-hoc BM25 (the registry entry now unions in the
         # RRF hybrid leg for the correctness gate; time the legs apart)
@@ -323,6 +331,7 @@ def bench_overrides():
         "sessionize_events": _sessionize_batch,
         "dedup_minhash_lsh": _minhash_xx,
         "dedup_minhash_lsh_md5": q_minhash_pairs,
+        "dedup_exact_documents": _dedup_exact_doc,
         "embedding_topk_exact": _brute_topk,
         "text_search_bm25": _bm25_adhoc,
         "text_search_bm25_postings": _bm25_postings_query(),

@@ -66,9 +66,13 @@ def build_postings(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), search_tokens(text_col).alias("__toks")
     )
+    # explode_OUTER + null filter: the non-outer explode makes
+    # InferFiltersFromGenerate clone the regex tokenizer into a size()>0
+    # filter pushed below the widening exchange (single-task re-tokenize
+    # of the whole corpus — see operators/spans.py doc_windows)
     exploded = toks.select(
-        "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
-    )
+        "doc_id", F.size("__toks").alias("dl"), F.explode_outer("__toks").alias("term")
+    ).where(F.col("term").isNotNull())
     postings = exploded.groupBy("term", "doc_id").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
@@ -176,9 +180,13 @@ def bm25_search(
     stats = toks.select("doc_id", F.size("__toks").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    # explode_OUTER + null filter: the non-outer explode makes
+    # InferFiltersFromGenerate clone the regex tokenizer into a size()>0
+    # filter pushed below the widening exchange (single-task re-tokenize
+    # of the whole corpus — see operators/spans.py doc_windows)
     exploded = toks.select(
-        "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
-    )
+        "doc_id", F.size("__toks").alias("dl"), F.explode_outer("__toks").alias("term")
+    ).where(F.col("term").isNotNull())
     matched = exploded.join(F.broadcast(query_terms), on="term")
     # tf per (query, term, doc): each (query,term) row replicates every
     # token occurrence exactly once, so count(*) is the plain tf

@@ -19,10 +19,15 @@ Scale shape:
 - windows: staged normalize -> split -> shifted-slice zip (the
   operators/dedup.py gram machinery, one pass per row) + posexplode —
   corpus-token-count rows, map-only.
-- counting: one hash-agg on the 60-bit md5-prefix window hash
-  (map-side combine; the hash, not the window STRING, crosses the
-  wire). Duplicated-hash set joins back on the same key — shuffle
-  width is one bigint per window.
+- counting: a SINGLE pass — count() over a window partitioned by the
+  60-bit md5-prefix hash marks every occurrence with its corpus-wide
+  multiplicity in one shuffle (the hash, not the window STRING,
+  crosses the wire). A groupBy + join-back would recompute the whole
+  window explosion on both sides of the join (measured 2x the cost at
+  sf0.1), and a collect_list-based single pass would buffer a
+  degenerate hyper-frequent window ("the the the ...") into one row;
+  the analytic count has neither problem — sort-based, any
+  multiplicity, one scan.
 - per-doc coverage: duplicated windows partition cleanly by doc_id;
   interval union via lead() over (doc_id, start) — one keyed window,
   no driver state.
@@ -54,14 +59,22 @@ def doc_windows(
     )
     s2 = s1.select("doc_id", F.split("__norm", " ").alias("__words"))
     grams = s2.select("doc_id", grams_from_words(F.col("__words"), n).alias("__g"))
-    return grams.select(
-        "doc_id", F.posexplode("__g").alias("start", "__gram")
-    ).select(
-        "doc_id",
-        "start",
-        F.conv(F.substring(F.md5("__gram"), 1, _HASH_HEX), 16, 10)
-        .cast("bigint")
-        .alias("whash"),
+    # posexplode_OUTER + null filter, not posexplode: the non-outer form
+    # makes InferFiltersFromGenerate clone the ENTIRE gram-construction
+    # expression into a size()>0 filter that sinks below the widening
+    # exchange — the whole corpus re-derives its grams on one task
+    # (measured 10x on this stage at sf0.1). The outer form infers no
+    # filter; windowless docs yield one null row, dropped here.
+    return (
+        grams.select("doc_id", F.posexplode_outer("__g").alias("start", "__gram"))
+        .where(F.col("__gram").isNotNull())
+        .select(
+            "doc_id",
+            "start",
+            F.conv(F.substring(F.md5("__gram"), 1, _HASH_HEX), 16, 10)
+            .cast("bigint")
+            .alias("whash"),
+        )
     )
 
 
@@ -76,10 +89,11 @@ def duplicated_window_stats(
     appears (zeros when nothing is duplicated), so the output is a
     complete per-doc signal a filter can join on."""
     w = doc_windows(docs, text_col, id_col, n)
-    dup_hashes = w.groupBy("whash").agg(F.count("*").alias("__c")).where(
-        F.col("__c") >= 2
-    ).select("whash")
-    dw = w.join(dup_hashes, on="whash").select("doc_id", "start")
+    dw = (
+        w.withColumn("__c", F.count("*").over(Window.partitionBy("whash")))
+        .where(F.col("__c") >= 2)
+        .select("doc_id", "start")
+    )
     nxt = F.lead("start").over(Window.partitionBy("doc_id").orderBy("start"))
     contrib = F.when(nxt.isNull(), F.lit(n)).otherwise(
         F.least(nxt - F.col("start"), F.lit(n))
