@@ -88,6 +88,7 @@ def main() -> None:
         "embedding_topk_pq",
         "embedding_topk_ivfpq",
         "embedding_semdedup",
+        "embedding_semdedup_k64",
         "nb_classifier_score",
         "dedup_spans_exact",
     ]
@@ -114,6 +115,30 @@ def main() -> None:
         return out
 
     overrides["dedup_cluster_cc"] = _cluster_cc
+
+    def _semdedup_k64(spark, sf_dir):
+        # SemDeDup with a TRAINED 64-entry codebook: pair cost is
+        # sum(|cluster|^2)/2, so codebook size/balance is the scaling
+        # knob (production sizes k with the corpus, SemDeDup's regime);
+        # vs the fixed 8-entry test codebook this is ~3.4x at sf1
+        from pyspark.sql import functions as F
+
+        from transitlog_hfp_sink_spark.operators import similarity as sim
+
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        cents = sim.ivf_centroids(emb, n_lists=64, max_iter=8)
+        pairs, keep = sim.semantic_dedup(emb, cents, threshold=0.3)
+        return pairs.select(
+            "id_a", F.col("id_b").alias("other"), "cos_sim"
+        ).unionByName(
+            keep.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("cluster_id").cast("bigint").alias("other"),
+                F.col("dist2").alias("cos_sim"),
+            )
+        )
+
+    overrides["embedding_semdedup_k64"] = _semdedup_k64
     # warm page cache
     read_table(spark, DST, "documents").count()
     read_table(spark, DST, "embeddings").count()
