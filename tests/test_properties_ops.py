@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the round-3 operators: each must
+agree with a pure-Python referee on arbitrary small inputs — duplicated
+spans, count-min estimates, Bloom membership, SemDeDup keep rule."""
+
+from hypothesis import given, settings, strategies as st
+
+# small lowercase-word texts: tiny alphabet forces real duplication
+word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+text = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(text, min_size=1, max_size=10))
+def test_duplicated_spans_match_referee(spark, texts):
+    from transitlog_hfp_sink_spark.operators.spans import duplicated_window_stats
+
+    n = 3
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_window_stats(df, n=n).collect()}
+
+    from collections import Counter
+
+    wins = {
+        did: [" ".join(t.split()[i : i + n]) for i in range(max(len(t.split()) - n + 1, 0))]
+        if t else []
+        for did, t in rows
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    for did, t in rows:
+        toks = t.split() if t else [""]
+        starts = [i for i, w in enumerate(wins[did]) if counts[w] >= 2]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        assert got[did]["dup_windows"] == len(starts), (did, t)
+        assert got[did]["dup_tokens"] == len(covered), (did, t)
+        assert got[did]["n_tokens"] == len(toks), (did, t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+    st.integers(2, 5),
+    st.sampled_from([2, 8, 64]),
+)
+def test_cms_overestimate_property(spark, items, depth, width):
+    from collections import Counter
+
+    from transitlog_hfp_sink_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    cms = cms_build(df, "item", depth=depth, width=width)
+    est = {r["item"]: r["est"]
+           for r in cms_estimate(cms, df, "item", depth=depth, width=width).collect()}
+    exact = Counter(items)
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert n <= est[k] <= len(items), (k, n, est[k])
+    # each seed row's counters sum to the stream length
+    per_seed = {}
+    for r in cms.collect():
+        per_seed[r["seed"]] = per_seed.get(r["seed"], 0) + r["cnt"]
+    assert all(v == len(items) for v in per_seed.values())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="xyz01", min_size=1, max_size=6),
+             min_size=1, max_size=25, unique=True),
+    st.lists(st.text(alphabet="xyz01", min_size=1, max_size=6),
+             min_size=1, max_size=25, unique=True),
+    st.sampled_from([16, 256]),
+)
+def test_bloom_no_false_negatives_property(spark, members, probes, m):
+    from transitlog_hfp_sink_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    mdf = spark.createDataFrame([(x,) for x in members], "key string")
+    pdf = spark.createDataFrame([(x,) for x in set(members) | set(probes)], "key string")
+    filt = bloom_build(mdf, "key", k=3, m=m)
+    verdicts = {r["key"]: r["might_contain"]
+                for r in bloom_might_contain(filt, pdf, "key", k=3, m=m).collect()}
+    for x in members:
+        assert verdicts[x], x  # the guarantee, any m
+
+
+vec = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+).filter(lambda v: sum(x * x for x in v) > 1e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(vec, min_size=3, max_size=12, unique_by=tuple))
+def test_semdedup_keep_rule_property(spark, vecs):
+    from transitlog_hfp_sink_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [rows[0][1], rows[-1][1]]
+    pairs_df, keep_df = semantic_dedup(df, cents, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in pairs_df.collect()}
+    kept = {r["vec_id"] for r in keep_df.collect()}
+    # keep/drop partition the corpus, and every dropped id has a pair
+    all_ids = set(range(len(rows)))
+    dropped = all_ids - kept
+    assert dropped <= {i for p in pairs for i in p}
+    # a near-duplicate pair never keeps both of its ends
+    for a, b in pairs:
+        assert not (a in kept and b in kept), (a, b)
