@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "embedding_semdedup",
     "nb_classifier_score",
     "dedup_spans_exact",
+    "dedup_incremental",
 ]
 
 
@@ -172,7 +173,6 @@ def bench_overrides():
     from transitlog_hfp_sink_spark.operators import dedup as dd
     from transitlog_hfp_sink_spark.operators import similarity as sim
     from transitlog_hfp_sink_spark.operators.sessionize import session_stats
-    from transitlog_hfp_sink_spark.queries.ml import q_minhash_pairs
     from transitlog_hfp_sink_spark.queries.timeseries import (
         q_hourly_rollup,
         q_running_total,
@@ -189,6 +189,41 @@ def bench_overrides():
         docs = read_table(spark, sf_dir, "documents", widen=True)
         return dd.minhash_lsh_pairs(
             docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
+        )
+
+    def _minhash_md5(spark, sf_dir):
+        # md5 portable mode, full-corpus leg only (the registry entry now
+        # unions in the incremental leg, timed as dedup_incremental)
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3,
+            threshold=0.5, hash_fn="md5",
+        )
+
+    _incr_state: dict = {}
+
+    def _incremental(spark, sf_dir):
+        # the daily-ingest serving shape: the historical corpus's band +
+        # shingle index is PERSISTED once; the timed plan sketches only
+        # the new batch (doc_id % 5 == 0) and joins the stored index
+        import tempfile
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        if "dir" not in _incr_state:
+            old = docs.where(F.col("doc_id") % 5 != 0)
+            bands_df, sh_df = dd.build_minhash_index(
+                old, "text", "doc_id", num_perm=64, bands=16, shingle_n=3
+            )
+            d = tempfile.mkdtemp(prefix="bench-incr-")
+            bands_df.write.parquet(d + "/bands")
+            sh_df.write.parquet(d + "/shingles")
+            _incr_state["dir"] = d
+        new = docs.where(F.col("doc_id") % 5 == 0)
+        return dd.incremental_minhash_pairs(
+            new,
+            spark.read.parquet(_incr_state["dir"] + "/bands"),
+            spark.read.parquet(_incr_state["dir"] + "/shingles"),
+            "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5,
         )
 
     def _brute_topk(spark, sf_dir):
@@ -330,7 +365,8 @@ def bench_overrides():
         "window_running_total": q_running_total,
         "sessionize_events": _sessionize_batch,
         "dedup_minhash_lsh": _minhash_xx,
-        "dedup_minhash_lsh_md5": q_minhash_pairs,
+        "dedup_minhash_lsh_md5": _minhash_md5,
+        "dedup_incremental": _incremental,
         "dedup_exact_documents": _dedup_exact_doc,
         "embedding_topk_exact": _brute_topk,
         "text_search_bm25": _bm25_adhoc,

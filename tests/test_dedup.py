@@ -161,3 +161,41 @@ def test_winnow_fingerprints_identity_and_planted(spark, corpus):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 200) in got
     assert (8, 9) in got
+
+
+def test_incremental_matches_full_restriction(corpus):
+    """incremental_minhash_pairs over a persisted index == the full-corpus
+    run restricted to pairs touching the new batch (same params/seed)."""
+    full = dd.minhash_lsh_pairs(
+        corpus, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5
+    )
+    full_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+    old = corpus.where(F.col("doc_id") % 2 != 0)
+    new = corpus.where(F.col("doc_id") % 2 == 0)
+    bands_df, sh_df = dd.build_minhash_index(
+        old, "text", "doc_id", num_perm=64, bands=16, shingle_n=3
+    )
+    got = dd.incremental_minhash_pairs(
+        new, bands_df, sh_df, "text", "doc_id",
+        num_perm=64, bands=16, shingle_n=3, threshold=0.5,
+    )
+    got_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    want = {k: v for k, v in full_pairs.items() if k[0] % 2 == 0 or k[1] % 2 == 0}
+    assert got_pairs == want
+    # and the planted cross-split near-dups survive incrementality
+    assert any(k in got_pairs for k in ((8, 9), (18, 19), (0, 200), (0, 202)))
+
+
+def test_incremental_without_batch_self_pairs(corpus):
+    old = corpus.where(F.col("doc_id") % 2 != 0)
+    new = corpus.where(F.col("doc_id") % 2 == 0)
+    bands_df, sh_df = dd.build_minhash_index(
+        old, "text", "doc_id", num_perm=64, bands=16, shingle_n=3
+    )
+    got = dd.incremental_minhash_pairs(
+        new, bands_df, sh_df, "text", "doc_id",
+        num_perm=64, bands=16, shingle_n=3, threshold=0.5, within_batch=False,
+    )
+    for r in got.collect():
+        # every pair crosses the split: exactly one end is in the batch
+        assert (r["id_a"] % 2 == 0) != (r["id_b"] % 2 == 0), (r["id_a"], r["id_b"])

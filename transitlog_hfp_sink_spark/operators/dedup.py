@@ -205,6 +205,29 @@ def minhash_signatures(
     return exploded.groupBy("id").agg(*aggs)
 
 
+def banded_keys(
+    sig: DataFrame, num_perm: int, bands: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, band_hash) from a signature frame: split the num_perm
+    minima into `bands` rows-per-band groups and key each band. In md5
+    mode the key is the raw comma-joined minima string (portable to the
+    DuckDB twin); the xxhash64 fast path compresses it to 8 bytes to
+    shrink the band-join shuffle. This banded frame IS the persistable
+    LSH index — store it bucketed by (band, band_hash) and incremental
+    batches join it co-located (see incremental_minhash_pairs)."""
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.concat_ws(
+            ",", *[F.col(f"m_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    band_hashes = band_keys if hash_fn == "md5" else [F.xxhash64(k) for k in band_keys]
+    return sig.select(
+        "id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -232,19 +255,9 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
 
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed, hash_fn)
-    band_keys = [
-        F.concat_ws(
-            ",", *[F.col(f"m_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        )
-        for b in range(bands)
-    ]
-    band_hashes = band_keys if hash_fn == "md5" else [F.xxhash64(k) for k in band_keys]
-    banded = sig.select(
-        "id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
-    )
+    banded = banded_keys(sig, num_perm, bands, hash_fn)
     cands = (
         banded.alias("a")
         .join(
@@ -278,6 +291,123 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable near-dup index of a corpus: (bands, shingles).
+
+    bands:    (id, band, band_hash) — the LSH blocking table;
+    shingles: (id, shingles)        — the verify-side shingle sets.
+
+    At 100 TB both are written ONCE (bands bucketed by (band, band_hash),
+    shingles bucketed by id — sinks/bucketed.py), and every subsequent
+    ingest batch joins them co-located via incremental_minhash_pairs —
+    the historical corpus is never re-sketched."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed, hash_fn)
+    return (
+        banded_keys(sig, num_perm, bands, hash_fn),
+        shingle_frame(df, text_col, id_col, shingle_n),
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    threshold: float = 0.7,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW ingest batch against a PERSISTED index
+    (build_minhash_index) — the shape a 100 TB pipeline actually runs
+    daily: sketch only the increment, join the stored band table
+    (co-located when bucketed), verify against stored shingles. The
+    historical corpus contributes no compute beyond the index reads.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, covering new-x-old
+    pairs plus (with within_batch=True) new-x-new pairs. With the same
+    parameters/seed, the output is EXACTLY the full-corpus
+    minhash_lsh_pairs restricted to pairs touching the new batch
+    (asserted in tests/test_dedup.py and by the driver oracle's 'incr'
+    leg) — incrementality changes cost, not semantics. Assumes new ids
+    are not already in the index (re-ingest dedup is exact_dedup's job).
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    new_sig = minhash_signatures(
+        new_docs, text_col, id_col, num_perm, shingle_n, seed, hash_fn
+    )
+    new_banded = banded_keys(new_sig, num_perm, bands, hash_fn)
+    cross = (
+        new_banded.alias("a")
+        .join(
+            index_bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.id") != F.col("b.id"),
+            ],
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+    )
+    cands = cross
+    if within_batch:
+        within = (
+            new_banded.alias("a")
+            .join(
+                new_banded.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        cands = cands.unionByName(within)
+    cands = cands.distinct()
+    new_sh = shingle_frame(new_docs, text_col, id_col, shingle_n)
+    all_sh = index_shingles.unionByName(new_sh)
+    return (
+        cands.join(
+            all_sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            all_sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_bits(col: Column | str, bits: int = 64, shingle_n: int = 1) -> Column:

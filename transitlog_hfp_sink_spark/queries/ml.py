@@ -170,12 +170,31 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     3-gram shingles: the synthetic corpus shares a ~50-word vocabulary, so
     unigram Jaccard makes every pair a 'near-dup' (LSH degenerates to the
-    cross product); trigram shingles are discriminative."""
+    cross product); trigram shingles are discriminative.
+
+    Tagged union (round 3 adds the incremental shape):
+    part='full' — the whole-corpus pair run;
+    part='incr' — INCREMENTAL dedup: docs with doc_id % 5 == 0 play the
+                  new ingest batch, the rest the historical corpus whose
+                  persisted index (build_minhash_index) is the only thing
+                  the batch touches. Same params/seed, so the result is
+                  exactly the full run restricted to pairs touching the
+                  batch — the oracle pins that equivalence."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    return dd.minhash_lsh_pairs(
+    full_leg = dd.minhash_lsh_pairs(
         docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=3,
         threshold=0.5, hash_fn="md5",
+    ).select(F.lit("full").alias("part"), "id_a", "id_b", "jaccard")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx_bands, idx_sh = dd.build_minhash_index(
+        old, "text", "doc_id", num_perm=64, bands=16, shingle_n=3, hash_fn="md5"
     )
+    incr_leg = dd.incremental_minhash_pairs(
+        new, idx_bands, idx_sh, "text", "doc_id", num_perm=64, bands=16,
+        shingle_n=3, threshold=0.5, hash_fn="md5",
+    ).select(F.lit("incr").alias("part"), "id_a", "id_b", "jaccard")
+    return full_leg.unionByName(incr_leg)
 
 
 #: shared SQL fragments for the md5-mode sketch twins
@@ -241,7 +260,14 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
 """
 
 
-ORACLE_MINHASH = _minhash_oracle()
+ORACLE_MINHASH = f"""
+SELECT 'full' AS part, id_a, id_b, jaccard
+FROM ({_minhash_oracle().strip()}) mh_full
+UNION ALL
+SELECT 'incr' AS part, id_a, id_b, jaccard
+FROM ({_minhash_oracle().strip()}) mh_incr
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
 
 
 def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
