@@ -91,6 +91,7 @@ def main() -> None:
         "embedding_semdedup_k64",
         "nb_classifier_score",
         "dedup_spans_exact",
+        "dedup_incremental",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)

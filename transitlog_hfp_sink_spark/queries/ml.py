@@ -1549,14 +1549,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation in ONE declarative plan:
     exact dedup (keep lowest doc_id per normalized fingerprint) ->
     cheap quality gates (whitespace token count, punctuation ratio) ->
+    duplicated-SUBSTRING gate (round 3, operators/spans.py: drop docs
+    with > 50% of tokens inside 8-token windows that repeat corpus-wide
+    — the boilerplate cut document-level dedup cannot make) ->
     deterministic 50% sample -> stratified cap of 50 docs per lang.
-    Two window shuffles + the dedup agg; every stage is the md5-keyed
-    deterministic variant so the final SET is cross-engine exact."""
+    Three keyed shuffles + the window-hash agg; every stage is the
+    md5-keyed deterministic variant so the final SET is cross-engine
+    exact (dup_token_frac rides along in the output)."""
     from transitlog_hfp_sink_spark.operators.dedup import normalize_text
     from transitlog_hfp_sink_spark.operators.sampling import (
         hash_sample,
         stratified_take,
     )
+    from transitlog_hfp_sink_spark.operators.spans import duplicated_window_stats
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
     fp = F.md5(normalize_text(F.col("text"))).alias("fingerprint")
@@ -1574,10 +1579,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("keep_id"))
     )
     gated = deduped.where(n_ws.between(10, 10000) & (punct_ratio <= 0.2))
-    sampled = hash_sample(gated, "doc_id", keep_below="80", salt="cur")
+    spans = duplicated_window_stats(docs, "text", "doc_id", n=8).select(
+        "doc_id", "dup_token_frac"
+    )
+    span_gated = gated.join(spans, "doc_id").where(F.col("dup_token_frac") <= 0.5)
+    sampled = hash_sample(span_gated, "doc_id", keep_below="80", salt="cur")
     return (
         stratified_take(sampled, ["lang"], "doc_id", n_per_stratum=50, salt="cur")
-        .select("doc_id", "lang", "fingerprint")
+        .select("doc_id", "lang", "fingerprint", "dup_token_frac")
         .orderBy("doc_id")
     )
 
@@ -1595,13 +1604,48 @@ gated AS (
     AND len(string_split_regex(trim(text), '\\s+')) BETWEEN 10 AND 10000
     AND CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
 ),
+cur_b AS (
+  SELECT doc_id, string_split({SQL_NORM.format(c='text')}, ' ') AS words
+  FROM documents
+),
+cur_tok AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM cur_b),
+cur_w AS (
+  SELECT doc_id, i - 1 AS start,
+    ('0x' || substr(md5(array_to_string(words[i:i+7], ' ')), 1, 15))::BIGINT AS whash
+  FROM cur_b, unnest(generate_series(1, len(words) - 8 + 1)) AS t(i)
+  WHERE len(words) >= 8
+),
+cur_dup AS (SELECT whash FROM cur_w GROUP BY 1 HAVING count(*) >= 2),
+cur_dw AS (
+  SELECT doc_id, start,
+    lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+  FROM (SELECT doc_id, start FROM cur_w JOIN cur_dup USING (whash))
+),
+cur_per AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(nxt - start, 8) END) AS BIGINT)
+      AS dup_tokens
+  FROM cur_dw GROUP BY 1
+),
+cur_frac AS (
+  SELECT t.doc_id,
+    round(CASE WHEN t.n_tokens > 0
+               THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens
+               ELSE 0.0 END, 6) AS dup_token_frac
+  FROM cur_tok t LEFT JOIN cur_per p USING (doc_id)
+),
+span_gated AS (
+  SELECT g.doc_id, g.lang, g.fingerprint, f.dup_token_frac
+  FROM gated g JOIN cur_frac f USING (doc_id)
+  WHERE f.dup_token_frac <= 0.5
+),
 sampled AS (
-  SELECT * FROM gated
+  SELECT * FROM span_gated
   WHERE substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
 )
-SELECT doc_id, lang, fingerprint
+SELECT doc_id, lang, fingerprint, dup_token_frac
 FROM (
-  SELECT doc_id, lang, fingerprint,
+  SELECT doc_id, lang, fingerprint, dup_token_frac,
     row_number() OVER (
       PARTITION BY lang
       ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)), doc_id
