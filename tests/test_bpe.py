@@ -1,0 +1,170 @@
+"""BPE tokenizer: training determinism, cross-engine encode identity,
+and the documented two-pass-fixpoint semantics (operators/bpe.py)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.bpe import (
+    bpe_encode_expr,
+    bpe_encode_pandas,
+    bpe_tokens_expr,
+    bpe_train,
+    encode_text_python,
+    merges_vocab,
+    oracle_bpe_tokens_sql,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps under the brown table",
+    "quick brown foxes and lazy dogs, the lot of them!",
+    "THE THE THE the the the lazy lazy quick quick",
+    "a b c d e f g the end",
+] * 4
+
+WORDS = ["the", "lazy", "quick", "brown", "dog", "table", "fox", "a", "ab", "s"]
+
+
+def random_text(rng: random.Random) -> str:
+    n = rng.randrange(0, 30)
+    parts = []
+    for _ in range(n):
+        w = rng.choice(WORDS)
+        if rng.random() < 0.2:
+            w = w.upper()
+        if rng.random() < 0.15:
+            w += rng.choice([",", ".", "!!", "'s"])
+        parts.append(w)
+    sep = lambda: rng.choice([" ", "  ", "\t", "\n"])
+    return sep().join(parts)
+
+
+def test_train_deterministic_and_sensible():
+    m1 = bpe_train(CORPUS, num_merges=24)
+    m2 = bpe_train(CORPUS, num_merges=24)
+    assert m1 == m2
+    assert 0 < len(m1) <= 24
+    # 'th'/'the' must be learned on a the-heavy corpus
+    products = {a + b for a, b in m1}
+    assert "th" in products or "he" in products
+    assert "the" in products
+    # every merge operand is either a single char or an earlier product
+    seen = set()
+    for a, b in m1:
+        for side in (a, b):
+            assert len(side) == 1 or side in seen
+        seen.add(a + b)
+    vocab = merges_vocab(m1)
+    assert len(vocab) == len(set(vocab))
+    assert all(a + b in vocab for a, b in m1)
+
+
+def test_train_early_stop_on_tiny_corpus():
+    assert bpe_train(["x"], num_merges=8) == []
+    assert bpe_train([], num_merges=8) == []
+    # all-singleton pairs (each word once, no repeated pair) -> no merges
+    assert bpe_train(["ab", "cd", "ef"], num_merges=8) == []
+
+
+def test_two_pass_reaches_fixpoint():
+    """The docstring's proof, executed: a third replace pass never
+    changes the string, for any merge over adversarial repetitions."""
+    rng = random.Random(11)
+    for _ in range(300):
+        k = rng.randrange(1, 8)
+        text = " ".join(rng.choice(["a", "b", "ab"]) for _ in range(k))
+        spaced = " " + "".join(
+            (c + " ") if c != " " else "  " for c in text
+        ).replace("   ", "  ")
+        pat, rep = " a b ", " ab "
+        once = spaced.replace(pat, rep).replace(pat, rep)
+        assert once.replace(pat, rep) == once, (text, once)
+
+
+def test_python_referee_word_isolation():
+    merges = [("t", "h"), ("th", "e")]
+    # gap stays double: no merge may bridge 'not' + 'the'
+    assert encode_text_python("not the", merges) == ["n", "o", "t", "the"]
+    assert encode_text_python("the the", merges) == ["the", "the"]
+    assert encode_text_python("", merges) == []
+    assert encode_text_python("  !! ", merges) == []
+
+
+def test_encode_cross_engine_identity(spark):
+    """Spark expression chain == DuckDB generated SQL == pandas fast
+    path == Python referee, on fuzzed adversarial texts."""
+    rng = random.Random(7)
+    merges = bpe_train(CORPUS, num_merges=24)
+    texts = [random_text(rng) for _ in range(120)] + [
+        "", "   ", "the", "ththe the", "a a a a a", "ab ab abab",
+        "the' s do g!", "AB aB Ab ab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got_expr = {
+        r["id"]: r["tokens"]
+        for r in bpe_encode_expr(df, merges).collect()
+    }
+    got_pd = {
+        r["id"]: r["tokens"]
+        for r in bpe_encode_pandas(df, merges).collect()
+    }
+    con = duckdb.connect()
+    sql = oracle_bpe_tokens_sql(merges, "t")
+    for i, t in enumerate(texts):
+        want = encode_text_python(t, merges)
+        assert got_expr[i] == want, (i, t)
+        assert got_pd[i] == want, (i, t)
+        (joined,) = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS t)", [t]
+        ).fetchone()
+        assert joined.split() == want, (i, t)
+
+
+def test_tokens_rebuild_normalized_text(spark):
+    """Lossless: concatenated tokens == normalized text minus spaces."""
+    merges = bpe_train(CORPUS, num_merges=24)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id bigint, text string"
+    )
+    from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+
+    rows = df.select(
+        bpe_tokens_expr(F.col("text"), merges).alias("toks"),
+        F.replace(normalize_text("text"), F.lit(" "), F.lit("")).alias("flat"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert "".join(r["toks"]) == r["flat"]
+
+
+def test_encode_compresses_trained_words(spark):
+    """Trained merges reduce token counts vs raw characters on text
+    drawn from the training distribution."""
+    merges = bpe_train(CORPUS, num_merges=32)
+    df = spark.createDataFrame([(0, CORPUS[0])], "doc_id bigint, text string")
+    (row,) = bpe_encode_expr(df, merges).collect()
+    n_chars = len(CORPUS[0].replace(" ", ""))
+    assert 0 < row["n_tokens"] < n_chars
+    # the full word 'the' became one token
+    assert "the" in row["tokens"]
+
+
+def test_expr_plan_stays_codegen(spark):
+    """No Python evaluation in the expression path: a single projection,
+    no BatchEvalPython/ArrowEvalPython nodes."""
+    merges = bpe_train(CORPUS, num_merges=16)
+    df = spark.createDataFrame([(0, "the dog")], "doc_id bigint, text string")
+    plan = bpe_encode_expr(df, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("nm", [1, 4, 48])
+def test_num_merges_cap_respected(nm):
+    assert len(bpe_train(CORPUS, num_merges=nm)) <= nm

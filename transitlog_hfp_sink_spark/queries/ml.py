@@ -1338,19 +1338,70 @@ FROM documents
 """
 
 
+#: BPE merge table for the 'bpe' leg: operators/bpe.bpe_train(num_merges=40)
+#: run once over the sf0.01 documents corpus and checked in as a literal —
+#: a tokenizer vocabulary is a build artifact, like the SRP planes of
+#: embedding_sketches; re-derivable with tests/test_bpe.py's trainer. The
+#: Spark replace chain AND the DuckDB twin are both generated from this
+#: one list, so the driver hash-checks every merge application.
+BPE_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"),
+]
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk token packing for training export
-    (operators/pack.py): md5-sharded, shard-locally shuffled (md5
-    permutation), head-to-tail cumulative token layout cut every 512
-    tokens. Pure integer arithmetic over deterministic hashes — fully
-    hash-checked against DuckDB, including the permutation order."""
+    """Token pipeline for training export, two hash-checked legs:
+
+    part='pack' — concat-and-chunk packing (operators/pack.py):
+                  md5-sharded, shard-locally shuffled (md5 permutation),
+                  head-to-tail cumulative token layout cut every 512
+                  tokens. Pure integer arithmetic over deterministic
+                  hashes — hash-checked incl. the permutation order.
+    part='bpe'  — REAL subword tokenization (operators/bpe.py): the
+                  BPE_MERGES_V1 table applied as a pure replace-chain
+                  expression; n_tokens is the subword count and bpe_md5
+                  fingerprints the full token sequence, so the oracle
+                  (generated from the same merge list) verifies every
+                  merge application on every document."""
+    from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr
     from transitlog_hfp_sink_spark.operators.pack import pack_chunks
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    return pack_chunks(docs, budget=512, n_shards=8, salt="pack")
+    nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
+    pack_leg = pack_chunks(docs, budget=512, n_shards=8, salt="pack").select(
+        F.lit("pack").alias("part"),
+        "shard", "doc_id", "n_tokens", "start_pos",
+        "first_seq", "last_seq", "offset_in_seq",
+        nulls("string").alias("bpe_md5"),
+    )
+    toks = bpe_tokens_expr(F.col("text"), BPE_MERGES_V1)
+    bpe_leg = docs.select(
+        F.lit("bpe").alias("part"),
+        nulls("int").alias("shard"),
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        nulls("bigint").alias("start_pos"),
+        nulls("bigint").alias("first_seq"),
+        nulls("bigint").alias("last_seq"),
+        nulls("bigint").alias("offset_in_seq"),
+        F.md5(F.concat_ws(" ", toks)).alias("bpe_md5"),
+    )
+    return pack_leg.unionByName(bpe_leg)
 
 
-ORACLE_PACK = """
+def _oracle_pack_sql() -> str:
+    from transitlog_hfp_sink_spark.operators.bpe import oracle_bpe_tokens_sql
+
+    bpe_joined = oracle_bpe_tokens_sql(BPE_MERGES_V1, "text")
+    return f"""
 WITH t AS (
   SELECT CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
          doc_id,
@@ -1363,15 +1414,32 @@ c AS (
          CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM t
+),
+bpe AS (
+  SELECT doc_id, {bpe_joined} AS joined FROM documents
 )
-SELECT shard, doc_id, n_tokens,
+SELECT 'pack' AS part, shard, doc_id, n_tokens,
        cum - n_tokens AS start_pos,
        (cum - n_tokens) // 512 AS first_seq,
        CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
             ELSE (cum - n_tokens) // 512 END AS last_seq,
-       (cum - n_tokens) % 512 AS offset_in_seq
+       (cum - n_tokens) % 512 AS offset_in_seq,
+       CAST(NULL AS VARCHAR) AS bpe_md5
 FROM c
+UNION ALL
+SELECT 'bpe' AS part, CAST(NULL AS INTEGER) AS shard, doc_id,
+       CAST(CASE WHEN joined = '' THEN 0
+            ELSE len(string_split(joined, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS start_pos,
+       CAST(NULL AS BIGINT) AS first_seq,
+       CAST(NULL AS BIGINT) AS last_seq,
+       CAST(NULL AS BIGINT) AS offset_in_seq,
+       md5(joined) AS bpe_md5
+FROM bpe
 """
+
+
+ORACLE_PACK = _oracle_pack_sql()
 
 
 #: domain-mixing rate table for the 'mix' leg (src3+ fall to the default)
