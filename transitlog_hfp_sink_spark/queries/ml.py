@@ -1119,9 +1119,13 @@ FROM nbdoc CROSS JOIN nbprior
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis projection incl. language ID scored against the
     table's ground-truth lang column (registry consolidation, round 2:
-    absorbs langid_documents — lang_pred + lang in one pass) plus the
+    absorbs langid_documents — lang_pred + lang in one pass), the
     Gopher-style repetition signals (duplicate-line / duplicate-trigram
-    fractions). Still a map-only single-scan projection."""
+    fractions), and — round 3 — the C4/Gopher STRUCTURAL filter rules
+    (terminal-punctuation / short / bullet / ellipsis line fractions,
+    alphabetic-word fraction, symbol-to-word ratio, and the composite
+    c4_keep / gopher_keep verdicts a curation pipeline gates on). Still
+    a map-only single-scan projection."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
     return ta.analyze_documents(docs, "text", "doc_id", extra_cols=("lang",))
 
@@ -1162,30 +1166,49 @@ feat AS (
     length(text) AS n_chars,
     CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) AS awl,
     CAST(len(list_filter(words, w -> list_contains({_SW_ARR}, w))) AS DOUBLE) / len(words) AS swr,
-    CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) AS pr,
+    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) ELSE CAST(0.0 AS DOUBLE) END AS pr,
     len(ws_tokens) AS n_ws,
     len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS n_lines,
     len(list_distinct(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))) AS n_dlines,
     len([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)]) AS n_g3,
     len(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)])) AS n_dg3,
+    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
     {_SCORES_SQL.replace('words', 'list_distinct(words)')}
   FROM base
+),
+struct AS (
+  SELECT doc_id,
+    round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"'']$'))) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS term_punct_line_frac,
+    round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> len(string_split_regex(trim(l), '\\s+')) < 3)) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS short_line_frac,
+    round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS bullet_line_frac,
+    round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS ellipsis_line_frac,
+    round(CAST(len(list_filter(ws_tokens, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_ws, 4) AS alpha_word_frac,
+    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / n_ws, 4) AS symbol_word_ratio,
+    (n_ws >= 5 AND NOT contains(lower(text), '{{') AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep,
+    n_ws, awl
+  FROM (SELECT f.*, b.ws_tokens FROM feat f JOIN base b USING (doc_id))
 )
 SELECT doc_id, lang,
-  CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(feat.n_tokens AS INTEGER) AS n_tokens,
   CAST(n_chars AS INTEGER) AS n_chars,
-  round(awl, 4) AS avg_word_len,
+  round(feat.awl, 4) AS avg_word_len,
   round(swr, 4) AS stopword_ratio,
   round(pr, 4) AS punct_ratio,
-  round(CAST(0.3 * (CASE WHEN n_ws BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+  round(CAST(0.3 * (CASE WHEN feat.n_ws BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN feat.awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
       + 0.3 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
       + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
   round(CASE WHEN n_lines > 0 THEN CAST(n_lines - n_dlines AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_line_frac,
   round(CASE WHEN n_g3 > 0 THEN CAST(n_g3 - n_dg3 AS DOUBLE) / n_g3 ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_trigram_frac,
   {_LANG_CASE} AS lang_pred,
-  md5(norm) AS fingerprint
-FROM feat
+  md5(norm) AS fingerprint,
+  s.term_punct_line_frac, s.short_line_frac, s.bullet_line_frac,
+  s.ellipsis_line_frac, s.alpha_word_frac, s.symbol_word_ratio, s.c4_keep,
+  (s.n_ws BETWEEN 50 AND 100000 AND s.awl BETWEEN 3.0 AND 10.0
+   AND s.symbol_word_ratio <= 0.1 AND s.alpha_word_frac >= 0.8
+   AND s.bullet_line_frac <= 0.9 AND s.ellipsis_line_frac <= 0.3) AS gopher_keep
+FROM feat JOIN struct s USING (doc_id)
 """
 
 
