@@ -151,6 +151,18 @@ def shingle_frame(
     )
 
 
+
+def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over two shingle-set arrays, rounded to 6 dp.
+    0.0 when both sets are empty (docs shorter than the shingle width
+    have no n-grams; 'no evidence' must not read as 'identical', and the
+    raw 0/0 is an ANSI arithmetic error, not a NaN)."""
+    u = F.size(F.array_union(sh_a, sh_b))
+    return F.when(
+        u > 0, F.round(F.size(F.array_intersect(sh_a, sh_b)) / u, 6)
+    ).otherwise(F.lit(0.0))
+
+
 def _hash31(arr: Column, hash_fn: str = "xxhash64") -> Column:
     """Per-shingle 31-bit hashes (hash64 folded into [0, 2^31)):
     keeps a*h+b inside signed-64 range under ANSI overflow checking."""
@@ -279,14 +291,7 @@ def minhash_lsh_pairs(
         .join(
             sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -397,14 +402,7 @@ def incremental_minhash_pairs(
             all_sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
             "id_b",
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -555,11 +553,7 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(
-                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))),
-                6,
-            ).alias("jaccard"),
+            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -42,7 +42,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """0.0 when either vector has zero norm (a zero/padded embedding is
+    'similar to nothing', and ANSI mode makes the raw 0/0 an error, not
+    a NaN — a single failed encode must not kill a 100 TB scoring job)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
