@@ -129,3 +129,36 @@ def test_fuzz_layout_invariants_over_budgets_and_shards(spark):
             for r in rows_:
                 assert r["start_pos"] == pos, (budget, n_shards)
                 pos += r["n_tokens"]
+
+
+def test_pack_with_custom_token_count(spark):
+    """token_count override: packing by real subword widths (BPE) keeps
+    the layout laws (contiguity within shard, width = n_tokens) while
+    the widths differ from the whitespace count."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr, bpe_train
+    from transitlog_hfp_sink_spark.operators.pack import pack_chunks
+
+    texts = [(i, f"the quick brown fox number {i} jumps the fence") for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    merges = bpe_train([t for _, t in texts], num_merges=16)
+    toks = bpe_tokens_expr(F.col("text"), merges)
+
+    packed = pack_chunks(df, budget=32, n_shards=4, token_count=F.size(toks)).collect()
+    ws = {r["doc_id"]: r for r in pack_chunks(df, budget=32, n_shards=4).collect()}
+    got = {r["doc_id"]: r for r in packed}
+    assert set(got) == set(ws)
+    # subword widths differ from whitespace widths on this corpus
+    assert any(got[i]["n_tokens"] != ws[i]["n_tokens"] for i in got)
+    # layout law: docs within a shard tile the stream head-to-tail
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_pos"])
+        pos = 0
+        for r in rows:
+            assert r["start_pos"] == pos
+            assert r["offset_in_seq"] == pos % 32
+            pos += r["n_tokens"]

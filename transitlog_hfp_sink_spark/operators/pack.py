@@ -44,6 +44,7 @@ def pack_chunks(
     id_col: str = "doc_id",
     n_shards: int = 16,
     salt: str = "pack",
+    token_count: Column | None = None,
 ) -> DataFrame:
     """Assign every document its interval in the packed token stream.
 
@@ -62,11 +63,21 @@ def pack_chunks(
     shuffle into shards, a per-shard window cumsum. Shards are
     independent tasks — wall-clock scales with corpus/shards, no global
     serialization point.
+
+    `token_count` overrides the default whitespace count with any
+    deterministic per-doc width expression — e.g. a real subword count
+    (operators/bpe.bpe_tokens_expr) so the packed layout matches what
+    the training job will actually see.
     """
+    width = (
+        token_count
+        if token_count is not None
+        else whitespace_token_count(text_col)
+    )
     toks = df.select(
         shard_of(id_col, n_shards, salt).alias("shard"),
         F.col(id_col).alias("doc_id"),
-        whitespace_token_count(text_col).cast("bigint").alias("n_tokens"),
+        width.cast("bigint").alias("n_tokens"),
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("__ord"),
     )
     w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col("doc_id"))

@@ -1393,17 +1393,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                   expression; n_tokens is the subword count and bpe_md5
                   fingerprints the full token sequence, so the oracle
                   (generated from the same merge list) verifies every
-                  merge application on every document."""
+                  merge application on every document.
+    part='pack_bpe' — the two composed: the SAME concat-and-chunk
+                  layout computed over the REAL subword widths (what the
+                  training job actually sees), token_count override of
+                  pack_chunks; layout arithmetic over BPE counts is
+                  hash-checked end to end."""
     from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr
     from transitlog_hfp_sink_spark.operators.pack import pack_chunks
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
     nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
-    pack_leg = pack_chunks(docs, budget=512, n_shards=8, salt="pack").select(
-        F.lit("pack").alias("part"),
+    pack_cols = [
         "shard", "doc_id", "n_tokens", "start_pos",
         "first_seq", "last_seq", "offset_in_seq",
-        nulls("string").alias("bpe_md5"),
+    ]
+    pack_leg = pack_chunks(docs, budget=512, n_shards=8, salt="pack").select(
+        F.lit("pack").alias("part"), *pack_cols, nulls("string").alias("bpe_md5")
     )
     toks = bpe_tokens_expr(F.col("text"), BPE_MERGES_V1)
     bpe_leg = docs.select(
@@ -1417,7 +1423,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulls("bigint").alias("offset_in_seq"),
         F.md5(F.concat_ws(" ", toks)).alias("bpe_md5"),
     )
-    return pack_leg.unionByName(bpe_leg)
+    pack_bpe_leg = pack_chunks(
+        docs, budget=512, n_shards=8, salt="pack", token_count=F.size(toks)
+    ).select(
+        F.lit("pack_bpe").alias("part"), *pack_cols, nulls("string").alias("bpe_md5")
+    )
+    return pack_leg.unionByName(bpe_leg).unionByName(pack_bpe_leg)
 
 
 def _oracle_pack_sql() -> str:
@@ -1440,6 +1451,20 @@ c AS (
 ),
 bpe AS (
   SELECT doc_id, {bpe_joined} AS joined FROM documents
+),
+bt AS (
+  SELECT CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+         doc_id,
+         CAST(CASE WHEN joined = '' THEN 0
+              ELSE len(string_split(joined, ' ')) END AS BIGINT) AS n_tokens,
+         md5('pack' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM bpe
+),
+bc AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM bt
 )
 SELECT 'pack' AS part, shard, doc_id, n_tokens,
        cum - n_tokens AS start_pos,
@@ -1459,6 +1484,15 @@ SELECT 'bpe' AS part, CAST(NULL AS INTEGER) AS shard, doc_id,
        CAST(NULL AS BIGINT) AS offset_in_seq,
        md5(joined) AS bpe_md5
 FROM bpe
+UNION ALL
+SELECT 'pack_bpe' AS part, shard, doc_id, n_tokens,
+       cum - n_tokens AS start_pos,
+       (cum - n_tokens) // 512 AS first_seq,
+       CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+            ELSE (cum - n_tokens) // 512 END AS last_seq,
+       (cum - n_tokens) % 512 AS offset_in_seq,
+       CAST(NULL AS VARCHAR) AS bpe_md5
+FROM bc
 """
 
 
