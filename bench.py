@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "nb_classifier_score",
     "dedup_spans_exact",
     "dedup_incremental",
+    "text_quality_struct",
+    "bpe_encode_documents",
+    "bpe_encode_arrow",
+    "pack_bpe_compose",
 ]
 
 
@@ -360,9 +364,72 @@ def bench_overrides():
         pairs, hist, vstat = train_bigram_lm(docs, "text", "doc_id")
         return bigram_score(docs, pairs, hist, vstat, "text", "doc_id", k=0.5)
 
+    def _text_quality_classic(spark, sf_dir):
+        # pre-round-3 projection (no C4/Gopher structural columns) so the
+        # name's timing stays comparable; the full registry shape is
+        # timed as text_quality_struct
+        from transitlog_hfp_sink_spark.operators.textanalysis import analyze_documents
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return analyze_documents(docs, "text", "doc_id", ("lang",), structural=False)
+
+    def _text_quality_struct(spark, sf_dir):
+        from transitlog_hfp_sink_spark.operators.textanalysis import analyze_documents
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return analyze_documents(docs, "text", "doc_id", ("lang",))
+
+    def _pack_classic(spark, sf_dir):
+        # bare whitespace-width pack (the r1/r2 shape of this name; the
+        # registry entry now unions in the bpe + pack_bpe legs)
+        from transitlog_hfp_sink_spark.operators.pack import pack_chunks
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return pack_chunks(docs, budget=512, n_shards=8, salt="pack")
+
+    def _bpe_encode_expr(spark, sf_dir):
+        # tokenizer cost, expression path: the BPE_MERGES_V1 replace
+        # chain per row, forced through size+md5 so every token
+        # materializes
+        from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr
+        from transitlog_hfp_sink_spark.queries.ml import BPE_MERGES_V1
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        toks = bpe_tokens_expr(F.col("text"), BPE_MERGES_V1)
+        return docs.select(
+            "doc_id", F.size(toks).alias("n"), F.md5(F.concat_ws(" ", toks)).alias("h")
+        )
+
+    def _bpe_encode_arrow(spark, sf_dir):
+        # tokenizer cost, Arrow fast path (mapInPandas, vectorized
+        # replace passes — the production mode for big merge tables)
+        from transitlog_hfp_sink_spark.operators.bpe import bpe_encode_pandas
+        from transitlog_hfp_sink_spark.queries.ml import BPE_MERGES_V1
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return bpe_encode_pandas(docs, BPE_MERGES_V1)
+
+    def _pack_bpe(spark, sf_dir):
+        # tokenize -> pack composed over real subword widths
+        from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr
+        from transitlog_hfp_sink_spark.operators.pack import pack_chunks
+        from transitlog_hfp_sink_spark.queries.ml import BPE_MERGES_V1
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        toks = bpe_tokens_expr(F.col("text"), BPE_MERGES_V1)
+        return pack_chunks(
+            docs, budget=512, n_shards=8, salt="pack", token_count=F.size(toks)
+        )
+
     return {
         "events_hourly_rollup": q_hourly_rollup,
         "window_running_total": q_running_total,
+        "text_quality": _text_quality_classic,
+        "text_quality_struct": _text_quality_struct,
+        "pack_token_sequences": _pack_classic,
+        "bpe_encode_documents": _bpe_encode_expr,
+        "bpe_encode_arrow": _bpe_encode_arrow,
+        "pack_bpe_compose": _pack_bpe,
         "sessionize_events": _sessionize_batch,
         "dedup_minhash_lsh": _minhash_xx,
         "dedup_minhash_lsh_md5": _minhash_md5,

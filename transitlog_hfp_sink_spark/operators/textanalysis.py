@@ -246,6 +246,7 @@ def analyze_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     extra_cols: tuple[str, ...] = (),
+    structural: bool = True,
 ) -> DataFrame:
     """One-pass text-analysis projection over a documents table.
     `extra_cols` are passed through untouched (e.g. a ground-truth lang
@@ -298,7 +299,9 @@ def analyze_documents(
         F.split(F.trim(c), r"\s+").alias("__ws"),
     )
     n_ws_staged = F.size(F.col("__ws"))
-    struct = structure_signals(c, lines, F.col("__ws"), wl)
+    # structural=False skips the C4/Gopher columns (bench keeps the
+    # pre-round-3 projection timable under its original name)
+    struct = structure_signals(c, lines, F.col("__ws"), wl) if structural else {}
     return staged.select(
         F.col(id_col),
         *[F.col(x) for x in extra_cols],
