@@ -168,3 +168,41 @@ def test_expr_plan_stays_codegen(spark):
 @pytest.mark.parametrize("nm", [1, 4, 48])
 def test_num_merges_cap_respected(nm):
     assert len(bpe_train(CORPUS, num_merges=nm)) <= nm
+
+
+def test_token_ids_roundtrip(spark):
+    from transitlog_hfp_sink_spark.operators.bpe import (
+        bpe_ids_expr,
+        bpe_tokens_expr,
+        full_vocab,
+    )
+
+    merges = bpe_train(CORPUS, num_merges=24)
+    vocab = full_vocab(merges)
+    assert vocab[:36] == list("abcdefghijklmnopqrstuvwxyz0123456789")
+    assert len(vocab) == len(set(vocab))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS[:6] + ["", "zz9"])],
+        "doc_id bigint, text string",
+    )
+    rows = df.select(
+        bpe_tokens_expr(F.col("text"), merges).alias("toks"),
+        bpe_ids_expr(F.col("text"), merges).alias("ids"),
+    ).collect()
+    for r in rows:
+        assert len(r["toks"]) == len(r["ids"])
+        # ids decode back to the exact token strings (no OOV on the
+        # default alphabet)
+        assert [vocab[i] for i in r["ids"]] == r["toks"]
+        assert all(i >= 0 for i in r["ids"])
+
+
+def test_merge_table_persistence_roundtrip(spark, tmp_path):
+    from transitlog_hfp_sink_spark.operators.bpe import df_to_merges, merges_to_df
+
+    merges = bpe_train(CORPUS, num_merges=24)
+    p = str(tmp_path / "merges")
+    merges_to_df(spark, merges).write.parquet(p)
+    # repartitioned read must restore exact rank order
+    back = df_to_merges(spark.read.parquet(p).repartition(7))
+    assert back == merges

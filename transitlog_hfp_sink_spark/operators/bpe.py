@@ -169,6 +169,67 @@ def merges_vocab(merges: list[tuple[str, str]]) -> list[str]:
     return vocab
 
 
+#: default alphabet: normalize_text limits characters to [a-z0-9], so
+#: char-level fallback ids over this alphabet make every encodable token
+#: id-mappable (no OOV possible unless callers bypass normalization).
+DEFAULT_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def full_vocab(
+    merges: list[tuple[str, str]], alphabet: str = DEFAULT_ALPHABET
+) -> list[str]:
+    """Token id space: the single-character alphabet first (stable ids
+    independent of the merge table), then merge products in rank order —
+    the id layout GPT-style vocabularies use (bytes, then merges)."""
+    vocab = list(alphabet)
+    seen = set(vocab)
+    for a, b in merges:
+        m = a + b
+        if m not in seen:
+            seen.add(m)
+            vocab.append(m)
+    return vocab
+
+
+def bpe_ids_expr(
+    text: Column | str,
+    merges: list[tuple[str, str]],
+    alphabet: str = DEFAULT_ALPHABET,
+) -> Column:
+    """array<int> of token ids: the token array mapped through a LITERAL
+    map expression (vocab is tens-to-thousands of entries — an in-plan
+    constant, no join, no shuffle, no broadcast variable to manage).
+    Unknown tokens (only possible with a non-default alphabet) map to -1."""
+    vocab = full_vocab(merges, alphabet)
+    kv: list[Column] = []
+    for i, tok in enumerate(vocab):
+        kv.append(F.lit(tok))
+        kv.append(F.lit(i))
+    m = F.create_map(*kv)
+    return F.transform(
+        bpe_tokens_expr(text, merges),
+        lambda t: F.coalesce(F.element_at(m, t), F.lit(-1)).cast("int"),
+    )
+
+
+def merges_to_df(spark, merges: list[tuple[str, str]]):
+    """Persistable merge table: (rank, left, right). A tokenizer
+    vocabulary is an ARTIFACT — train once, write with
+    df.write.parquet(...), and every later job round-trips it with
+    df_to_merges; the table is a few KB and broadcasts trivially."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def df_to_merges(df) -> list[tuple[str, str]]:
+    """Inverse of merges_to_df; rank order restored regardless of the
+    storage partitioning (one bounded collect — the table is tiny)."""
+    rows = df.select("rank", "left", "right").collect()
+    return [(r["left"], r["right"]) for r in sorted(rows, key=lambda r: r["rank"])]
+
+
 def _spaced_doc(norm: Column) -> Column:
     """normalized text -> spaced symbols with DOUBLE-space word gaps:
     'ab cd' -> ' a b  c d '."""
