@@ -15,7 +15,7 @@ from transitlog_hfp_sink_spark.operators.bpe import (
     bpe_tokens_expr,
     bpe_train,
     encode_text_python,
-    merges_vocab,
+    full_vocab,
     oracle_bpe_tokens_sql,
 )
 
@@ -59,7 +59,7 @@ def test_train_deterministic_and_sensible():
         for side in (a, b):
             assert len(side) == 1 or side in seen
         seen.add(a + b)
-    vocab = merges_vocab(m1)
+    vocab = full_vocab(m1)
     assert len(vocab) == len(set(vocab))
     assert all(a + b in vocab for a, b in m1)
 
@@ -206,3 +206,18 @@ def test_merge_table_persistence_roundtrip(spark, tmp_path):
     # repartitioned read must restore exact rank order
     back = df_to_merges(spark.read.parquet(p).repartition(7))
     assert back == merges
+
+
+def test_train_encode_agree_on_repeated_runs():
+    """A trainer that segments differently from its own encoder learns
+    dead merges; on repeated-symbol runs both must use the replace-pass
+    semantics. 'aaaaa' must collapse to ONE trained token at encode."""
+    merges = bpe_train(["aaaaa"] * 10, num_merges=8)
+    assert encode_text_python("aaaaa", merges) == ["aaaaa"]
+    # every learned merge product is reachable at encode time: encoding
+    # the training word step-by-step exercises each merge in rank order
+    partial = []
+    for k in range(1, len(merges) + 1):
+        partial.append(encode_text_python("aaaaa", merges[:k]))
+    assert all(len(p) < 5 for p in partial)
+    assert [len(p) for p in partial] == sorted([len(p) for p in partial], reverse=True)

@@ -110,5 +110,10 @@ def test_pack_zero_token_docs(spark, docs):
 
     out = {r["doc_id"]: r for r in pack_chunks(docs, budget=8).collect()}
     assert len(out) == len(DOCS)
-    # an empty doc occupies zero width: first_seq == last_seq
-    assert out[0]["first_seq"] == out[0]["last_seq"]
+    # blank docs are ZERO tokens wide — no phantom budget unit from
+    # split('') == [''] — and hence span no sequence boundary
+    for i in (0, 1):
+        assert out[i]["n_tokens"] == 0
+        assert out[i]["first_seq"] == out[i]["last_seq"]
+    assert out[3]["n_tokens"] == 1
+    assert out[5]["n_tokens"] == 12

@@ -151,7 +151,24 @@ def test_structure_signals_gopher_keep_boundaries(spark):
 
 def test_structure_signals_empty_and_single_line(spark):
     got = _analyze(spark, ["", "one single line of text here"])
-    for i in (0, 1):
-        assert got[i]["bullet_line_frac"] in (0.0, None) or True
-    assert got[0]["term_punct_line_frac"] == 0.0  # no lines -> 0.0
+    # empty doc: every fraction is a definite 0.0 (no NULLs, no ANSI 0/0)
+    for name in (
+        "term_punct_line_frac", "short_line_frac", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "symbol_word_ratio",
+    ):
+        assert got[0][name] == 0.0, name
+    assert got[0]["c4_keep"] is False and got[0]["gopher_keep"] is False
     assert got[1]["short_line_frac"] == 0.0
+    assert got[1]["bullet_line_frac"] == 0.0
+    assert got[1]["alpha_word_frac"] == 1.0
+
+
+def test_structure_signals_crlf_lines(spark):
+    """CRLF documents: the trailing \\r must not defeat the
+    terminal-punctuation anchor or the ellipsis suffix check (and the
+    DuckDB twin agrees — covered by the oracle gate)."""
+    got = _analyze(spark, ["Good line one.\r\nGood line two.\r\n",
+                           "- a ...\r\n- b ...\r\nplain\r\n"])
+    assert got[0]["term_punct_line_frac"] == 1.0
+    assert got[1]["ellipsis_line_frac"] == 0.6667
+    assert got[1]["bullet_line_frac"] == 0.6667

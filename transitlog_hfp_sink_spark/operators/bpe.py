@@ -35,10 +35,14 @@ occurrence whose leading space was consumed by the immediately
 preceding match, so survivors are isolated and the second pass (a fresh
 scan) merges them all; replacement tokens are concatenations (never
 equal to either operand), so a pass cannot create new occurrences of
-its own pair. This is the standard apply-in-rank-order BPE encode; it
-differs from lowest-rank-first re-scan variants only when a later merge
-recreates an earlier pair — irrelevant for deterministic corpus
-tokenization, and the exact semantics are pinned by a three-way
+its own pair. This is the apply-in-rank-order BPE encode with
+simultaneous-pass run segmentation; it can differ from
+lowest-rank-first / greedy-pairwise variants on repeated-symbol runs
+('aaaaa' segments as (aa,a,aa), not greedy (aa,aa,a)) and when a later
+merge recreates an earlier pair. What matters for corpus tokenization
+is that TRAIN and ENCODE agree — bpe_train re-segments with these
+exact pass semantics, so learned merges fire at encode time — and that
+the semantics are engine-independent, pinned by a three-way
 Spark/DuckDB/Python fuzz (tests/test_bpe.py).
 
 Word-gap invariant (why double spaces survive the chain): a match
@@ -135,38 +139,20 @@ def bpe_train(
             break
         merges.append(best)
         a, b = best
-        merged = a + b
+        # re-segment with the ENCODER's exact semantics (two
+        # non-overlapping replace passes) — a greedy pairwise scan
+        # segments repeated-symbol runs differently ('aaaaa' ->
+        # (aa,aa,a) greedy vs (aa,a,aa) replace), and a trainer that
+        # disagrees with its own encoder learns merges that never fire
+        # at encode time
+        pat, rep = f" {a} {b} ", f" {a}{b} "
         new_words: dict[tuple[str, ...], int] = {}
         for syms, c in words.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
+            s = " " + " ".join(syms) + " "
+            key = tuple(s.replace(pat, rep).replace(pat, rep).split())
             new_words[key] = new_words.get(key, 0) + c
         words = new_words
     return merges
-
-
-def merges_vocab(merges: list[tuple[str, str]]) -> list[str]:
-    """Token id space of the merge table: operand characters/symbols and
-    merge products, ids by first appearance. Encoded output can contain
-    out-of-table single characters (any corpus char outside every
-    merge); id-map those with an OOV convention or union the corpus
-    alphabet in — the table itself stays a broadcastable literal."""
-    vocab: list[str] = []
-    seen: set[str] = set()
-    for a, b in merges:
-        for s in (a, b, a + b):
-            if s not in seen:
-                seen.add(s)
-                vocab.append(s)
-    return vocab
 
 
 #: default alphabet: normalize_text limits characters to [a-z0-9], so

@@ -81,8 +81,14 @@ def token_count(col: Column | str) -> Column:
 
 
 def whitespace_token_count(col: Column | str) -> Column:
+    """0 for blank text: split('') yields [''] in both engines, which
+    would count an empty document as one phantom token — visible as a
+    unit of budget in pack_chunks and as a off-by-one in every
+    length gate."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(c), r"\s+"))
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
 
 
 def _word_array(col: Column | str) -> Column:
@@ -137,9 +143,13 @@ def detect_language(col: Column | str) -> Column:
 def duplicate_line_fraction(col: Column | str) -> Column:
     """Repetition signal (Gopher-style): fraction of non-empty lines that
     repeat an earlier line. Boilerplate/scraped pages score high; 0.0 for
-    texts with at most one non-empty line."""
+    texts with at most one non-empty line.
+
+    Lines split on \r?\n so CRLF documents don't carry a trailing \r into
+    line-level regex anchors (Java's '$' matches before a final \r, RE2's
+    does not — a cross-engine divergence on Windows line endings)."""
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    lines = F.filter(F.split(c, "\r?\n"), lambda l: F.trim(l) != "")
     n = F.size(lines)
     return F.when(
         n > 0, (n - F.size(F.array_distinct(lines))) / n
@@ -196,7 +206,9 @@ def structure_signals(
     a precomputed average-word-length column (see analyze_documents' perf
     note — callers stage the expensive derivations once). Returns a dict
     of named columns; keep-verdicts included."""
-    n_ws = F.size(ws_tokens)
+    # blank text: ws_tokens is [''] (split semantics), which is zero
+    # real tokens — the fractions are 0.0, not 1/1 or an ANSI 0/0 error
+    n_ws = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(ws_tokens))
     term_frac = _line_frac(lines, lambda l: F.trim(l).rlike(TERMINAL_PUNCT_RE))
     short_frac = _line_frac(
         lines, lambda l: F.size(F.split(F.trim(l), r"\s+")) < 3
@@ -204,10 +216,17 @@ def structure_signals(
     bullet_frac = _line_frac(lines, lambda l: F.trim(l).rlike(BULLET_RE))
     ellipsis_frac = _line_frac(lines, lambda l: F.endswith(F.trim(l), F.lit("...")))
     alpha_frac = F.round(
-        F.size(F.filter(ws_tokens, lambda w: w.rlike("[A-Za-z]"))) / n_ws, 4
+        F.when(
+            n_ws > 0,
+            F.size(F.filter(ws_tokens, lambda w: w.rlike("[A-Za-z]"))) / n_ws,
+        ).otherwise(F.lit(0.0)),
+        4,
     )
     symbol_ratio = F.round(
-        (_occurrences(text, "#") + _occurrences(text, "...")) / n_ws, 4
+        F.when(
+            n_ws > 0, (_occurrences(text, "#") + _occurrences(text, "...")) / n_ws
+        ).otherwise(F.lit(0.0)),
+        4,
     )
     wl_lo, wl_hi = GOPHER_WORDLEN_RANGE
     w_lo, w_hi = GOPHER_WORDS_RANGE
@@ -294,11 +313,11 @@ def analyze_documents(
         F.col(text_col),
         F.col("__norm"),
         F.col("__words"),
-        F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
+        F.filter(F.split(c, "\r?\n"), lambda l: F.trim(l) != "").alias("__lines"),
         grams_from_words(F.col("__words"), 3).alias("__grams"),
         F.split(F.trim(c), r"\s+").alias("__ws"),
     )
-    n_ws_staged = F.size(F.col("__ws"))
+    n_ws_staged = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(F.col("__ws")))
     # structural=False skips the C4/Gopher columns (bench keeps the
     # pre-round-3 projection timable under its original name)
     struct = structure_signals(c, lines, F.col("__ws"), wl) if structural else {}

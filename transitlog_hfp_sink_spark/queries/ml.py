@@ -1168,11 +1168,11 @@ feat AS (
     CAST(len(list_filter(words, w -> list_contains({_SW_ARR}, w))) AS DOUBLE) / len(words) AS swr,
     CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) ELSE CAST(0.0 AS DOUBLE) END AS pr,
     len(ws_tokens) AS n_ws,
-    len(list_filter(string_split(text, chr(10)), l -> trim(l) <> '')) AS n_lines,
-    len(list_distinct(list_filter(string_split(text, chr(10)), l -> trim(l) <> ''))) AS n_dlines,
+    len(list_filter(string_split_regex(text, '\r?\n'), l -> trim(l) <> '')) AS n_lines,
+    len(list_distinct(list_filter(string_split_regex(text, '\r?\n'), l -> trim(l) <> ''))) AS n_dlines,
     len([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)]) AS n_g3,
     len(list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)])) AS n_dg3,
-    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+    list_filter(string_split_regex(text, '\r?\n'), l -> trim(l) <> '') AS lines,
     {_SCORES_SQL.replace('words', 'list_distinct(words)')}
   FROM base
 ),
@@ -1439,7 +1439,7 @@ def _oracle_pack_sql() -> str:
 WITH t AS (
   SELECT CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
          doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
          md5('pack' || CAST(doc_id AS VARCHAR)) AS ord
   FROM documents
 ),
