@@ -27,6 +27,8 @@ PICKS = {
     "embedding_semdedup": "SemDeDup: map-only codebook assignment; within-cluster equi-join, never corpus all-pairs",
     "nb_classifier_score": "NB classifier: hashed features, broadcast <=D-row model join, decimal-exact per-doc sum",
     "dedup_spans_exact": "duplicated substrings: window hash-agg (map-side combine), dup-set equi-join, per-doc interval-union window",
+    "bpe_encode_documents": "BPE encode: one map-only projection, replace chain inside whole-stage codegen, zero Python/zero exchange",
+    "pack_bpe_compose": "tokenize->pack: subword widths feed the same one-shuffle per-shard window cumsum",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):
@@ -44,7 +46,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
     from bench import bench_overrides
 
     _ov = bench_overrides()
-    for _n in ("embedding_semdedup", "nb_classifier_score", "dedup_spans_exact"):
+    for _n in ("embedding_semdedup", "nb_classifier_score", "dedup_spans_exact",
+               "bpe_encode_documents", "pack_bpe_compose"):
         qs[_n] = _ov[_n]
 
     # zorder_clustered_scan's registry entry re-derives the 32-term Morton
