@@ -92,6 +92,10 @@ def main() -> None:
         "nb_classifier_score",
         "dedup_spans_exact",
         "dedup_incremental",
+        "text_quality_struct",
+        "bpe_encode_documents",
+        "bpe_encode_arrow",
+        "pack_bpe_compose",
     ]
     # same mode/shape continuity rules as bench.py (xxhash64 fast path
     # under the historical names; postings serving shape; brute-only topk)
