@@ -221,3 +221,37 @@ def test_train_encode_agree_on_repeated_runs():
         partial.append(encode_text_python("aaaaa", merges[:k]))
     assert all(len(p) < 5 for p in partial)
     assert [len(p) for p in partial] == sorted([len(p) for p in partial], reverse=True)
+
+
+def test_fuzz_random_merge_tables(spark):
+    """Property fuzz beyond trained tables: ARBITRARY (even degenerate)
+    merge lists — repeated operands, chained products, self-pairs — must
+    keep the three-way identity Spark == DuckDB == Python referee."""
+    rng = random.Random(23)
+    con = duckdb.connect()
+    for trial in range(12):
+        syms = ["a", "b", "c"]
+        merges = []
+        for _ in range(rng.randrange(1, 6)):
+            x, y = rng.choice(syms), rng.choice(syms)
+            merges.append((x, y))
+            syms.append(x + y)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randrange(1, 7)))
+                for _ in range(rng.randrange(0, 6))
+            )
+            for _ in range(20)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        got = {r["id"]: r["tokens"] for r in bpe_encode_expr(df, merges).collect()}
+        sql = oracle_bpe_tokens_sql(merges, "t")
+        for i, t in enumerate(texts):
+            want = encode_text_python(t, merges)
+            assert got[i] == want, (trial, merges, t)
+            (joined,) = con.execute(
+                f"SELECT {sql} FROM (SELECT ? AS t)", [t]
+            ).fetchone()
+            assert joined.split() == want, (trial, merges, t)

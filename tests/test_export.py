@@ -51,3 +51,29 @@ def test_export_is_byte_deterministic(spark, sf_dir, tmp_path):
         return out
 
     assert shard_bytes(a) == shard_bytes(b)
+
+
+def test_export_packed_bpe_sequences(spark, tmp_path):
+    """End-to-end training export: tokenize (BPE) -> pack by subword
+    widths -> sharded JSONL. The shard layout is content-keyed and the
+    packed metadata rides along losslessly."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr, bpe_train
+    from transitlog_hfp_sink_spark.operators.pack import pack_chunks
+    from transitlog_hfp_sink_spark.sinks.export import write_jsonl_shards
+
+    texts = [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    merges = bpe_train([t for _, t in texts], num_merges=16)
+    toks = bpe_tokens_expr(F.col("text"), merges)
+    packed = pack_chunks(df, budget=64, n_shards=4, token_count=F.size(toks)).join(
+        df, "doc_id"
+    )
+    out = str(tmp_path / "export")
+    write_jsonl_shards(packed, out, n_shards=4)
+    back = spark.read.json(out + "/__shard=*")
+    assert back.count() == 30
+    got = {r["doc_id"]: r["n_tokens"] for r in back.collect()}
+    want = {r["doc_id"]: r["n_tokens"] for r in packed.collect()}
+    assert got == want
