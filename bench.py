@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "bpe_encode_documents",
     "bpe_encode_arrow",
     "pack_bpe_compose",
+    "corpus_profile",
 ]
 
 
@@ -409,6 +410,13 @@ def bench_overrides():
         docs = read_table(spark, sf_dir, "documents", widen=True)
         return bpe_encode_pandas(docs, BPE_MERGES_V1)
 
+    def _corpus_profile(spark, sf_dir):
+        # the per-source data card: one hash-agg over documents
+        from transitlog_hfp_sink_spark.operators.profile import corpus_profile
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        return corpus_profile(docs, "text", ("source", "lang"))
+
     def _pack_bpe(spark, sf_dir):
         # tokenize -> pack composed over real subword widths
         from transitlog_hfp_sink_spark.operators.bpe import bpe_tokens_expr
@@ -430,6 +438,7 @@ def bench_overrides():
         "bpe_encode_documents": _bpe_encode_expr,
         "bpe_encode_arrow": _bpe_encode_arrow,
         "pack_bpe_compose": _pack_bpe,
+        "corpus_profile": _corpus_profile,
         "sessionize_events": _sessionize_batch,
         "dedup_minhash_lsh": _minhash_xx,
         "dedup_minhash_lsh_md5": _minhash_md5,

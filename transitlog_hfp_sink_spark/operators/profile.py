@@ -1,0 +1,90 @@
+"""Corpus profiling: the per-source "data card" a curation run reports.
+
+One hash-aggregation over the documents table yields, per group (source,
+domain, language — any grouping), the counts a 100 TB pipeline tracks
+run-over-run: document and token totals, token-length percentiles,
+exact-duplicate rate, quality-gate pass rates. This is the observability
+companion of the curation pipeline (queries/ml.py:q_curation_pipeline):
+the gates decide per document, the profile says what the corpus looked
+like before/after.
+
+Plan shape: one map-side projection (token counts, fingerprints, gate
+verdicts) and ONE shuffle into the group-by. The duplicate rate needs a
+distinct count of fingerprints, which Spark plans as a two-phase
+aggregate (partial distinct per partition, then merge) — still a single
+exchange on the group key. At production scale swap the exact
+count_distinct for approx_count_distinct(fingerprint) (HLL++, mergeable,
+fixed memory) — the parameter `exact_distinct=False` does exactly that;
+exact mode is the default so tests and referees stay deterministic.
+
+Percentiles use Spark's exact `percentile` (full sort within group in
+the agg buffer) by default; at 100 TB pass `approx_percentiles=True`
+for the t-digest-style `percentile_approx` with bounded memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.operators.textanalysis import (
+    quality_score,
+    whitespace_token_count,
+)
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    exact_distinct: bool = True,
+    approx_percentiles: bool = False,
+) -> DataFrame:
+    """Per-group corpus statistics:
+
+    n_docs, n_tokens, p50_tokens / p90_tokens (token-length distribution),
+    dup_doc_rate (1 - distinct normalized fingerprints / docs),
+    mean_quality and quality_pass_rate (quality_score >= 0.5),
+    empty_doc_rate.
+    """
+    c = F.col(text_col)
+    staged = df.select(
+        *[F.col(g) for g in group_cols],
+        whitespace_token_count(c).cast("bigint").alias("__nt"),
+        F.md5(normalize_text(c)).alias("__fp"),
+        quality_score(c).alias("__q"),
+    )
+    n_distinct = (
+        F.count_distinct(F.col("__fp"))
+        if exact_distinct
+        else F.approx_count_distinct(F.col("__fp"))
+    )
+    pctl = (
+        (lambda p: F.percentile_approx("__nt", p))
+        if approx_percentiles
+        else (lambda p: F.percentile("__nt", p))
+    )
+    n = F.count(F.lit(1))
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            n.alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.round(pctl(0.5).cast("double"), 4).alias("p50_tokens"),
+            F.round(pctl(0.9).cast("double"), 4).alias("p90_tokens"),
+            F.round(1.0 - n_distinct / n, 6).alias("dup_doc_rate"),
+            # decimal-exact sum before the divide (the repo's cross-engine
+            # float idiom): quality is a 4-dp value, so the mean is
+            # bit-identical in Spark and DuckDB
+            F.round(
+                (F.sum(F.col("__q").cast("decimal(20,4)")) / n).cast("double"), 4
+            ).alias("mean_quality"),
+            F.round(
+                F.sum(F.when(F.col("__q") >= 0.5, 1).otherwise(0)) / n, 6
+            ).alias("quality_pass_rate"),
+            F.round(
+                F.sum(F.when(F.col("__nt") == 0, 1).otherwise(0)) / n, 6
+            ).alias("empty_doc_rate"),
+        )
+    )

@@ -121,7 +121,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     part='distinct' — the former distinct_counts entry: exact
                       multi-column distinct aggregation + the HLL++
                       |approx-exact|<=5% contract boolean per event type
-                      (grp = event_type)."""
+                      (grp = event_type);
+    part='profile'  — the corpus data card (operators/profile.py,
+                      round 3): per-source document/token totals,
+                      token-length percentiles, exact-duplicate /
+                      quality-pass / empty-doc rates over the documents
+                      table (grp = source) — every statistic replayed
+                      in the DuckDB twin."""
     orders = read_table(spark, sf_dir, "orders")
     pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
     nb = F.lit(None).cast("bigint")
@@ -146,10 +152,65 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("p25"), nd.alias("p50"), nd.alias("p75"), nd.alias("p90"),
         "n_users", "n_events", "first_ts", "last_ts", "approx_within_5pct",
     )
-    return pctl_leg.unionByName(distinct_leg)
+    from transitlog_hfp_sink_spark.operators.profile import corpus_profile
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    profile_leg = corpus_profile(docs, "text", ("source",)).select(
+        F.lit("profile").alias("part"),
+        F.col("source").alias("grp"),
+        nd.alias("p25"), F.col("p50_tokens").alias("p50"),
+        nd.alias("p75"), F.col("p90_tokens").alias("p90"),
+        nb.alias("n_users"), nb.alias("n_events"),
+        nt.alias("first_ts"), nt.alias("last_ts"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
+        "n_docs", "n_tokens", "dup_doc_rate", "mean_quality",
+        "quality_pass_rate", "empty_doc_rate",
+    )
+    pad = [
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("dup_doc_rate"),
+        F.lit(None).cast("double").alias("mean_quality"),
+        F.lit(None).cast("double").alias("quality_pass_rate"),
+        F.lit(None).cast("double").alias("empty_doc_rate"),
+    ]
+    return (
+        pctl_leg.select("*", *pad)
+        .unionByName(distinct_leg.select("*", *pad))
+        .unionByName(profile_leg)
+    )
 
 
-ORACLE_PERCENTILES = """
+def _oracle_percentiles_sql() -> str:
+    from transitlog_hfp_sink_spark.operators.textanalysis import STOPWORDS
+    from transitlog_hfp_sink_spark.queries.ml import SQL_NORM
+
+    norm = SQL_NORM.format(c="text")
+    sw_arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    pad = """
+  CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens,
+  CAST(NULL AS DOUBLE) AS dup_doc_rate, CAST(NULL AS DOUBLE) AS mean_quality,
+  CAST(NULL AS DOUBLE) AS quality_pass_rate, CAST(NULL AS DOUBLE) AS empty_doc_rate"""
+    return f"""
+WITH pdoc AS (
+  SELECT source,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+    md5({norm}) AS fp,
+    string_split({norm}, ' ') AS words,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE CAST(0.0 AS DOUBLE) END AS pr
+  FROM documents
+),
+pq AS (
+  SELECT source, nt, fp,
+    round(CAST(0.3 * (CASE WHEN nt BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * (CASE WHEN CAST(len(list_filter(words, w -> list_contains({sw_arr}, w))) AS DOUBLE) / len(words) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS q
+  FROM pdoc
+)
 SELECT 'pctl' AS part, o_orderpriority AS grp,
   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
   round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
@@ -157,7 +218,7 @@ SELECT 'pctl' AS part, o_orderpriority AS grp,
   round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
   CAST(NULL AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS n_events,
   CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts,
-  CAST(NULL AS BOOLEAN) AS approx_within_5pct
+  CAST(NULL AS BOOLEAN) AS approx_within_5pct,{pad}
 FROM orders GROUP BY o_orderpriority
 UNION ALL
 SELECT 'distinct' AS part, event_type AS grp,
@@ -165,9 +226,28 @@ SELECT 'distinct' AS part, event_type AS grp,
   CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS p90,
   count(DISTINCT user_id) AS n_users, count(*) AS n_events,
   min(ts) AS first_ts, max(ts) AS last_ts,
-  TRUE AS approx_within_5pct
+  TRUE AS approx_within_5pct,{pad}
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'profile' AS part, source AS grp,
+  CAST(NULL AS DOUBLE) AS p25,
+  round(CAST(quantile_cont(nt, 0.50) AS DOUBLE), 4) AS p50,
+  CAST(NULL AS DOUBLE) AS p75,
+  round(CAST(quantile_cont(nt, 0.90) AS DOUBLE), 4) AS p90,
+  CAST(NULL AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS n_events,
+  CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts,
+  CAST(NULL AS BOOLEAN) AS approx_within_5pct,
+  count(*) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_doc_rate,
+  round(CAST(sum(CAST(q AS DECIMAL(20,4))) / count(*) AS DOUBLE), 4) AS mean_quality,
+  round(CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS quality_pass_rate,
+  round(CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS empty_doc_rate
+FROM pq GROUP BY source
 """
+
+
+ORACLE_PERCENTILES = _oracle_percentiles_sql()
 
 _EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
 
