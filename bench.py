@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "bpe_encode_arrow",
     "pack_bpe_compose",
     "corpus_profile",
+    "trajectory_similarity",
 ]
 
 
@@ -410,6 +411,29 @@ def bench_overrides():
         docs = read_table(spark, sf_dir, "documents", widen=True)
         return bpe_encode_pandas(docs, BPE_MERGES_V1)
 
+    def _trajectory_similarity(spark, sf_dir):
+        # trajectory top-k over signature vectors: one hash-agg to build
+        # signatures, broadcast queries, map-only distance scan
+        from transitlog_hfp_sink_spark.operators.trajsim import (
+            trajectory_signatures,
+            trajectory_topk,
+        )
+        from transitlog_hfp_sink_spark.queries.hfp import synth_vehicles
+
+        v = synth_vehicles(spark, sf_dir).where(
+            F.col("jrn").isNotNull()
+            & F.col("lat").isNotNull()
+            & F.col("long").isNotNull()
+            & F.col("tst").isNotNull()
+        )
+        sigs = trajectory_signatures(
+            v, "unique_vehicle_id", ("tst", "jrn"), "lat", "long", m=8
+        )
+        queries = sigs.where(F.substring("id", -1, 1) == "0").select(
+            F.col("id").alias("query_id"), "sig"
+        )
+        return trajectory_topk(sigs, queries, k=3)
+
     def _corpus_profile(spark, sf_dir):
         # the per-source data card: one hash-agg over documents
         from transitlog_hfp_sink_spark.operators.profile import corpus_profile
@@ -439,6 +463,7 @@ def bench_overrides():
         "bpe_encode_arrow": _bpe_encode_arrow,
         "pack_bpe_compose": _pack_bpe,
         "corpus_profile": _corpus_profile,
+        "trajectory_similarity": _trajectory_similarity,
         "sessionize_events": _sessionize_batch,
         "dedup_minhash_lsh": _minhash_xx,
         "dedup_minhash_lsh_md5": _minhash_md5,

@@ -1,0 +1,113 @@
+"""Trajectory similarity search over vehicle position streams.
+
+Distributed top-k trajectory similarity (the REPOSE ICDE'21 / EDBT'19
+streaming-similarity problem) re-expressed Spark-first: every
+trajectory is reduced to a fixed-length SIGNATURE vector — an
+index-uniform sample of its ordered point sequence, interleaved
+(x0,y0,x1,y1,...) — and similarity search becomes vector search, where
+the whole existing ANN stack applies (brute-force for exact results,
+similarity.lsh_topk / pq_adc_topk over the signature column for
+fleet-scale corpora).
+
+Why index-uniform sampling (reference points at fixed fractions of the
+sequence) instead of time-resampling: it is a PURE EXPRESSION —
+array_sort + element_at over a collected point array — so the signature
+build is one hash-aggregation per trajectory with no Python, and the
+DuckDB twin replays it exactly (list aggregation + list indexing),
+which makes the whole search driver-hash-checkable. The time-uniform
+variant lives in operators/resample.py (applyInPandas) for callers that
+need physical-time alignment.
+
+Scale shape: signatures = groupBy(vehicle) collect + sample (one
+shuffle, output one short row per trajectory — thousands of doubles per
+MILLION input points); search = broadcast query signatures, map-only
+distance scan, per-query top-k window over k rows. The corpus never
+self-joins. L2 distance sums run in array order in both engines, so
+results are bit-identical after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def trajectory_signatures(
+    df: DataFrame,
+    id_col: str = "unique_vehicle_id",
+    order_cols: tuple[str, ...] = ("tst",),
+    x_col: str = "lat",
+    y_col: str = "long",
+    m: int = 8,
+) -> DataFrame:
+    """(id, n_points, sig array<double> length 2*m).
+
+    Points are ordered by (order_cols, x, y) — appending the coordinates
+    makes the sort total even when timestamps tie, so the signature is
+    deterministic under any input partitioning. Sample positions are
+    floor(i*(n-1)/(m-1)) for i in 0..m-1 (first and last point always
+    included); single-point trajectories repeat their point m times.
+    """
+    pt = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    grouped = df.groupBy(F.col(id_col).alias("id")).agg(
+        F.array_sort(F.collect_list(pt)).alias("__pts")
+    )
+    n = F.size(F.col("__pts"))
+
+    def pos(i: int) -> Column:
+        # 1-based element_at; n==1 -> position 1 for every i
+        return (F.floor(F.lit(i) * (n - 1) / F.lit(m - 1)) + 1).cast("int")
+
+    coords = []
+    for i in range(m):
+        e = F.element_at(F.col("__pts"), pos(i))
+        coords.extend([e["__x"], e["__y"]])
+    return grouped.select(
+        "id", n.alias("n_points"), F.array(*coords).alias("sig")
+    )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance between equal-length double arrays; element
+    order of the sum is the array order in both engines."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def trajectory_topk(
+    signatures: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k most-similar trajectories per query signature
+    (ascending L2 over signatures, self-matches excluded, deterministic
+    neighbor-id tie-break). `queries` is (query_id, sig) and is
+    broadcast — the signature corpus is scanned map-only, exactly the
+    brute_force_topk shape of the embedding family."""
+    c = signatures.select(F.col("id").alias("neighbor_id"), F.col("sig").alias("__cv"))
+    q = queries.select(F.col("query_id"), F.col("sig").alias("__qv"))
+    scored = c.join(
+        F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(l2_distance(F.col("__qv"), F.col("__cv")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

@@ -389,13 +389,29 @@ def q_hfp_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hfp_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vehicle trajectory length: sum of euclidean steps (degree
-    space) between consecutive positions — lag window ordered by
+    """Trajectory analytics, two hash-checked legs:
+
+    part='len' — per-vehicle trajectory length: sum of euclidean steps
+    (degree space) between consecutive positions — lag window ordered by
     (tst, jrn). One shuffle on the vehicle key; steps rounded to 8
     decimals then decimal-summed so the aggregate is order-independent.
     (A haversine variant slots into the same step expression; sqrt-only
-    keeps the oracle bit-exact since IEEE sqrt is correctly rounded.)"""
+    keeps the oracle bit-exact since IEEE sqrt is correctly rounded.)
+
+    part='sim' — TRAJECTORY SIMILARITY SEARCH (operators/trajsim.py,
+    round 3): every trajectory reduced to a 16-dim index-uniform
+    signature (pure expression — one hash-agg), then exact top-3
+    most-similar trajectories per query vehicle (ids ending in '0') by
+    L2 over signatures, broadcast queries / map-only corpus scan. The
+    oracle replays signature sampling, distances, and ranking; at fleet
+    scale the signature column feeds similarity.lsh_topk/pq_adc_topk
+    unchanged."""
     from pyspark.sql import Window
+
+    from transitlog_hfp_sink_spark.operators.trajsim import (
+        trajectory_signatures,
+        trajectory_topk,
+    )
 
     v = synth_vehicles(spark, sf_dir)
     v = v.where(
@@ -408,10 +424,32 @@ def q_hfp_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlon = F.col("long") - F.lag("long").over(w)
     step = F.round(F.sqrt(dlat * dlat + dlon * dlon), 8).cast("decimal(20,10)")
     stepped = v.select("unique_vehicle_id", step.alias("step"))
-    return stepped.groupBy("unique_vehicle_id").agg(
+    nulld = F.lit(None).cast("double")
+    len_leg = stepped.groupBy("unique_vehicle_id").agg(
         F.round(F.sum("step").cast("double"), 6).alias("trajectory_len"),
         F.count("step").alias("n_steps"),
+    ).select(
+        F.lit("len").alias("part"),
+        "unique_vehicle_id", "trajectory_len", "n_steps",
+        F.lit(None).cast("string").alias("neighbor_id"),
+        nulld.alias("dist"),
+        F.lit(None).cast("int").alias("rank"),
     )
+    sigs = trajectory_signatures(
+        v.where(F.col("tst").isNotNull()),
+        "unique_vehicle_id", ("tst", "jrn"), "lat", "long", m=8,
+    )
+    queries = sigs.where(F.substring("id", -1, 1) == "0").select(
+        F.col("id").alias("query_id"), "sig"
+    )
+    sim_leg = trajectory_topk(sigs, queries, k=3).select(
+        F.lit("sim").alias("part"),
+        F.col("query_id").alias("unique_vehicle_id"),
+        nulld.alias("trajectory_len"),
+        F.lit(None).cast("bigint").alias("n_steps"),
+        "neighbor_id", "dist", "rank",
+    )
+    return len_leg.unionByName(sim_leg)
 
 
 ORACLE_TRAJECTORY = f"""
@@ -429,11 +467,47 @@ steps AS (
       AS DECIMAL(20,10)) AS step
   FROM pos
   WINDOW w AS (PARTITION BY unique_vehicle_id ORDER BY tst ASC, jrn ASC)
+),
+sigp AS (
+  SELECT unique_vehicle_id AS id,
+    list([lat, long] ORDER BY tst, jrn, lat, long) AS pts
+  FROM pos WHERE tst IS NOT NULL
+  GROUP BY unique_vehicle_id
+),
+sigv AS (
+  SELECT id,
+    flatten([pts[CAST(floor(i * (len(pts) - 1) / 7.0) AS INT) + 1]
+             for i in range(0, 8)]) AS sig
+  FROM sigp
+),
+sim_pairs AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+    round(sqrt(list_sum([ (q.sig[i] - c.sig[i]) * (q.sig[i] - c.sig[i])
+                          for i in range(1, 17) ])), 6) AS dist
+  FROM sigv q JOIN sigv c ON c.id <> q.id
+  WHERE substr(q.id, -1, 1) = '0'
+),
+sim_ranked AS (
+  SELECT query_id, neighbor_id, dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM sim_pairs
 )
-SELECT unique_vehicle_id,
+SELECT 'len' AS part, unique_vehicle_id,
        round(CAST(sum(step) AS DOUBLE), 6) AS trajectory_len,
-       count(step) AS n_steps
+       count(step) AS n_steps,
+       CAST(NULL AS VARCHAR) AS neighbor_id,
+       CAST(NULL AS DOUBLE) AS dist,
+       CAST(NULL AS INTEGER) AS rank
 FROM steps GROUP BY unique_vehicle_id
+UNION ALL
+SELECT 'sim' AS part, query_id AS unique_vehicle_id,
+       CAST(NULL AS DOUBLE) AS trajectory_len,
+       CAST(NULL AS BIGINT) AS n_steps,
+       neighbor_id,
+       dist,
+       CAST(rnk AS INTEGER) AS rank
+FROM sim_ranked WHERE rnk <= 3
 """
 
 
