@@ -97,3 +97,83 @@ def test_topk_excludes_self_and_breaks_ties(spark):
         assert r["neighbor_id"] != r["query_id"]
     first_a = [r for r in out if r["query_id"] == "a" and r["rank"] == 1][0]
     assert first_a["neighbor_id"] == "b" and first_a["dist"] == 0.0
+
+
+def test_dtw_referee_basics():
+    from transitlog_hfp_sink_spark.operators.trajsim import dtw_distance_python
+
+    a = [0.0, 0.0, 1.0, 0.0, 2.0, 0.0]
+    assert dtw_distance_python(a, a) == 0.0
+    # single far point vs line: sum of distances to every line point
+    b = [0.0, 3.0]
+    d = dtw_distance_python(a, b, band=8)
+    assert abs(d - (3.0 + (1 + 9) ** 0.5 + (4 + 9) ** 0.5)) < 1e-9
+    # symmetric
+    assert dtw_distance_python(b, a, band=8) == d
+
+
+def test_dtw_time_shift_beats_l2(spark):
+    """The point of the refine stage: a time-SHIFTED copy of a zigzag is
+    nearly identical under DTW but far under pointwise L2."""
+    import math
+
+    from transitlog_hfp_sink_spark.operators.trajsim import dtw_distance_python
+
+    zig = [(float(i), float(i % 2) * 2.0) for i in range(16)]
+    shifted = [(0.0, 0.0)] + zig[:-1]  # one-step lag
+    straight = [(float(i), 1.0) for i in range(16)]
+    flat = lambda p: [c for xy in p for c in xy]
+    d_shift = dtw_distance_python(flat(zig), flat(shifted))
+    d_straight = dtw_distance_python(flat(zig), flat(straight))
+    assert d_shift < d_straight
+    # pointwise L2 ranks them the other way (shift misaligns the zigzag)
+    l2 = lambda a, b: math.sqrt(
+        sum((x - y) ** 2 for x, y in zip(flat(a), flat(b)))
+    )
+    assert l2(zig, shifted) > l2(zig, straight)
+
+
+def test_dtw_refine_pipeline(spark):
+    """Coarse signature prune -> exact DTW re-rank, end to end, against
+    the pure-Python referee."""
+    from transitlog_hfp_sink_spark.operators.trajsim import (
+        dtw_distance_python,
+        dtw_refine,
+        trajectory_points,
+    )
+
+    rng = random.Random(9)
+    traj = {
+        f"v{j}": [
+            (float(i) + rng.uniform(-0.1, 0.1), rng.uniform(0, 2))
+            for i in range(20)
+        ]
+        for j in range(6)
+    }
+    df = spark.createDataFrame(
+        _mk_points(traj), "vid string, seq int, x double, y double"
+    )
+    sigs = trajectory_signatures(df, "vid", ("seq",), "x", "y", m=8)
+    coarse = trajectory_topk(
+        sigs, sigs.select(F.col("id").alias("query_id"), "sig"), k=4
+    ).select("query_id", "neighbor_id")
+    pts = trajectory_points(df, "vid", ("seq",), "x", "y", max_points=16)
+    out = dtw_refine(coarse, pts, band=8, k=2).collect()
+
+    pypts = {
+        vid: [c for xy in p for c in xy]
+        for vid, p in (
+            (vid, [p[int(i * (len(p) - 1) // 15)] for i in range(16)])
+            for vid, p in traj.items()
+        )
+    }
+    for r in out:
+        want = round(
+            dtw_distance_python(pypts[r["query_id"]], pypts[r["neighbor_id"]], 8), 6
+        )
+        assert r["dtw_dist"] == want, (r, want)
+    # ranks are 1..2 per query, deterministic
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2] for v in per_q.values())

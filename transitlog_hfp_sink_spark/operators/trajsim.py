@@ -84,6 +84,105 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def trajectory_points(
+    df: DataFrame,
+    id_col: str = "unique_vehicle_id",
+    order_cols: tuple[str, ...] = ("tst",),
+    x_col: str = "lat",
+    y_col: str = "long",
+    max_points: int = 64,
+) -> DataFrame:
+    """(id, pts array<double> length 2*min(n, max_points)) — the ordered
+    point sequence, index-uniform-downsampled to at most max_points so
+    the DTW refine stage has a FIXED per-pair cost bound regardless of
+    raw trajectory length (the REPOSE-style prune-and-refine budget)."""
+    sig = trajectory_signatures(df, id_col, order_cols, x_col, y_col, m=max_points)
+    return sig.select("id", F.col("sig").alias("pts"))
+
+
+def dtw_distance_python(a: list[float], b: list[float], band: int = 8) -> float:
+    """Pure-Python banded DTW over interleaved (x0,y0,x1,y1,...) point
+    lists — the referee AND the per-pair kernel semantics. Euclidean
+    step cost; Sakoe-Chiba band of +-band indices."""
+    import math
+
+    pa = [(a[i], a[i + 1]) for i in range(0, len(a), 2)]
+    pb = [(b[i], b[i + 1]) for i in range(0, len(b), 2)]
+    n, m2 = len(pa), len(pb)
+    inf = float("inf")
+    prev = [inf] * (m2 + 1)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = [inf] * (m2 + 1)
+        lo = max(1, i - band)
+        hi = min(m2, i + band)
+        for j in range(lo, hi + 1):
+            cost = math.dist(pa[i - 1], pb[j - 1])
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[m2]
+
+
+def dtw_refine(
+    pairs: DataFrame,
+    points: DataFrame,
+    band: int = 8,
+    k: int | None = None,
+) -> DataFrame:
+    """Exact banded-DTW re-ranking of candidate pairs.
+
+    `pairs` is (query_id, neighbor_id) — typically the coarse signature
+    top-k, so its size is |queries| * k_coarse, NOT corpus-squared; the
+    expensive dynamic program runs only on survivors of the cheap prune.
+    `points` is trajectory_points' output, joined in twice (both joins
+    are on the id key; the points table is one short row per trajectory,
+    so at fleet scale both sides broadcast). The DP itself is a
+    mapInPandas batch kernel — numpy-backed per pair, Arrow-batched
+    transfer, semantics pinned against dtw_distance_python in tests.
+
+    With k set, returns the top-k per query by (dtw_dist, neighbor_id).
+    """
+    joined = (
+        pairs.join(
+            F.broadcast(points.select(F.col("id").alias("query_id"), F.col("pts").alias("__qp"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(points.select(F.col("id").alias("neighbor_id"), F.col("pts").alias("__np"))),
+            "neighbor_id",
+        )
+    )
+    out_schema = "query_id string, neighbor_id string, dtw_dist double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            dists = [
+                round(dtw_distance_python(qa, nb, band), 6)
+                for qa, nb in zip(pdf["__qp"], pdf["__np"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "dtw_dist": dists,
+                }
+            )
+
+    refined = joined.mapInPandas(run, schema=out_schema)
+    if k is None:
+        return refined
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dtw_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dtw_dist", "rank")
+    )
+
+
 def trajectory_topk(
     signatures: DataFrame,
     queries: DataFrame,
