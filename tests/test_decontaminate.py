@@ -89,3 +89,47 @@ def test_benchmark_side_broadcasts(spark):
     corpus = _docs(spark, [(1, "a b c d x y")])
     plan = explain_str(contamination_pairs(corpus, bench, n=3), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_contamination_planted(spark):
+    """Paraphrase-leak detector: planted near-identical embeddings across
+    corpus/benchmark are found; unrelated vectors are not; clean set
+    excludes exactly the hit docs."""
+    import random
+
+    from transitlog_hfp_sink_spark.operators.decontaminate import (
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    rng = random.Random(3)
+    dim = 64
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    bench_vecs = [vec() for _ in range(5)]
+    corpus = []
+    for i in range(40):
+        if i < 3:  # leaked: tiny perturbation of a benchmark vector
+            v = [x + rng.gauss(0, 0.001) for x in bench_vecs[i]]
+        else:
+            v = vec()
+        corpus.append((i, v))
+    cdf = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    bdf = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(bench_vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = semantic_contamination_pairs(cdf, bdf, threshold=0.99, dim=dim).collect()
+    got = {(r["corpus_id"], r["bench_id"]) for r in pairs}
+    assert got == {(0, 100), (1, 101), (2, 102)}
+    assert all(r["cos_sim"] > 0.999 for r in pairs)
+
+    clean = semantic_decontaminate(cdf, bdf, threshold=0.99, dim=dim)
+    kept = {r["vec_id"] for r in clean.select("vec_id").collect()}
+    assert kept == set(range(3, 40))
+    # plan: no cartesian, benchmark broadcast
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

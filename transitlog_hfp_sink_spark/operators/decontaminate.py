@@ -142,3 +142,79 @@ def decontaminate_with_bloom(
         suspects, benchmark, text_col, id_col, n, min_shared
     ).select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def semantic_contamination_pairs(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination pairs: training docs whose EMBEDDING is
+    near-identical to a benchmark doc's (paraphrased/reformatted leaks
+    that share no n-gram — the case the gram overlap above cannot see;
+    the two detectors compose, they don't compete).
+
+    Bipartite version of similarity.embedding_neardup_pairs: both sides
+    SRP-bucketed (map-only signatures), benchmark side broadcast (eval
+    sets are small), candidates = equal-bucket pairs only, then exact
+    cosine verify >= threshold. The corpus never self-joins and never
+    shuffles: one broadcast-hash-join plus a filter.
+
+    Returns (corpus_id, bench_id, cos_sim).
+    """
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        rp_signature,
+    )
+
+    c = corpus_emb.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(vec_col).alias("__cv"),
+        rp_signature(vec_col, dim, bits, seed).alias("__sig"),
+    )
+    b = bench_emb.select(
+        F.col(id_col).alias("bench_id"),
+        _as_double(vec_col).alias("__bv"),
+        rp_signature(vec_col, dim, bits, seed).alias("__sig"),
+    )
+    return (
+        c.join(F.broadcast(b), "__sig")
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.round(cosine(F.col("__cv"), F.col("__bv")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus rows with NO semantic contamination hit (left-anti on the
+    pair set) — the embedding-level companion of decontaminate().
+
+    SRP bucketing is recall<1 by construction (a near-identical pair can
+    straddle a bucket boundary); raise `bits` down / add rotations for
+    stricter sweeps, or run the exact variant over a candidate superset
+    when the benchmark is tiny. Recall-vs-exact is measured in
+    tests/test_decontaminate.py."""
+    hits = semantic_contamination_pairs(
+        corpus_emb, bench_emb, threshold, dim, bits, seed, id_col, vec_col
+    ).select("corpus_id").distinct()
+    return corpus_emb.join(
+        hits, corpus_emb[id_col] == hits["corpus_id"], "left_anti"
+    )
