@@ -63,6 +63,9 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         "tpch_power_run",  # contains q11/q22's 1-row broadcast cross-joins
         "text_search_bm25",  # 1-row broadcast N/avgdl corpus-stats join (both legs)
         "lm_score_documents",  # 1-row broadcast OOV-mass scalar join
+        "hfp_trajectory_length",  # 'sim' leg: broadcast tiny query-signature
+        # set against the per-vehicle signature table (one short row per
+        # trajectory) — the embedding_topk_exact pattern
     }
     for name, fn in queries().items():
         if name == "events_hourly_rollup":
