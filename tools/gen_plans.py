@@ -29,6 +29,8 @@ PICKS = {
     "dedup_spans_exact": "duplicated substrings: window hash-agg (map-side combine), dup-set equi-join, per-doc interval-union window",
     "bpe_encode_documents": "BPE encode: one map-only projection, replace chain inside whole-stage codegen, zero Python/zero exchange",
     "pack_bpe_compose": "tokenize->pack: subword widths feed the same one-shuffle per-shard window cumsum",
+    "trajectory_similarity": "trajectory search: one hash-agg builds signatures, broadcast queries, map-only distance scan, tiny top-k window",
+    "corpus_profile": "data card: single partial+final hash-agg pair, distinct-fingerprint two-phase, no extra exchange",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):
@@ -47,7 +49,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
 
     _ov = bench_overrides()
     for _n in ("embedding_semdedup", "nb_classifier_score", "dedup_spans_exact",
-               "bpe_encode_documents", "pack_bpe_compose"):
+               "bpe_encode_documents", "pack_bpe_compose",
+               "trajectory_similarity", "corpus_profile"):
         qs[_n] = _ov[_n]
 
     # zorder_clustered_scan's registry entry re-derives the 32-term Morton
