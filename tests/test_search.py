@@ -165,3 +165,52 @@ def test_rrf_fuse_matches_python_referee(spark):
             (r["rank"], r["doc_id"]) for k, r in got.items() if k[0] == q
         )
         assert [d for _, d in by_rank] == want
+
+
+def test_update_postings_equals_full_rebuild(spark):
+    """Incremental index maintenance == full rebuild over the merged
+    corpus, for both inserts and in-place document updates; queries
+    against the merged index rank identically."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_score_postings,
+        build_postings,
+        update_postings,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the dog"),
+            (1, "a slow green turtle walks under the table"),
+            (2, "stale text that will be replaced entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "fresh replacement text about foxes and dogs"),  # update
+            (3, "an entirely new document about quick foxes"),   # insert
+        ],
+        "doc_id bigint, text string",
+    )
+    merged = old.where(F.col("doc_id") != 2).unionByName(batch)
+
+    p_old, d_old = build_postings(old)
+    p_inc, d_inc = update_postings(p_old, d_old, batch)
+    p_full, d_full = build_postings(merged)
+
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(p_inc.collect()) == key(p_full.collect())
+    assert key(d_inc.collect()) == key(d_full.collect())
+
+    # stale term from the replaced doc 2 is gone from the merged index
+    stale = p_inc.where((F.col("term") == "stale")).count()
+    assert stale == 0
+
+    q = spark.createDataFrame(
+        [(1, "quick"), (1, "foxes")], "query_id int, term string"
+    )
+    r_inc = bm25_score_postings(p_inc, d_inc, q, topk=4).collect()
+    r_full = bm25_score_postings(p_full, d_full, q, topk=4).collect()
+    assert key(r_inc) == key(r_full)

@@ -269,3 +269,39 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def update_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental index maintenance: merge a new/changed document batch
+    into a persisted postings index WITHOUT re-tokenizing the historical
+    corpus (the daily-ingest shape, same contract as
+    dedup.incremental_minhash_pairs: incrementality changes cost, not
+    semantics — the result row-set EQUALS build_postings over the merged
+    corpus, asserted in tests/test_search.py).
+
+    Updated documents are handled replace-wise: any old postings/doclen
+    rows for ids present in the batch are anti-joined away (the batch id
+    set is tiny and broadcast, so the scrub is a map-side filter over
+    the stored index), then the batch's fresh postings union in. Cost:
+    one index scan + one batch-sized build; the historical text is never
+    touched.
+    """
+    new_postings, new_doclens = build_postings(new_docs, text_col, id_col)
+    batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    # using-column joins move the key first; restore the stored layout
+    kept_postings = postings.join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
+    ).select(*postings.columns)
+    kept_doclens = doclens.join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
+    ).select(*doclens.columns)
+    return (
+        kept_postings.unionByName(new_postings.select(*postings.columns)),
+        kept_doclens.unionByName(new_doclens.select(*doclens.columns)),
+    )
