@@ -123,3 +123,32 @@ def test_bigram_oov_and_short_docs(spark, corpus):
     assert 90 not in out and 91 not in out
     # fully-unseen pairs with unseen histories: -ln(k/(k*V)) = ln(V)
     assert out[92]["avg_nll"] == pytest.approx(math.log(v), abs=1e-3)
+
+
+def test_update_unigram_lm_equals_full_retrain(spark):
+    """Incremental count merge == full retrain over the merged corpus,
+    and downstream scoring is identical."""
+    from transitlog_hfp_sink_spark.operators.lm import (
+        lm_score,
+        train_unigram_lm,
+        update_unigram_lm,
+    )
+
+    old = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a dog ate the bone")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "the cat and the dog became friends")],
+        "doc_id bigint, text string",
+    )
+    inc = update_unigram_lm(train_unigram_lm(old), batch)
+    full = train_unigram_lm(old.unionByName(batch))
+
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(inc) == key(full)
+
+    score_docs = spark.createDataFrame(
+        [(9, "the cat dog unseenword")], "doc_id bigint, text string"
+    )
+    assert key(lm_score(score_docs, inc)) == key(lm_score(score_docs, full))

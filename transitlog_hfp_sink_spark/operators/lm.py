@@ -176,3 +176,44 @@ def bigram_score(
         F.count("*").alias("n_units"),
         F.round(F.sum("nll").cast("double") / F.count("*"), 4).alias("avg_nll"),
     )
+
+
+def update_unigram_lm(
+    lm: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """Incremental model maintenance: fold a new document batch into a
+    persisted unigram model WITHOUT re-tokenizing the reference corpus —
+    possible because the model row carries the raw count `c`, not just
+    logp (the same mergeability that makes the count tables of the
+    bigram model and the postings index incremental).
+
+    Counts merge by term (one |V|-sized hash-agg over model rows plus a
+    batch-sized tokenize), then total/v/logp recompute from the merged
+    counts — so the result EQUALS train_unigram_lm over the merged
+    corpus exactly (integer counts, identical log inputs; asserted in
+    tests/test_lm.py). The historical text contributes only its stored
+    count rows."""
+    new_cnt = (
+        new_docs.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = (
+        lm.select("term", "c")
+        .unionByName(new_cnt)
+        .groupBy("term")
+        .agg(F.sum("c").alias("c"))
+    )
+    stats = merged.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    return merged.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "c",
+        "total",
+        "v",
+        F.log((F.col("c") + k) / (F.col("total") + k * F.col("v"))).alias("logp"),
+    )
