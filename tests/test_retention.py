@@ -81,6 +81,7 @@ def test_idempotent_and_noop_cases(spark, table, tmp_path):
         "files_dropped": 0,
         "bytes_dropped": 0,
         "dropped": [],
+        "failed": [],
     }
 
 
@@ -124,3 +125,36 @@ def test_unknown_layout_never_dropped(spark, tmp_path):
     )
     assert rep["partitions_dropped"] == 0
     assert os.path.exists(path)
+
+
+def test_unpadded_hours_compare_numerically(spark, table):
+    """The lexicographic footgun: hour 12 is NEWER than hour 2 even
+    though "12" < "2" as strings — the cutoff must not drop it."""
+    rep = drop_partitions_older_than(
+        spark,
+        table,
+        cutoff={"received_date": "2024-01-03", "received_hour": "2"},
+    )
+    # day 1 and 2 partitions expire; (2024-01-03, 12) must survive
+    assert all("received_date=2024-01-03" not in p for p in rep["dropped"])
+    left = spark.read.parquet(table)
+    assert (
+        left.where(
+            (F.col("received_date").cast("string") == "2024-01-03")
+            & (F.col("received_hour") == 12)
+        ).count()
+        == 1
+    )
+    assert rep["failed"] == []
+
+
+def test_mixed_numeric_forms_fail_safe(spark, table):
+    """A non-numeric cutoff against numeric hour dirs never drops."""
+    rep = drop_partitions_older_than(
+        spark,
+        table,
+        cutoff={"received_date": "2024-01-03", "received_hour": "two"},
+    )
+    # date components still expire day 1/2; the mixed hour component can
+    # only be reached on equal dates and then fails safe
+    assert all("received_date=2024-01-03" not in p for p in rep["dropped"])

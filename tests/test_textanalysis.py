@@ -172,3 +172,41 @@ def test_structure_signals_crlf_lines(spark):
     assert got[0]["term_punct_line_frac"] == 1.0
     assert got[1]["ellipsis_line_frac"] == 0.6667
     assert got[1]["bullet_line_frac"] == 0.6667
+
+
+def test_text_quality_oracle_handles_blank_docs(spark):
+    """The blank-document rules (n_ws=0, guarded ratios) must hold in
+    BOTH engines — the driver corpus has no blank docs, so only this
+    test would catch a one-sided guard (which briefly existed in round
+    3 when an oracle edit was lost to a failed patch script)."""
+    import duckdb
+    import pandas as pd
+
+    from transitlog_hfp_sink_spark.operators.textanalysis import analyze_documents
+    from transitlog_hfp_sink_spark.queries.ml import ORACLE_TEXT_QUALITY
+
+    rows = [
+        (0, "", "en"),
+        (1, "   \n  ", "en"),
+        (2, "a normal document with several plain words in it.", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in analyze_documents(df, "text", "doc_id", ("lang",)).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+    )
+    want = {
+        int(r["doc_id"]): dict(r)
+        for r in con.execute(ORACLE_TEXT_QUALITY).fetch_arrow_table().to_pylist()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        for col, v in want[i].items():
+            g = got[i][col]
+            assert g == v or (g is None and v is None), (i, col, g, v)

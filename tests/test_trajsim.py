@@ -177,3 +177,27 @@ def test_dtw_refine_pipeline(spark):
     for r in out:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+def test_batch_kernel_matches_referee_rectangular():
+    """_dtw_batch_numpy == dtw_distance_python bit-for-bit, including
+    unequal sequence lengths and varied bands."""
+    import random
+
+    from transitlog_hfp_sink_spark.operators.trajsim import (
+        _dtw_batch_numpy,
+        dtw_distance_python,
+    )
+
+    rng = random.Random(17)
+    for band in (1, 4, 8):
+        pas, pbs = [], []
+        for _ in range(20):
+            na, nb = rng.randrange(1, 12), rng.randrange(1, 12)
+            pas.append([rng.uniform(-5, 5) for _ in range(2 * na)])
+            pbs.append([rng.uniform(-5, 5) for _ in range(2 * nb)])
+        # group by shape as the kernel requires
+        for pa, pb in zip(pas, pbs):
+            (got,) = _dtw_batch_numpy([pa], [pb], band)
+            want = dtw_distance_python(pa, pb, band)
+            assert float(got) == want, (band, pa, pb)

@@ -30,7 +30,7 @@ PICKS = {
     "bpe_encode_documents": "BPE encode: one map-only projection, replace chain inside whole-stage codegen, zero Python/zero exchange",
     "pack_bpe_compose": "tokenize->pack: subword widths feed the same one-shuffle per-shard window cumsum",
     "trajectory_similarity": "trajectory search: one hash-agg builds signatures, broadcast queries, map-only distance scan, tiny top-k window",
-    "corpus_profile": "data card: single partial+final hash-agg pair, distinct-fingerprint two-phase, no extra exchange",
+    "corpus_profile": "data card: exact-distinct costs a second (group,fingerprint) exchange; approx mode collapses to one group-key shuffle",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):

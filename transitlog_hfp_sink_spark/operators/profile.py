@@ -9,13 +9,15 @@ the gates decide per document, the profile says what the corpus looked
 like before/after.
 
 Plan shape: one map-side projection (token counts, fingerprints, gate
-verdicts) and ONE shuffle into the group-by. The duplicate rate needs a
-distinct count of fingerprints, which Spark plans as a two-phase
-aggregate (partial distinct per partition, then merge) — still a single
-exchange on the group key. At production scale swap the exact
-count_distinct for approx_count_distinct(fingerprint) (HLL++, mergeable,
-fixed memory) — the parameter `exact_distinct=False` does exactly that;
-exact mode is the default so tests and referees stay deterministic.
+verdicts), then the group-by. In EXACT mode the distinct count costs a
+second corpus-sized exchange: Spark plans count_distinct as an expand +
+partial aggregate shuffled on (group, fingerprint), then a second
+exchange on the group key — two shuffles total (visible in the
+PLANS.md snapshot), and at 100 TB that first wide exchange dominates.
+`exact_distinct=False` swaps in approx_count_distinct (HLL++, mergeable,
+fixed memory), collapsing the plan to the single group-key exchange —
+the production mode; exact is the default so tests, referees, and the
+driver oracle stay deterministic.
 
 Percentiles use Spark's exact `percentile` (full sort within group in
 the agg buffer) by default; at 100 TB pass `approx_percentiles=True`

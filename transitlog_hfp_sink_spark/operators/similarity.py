@@ -49,6 +49,36 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def broadcast_metric_topk(
+    c: DataFrame,
+    q: DataFrame,
+    metric,
+    out_col: str,
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """The shared exact-top-k skeleton: broadcast the (tiny) query table
+    against a map-only corpus scan, score every non-self pair with
+    `metric(query_vec, corpus_vec)` rounded to 6 dp, rank per query with
+    a deterministic neighbor-id tie-break, keep k. Used by the embedding
+    family (cosine, descending) and trajectory search (L2, ascending) so
+    the self-exclusion/tie-break contract lives in ONE place.
+
+    c: (neighbor_id, __cv); q: (query_id, __qv)."""
+    scored = c.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(metric(F.col("__qv"), F.col("__cv")), 6).alias(out_col),
+    )
+    order = F.col(out_col).asc() if ascending else F.col(out_col).desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", out_col, "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,19 +96,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
     )
-    scored = c.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return broadcast_metric_topk(c, q, cosine, "cos_sim", k)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:

@@ -92,18 +92,27 @@ def trajectory_points(
     y_col: str = "long",
     max_points: int = 64,
 ) -> DataFrame:
-    """(id, pts array<double> length 2*min(n, max_points)) — the ordered
-    point sequence, index-uniform-downsampled to at most max_points so
-    the DTW refine stage has a FIXED per-pair cost bound regardless of
-    raw trajectory length (the REPOSE-style prune-and-refine budget)."""
+    """(id, pts array<double> length EXACTLY 2*max_points) — the ordered
+    point sequence index-uniform-RESAMPLED to the fixed budget: long
+    trajectories downsample, short ones repeat points (a 2-point
+    trajectory yields each endpoint max_points/2 times). The refine
+    stage's DTW is therefore defined over these fixed-length resampled
+    sequences — length-normalized DTW, the usual practice when comparing
+    trajectories of very different sampling rates — NOT over the raw
+    variable-length sequences, and its cost per pair is a constant
+    O(max_points * band) regardless of raw trajectory length (the
+    REPOSE-style prune-and-refine budget)."""
     sig = trajectory_signatures(df, id_col, order_cols, x_col, y_col, m=max_points)
     return sig.select("id", F.col("sig").alias("pts"))
 
 
 def dtw_distance_python(a: list[float], b: list[float], band: int = 8) -> float:
     """Pure-Python banded DTW over interleaved (x0,y0,x1,y1,...) point
-    lists — the referee AND the per-pair kernel semantics. Euclidean
-    step cost; Sakoe-Chiba band of +-band indices."""
+    lists — the REFEREE defining the kernel's exact semantics (the
+    batch numpy kernel in dtw_refine must match it bit-for-bit, so the
+    step cost is written as sqrt(dx*dx + dy*dy) in the same operation
+    order, not math.dist's compensated hypot). Euclidean step cost;
+    Sakoe-Chiba band of +-band indices."""
     import math
 
     pa = [(a[i], a[i + 1]) for i in range(0, len(a), 2)]
@@ -116,11 +125,43 @@ def dtw_distance_python(a: list[float], b: list[float], band: int = 8) -> float:
         cur = [inf] * (m2 + 1)
         lo = max(1, i - band)
         hi = min(m2, i + band)
+        xa, ya = pa[i - 1]
         for j in range(lo, hi + 1):
-            cost = math.dist(pa[i - 1], pb[j - 1])
+            xb, yb = pb[j - 1]
+            dx, dy = xa - xb, ya - yb
+            cost = math.sqrt(dx * dx + dy * dy)
             cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
         prev = cur
     return prev[m2]
+
+
+def _dtw_batch_numpy(pa_rows, pb_rows, band: int):
+    """Banded DTW for a BATCH of equal-length pairs, the P (pair) axis
+    fully vectorized: the i/j loops run O(n*band) Python iterations per
+    Arrow batch — not per pair — and every arithmetic op is a numpy
+    array op over all pairs at once. Identical float operations (and
+    order) to dtw_distance_python, so results match bit-for-bit."""
+    import numpy as np
+
+    pa = np.asarray(pa_rows, dtype=np.float64).reshape(len(pa_rows), -1, 2)
+    pb = np.asarray(pb_rows, dtype=np.float64).reshape(len(pb_rows), -1, 2)
+    P, n, _ = pa.shape
+    m2 = pb.shape[1]
+    inf = np.inf
+    prev = np.full((P, m2 + 1), inf)
+    prev[:, 0] = 0.0
+    for i in range(1, n + 1):
+        cur = np.full((P, m2 + 1), inf)
+        lo = max(1, i - band)
+        hi = min(m2, i + band)
+        d = pa[:, i - 1, None, :] - pb[:, lo - 1 : hi, :]
+        cost = np.sqrt(d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1])
+        for j in range(lo, hi + 1):
+            cur[:, j] = cost[:, j - lo] + np.minimum(
+                np.minimum(prev[:, j], cur[:, j - 1]), prev[:, j - 1]
+            )
+        prev = cur
+    return prev[:, m2]
 
 
 def dtw_refine(
@@ -136,9 +177,12 @@ def dtw_refine(
     expensive dynamic program runs only on survivors of the cheap prune.
     `points` is trajectory_points' output, joined in twice (both joins
     are on the id key; the points table is one short row per trajectory,
-    so at fleet scale both sides broadcast). The DP itself is a
-    mapInPandas batch kernel — numpy-backed per pair, Arrow-batched
-    transfer, semantics pinned against dtw_distance_python in tests.
+    so at fleet scale both sides broadcast). The DP is a mapInPandas
+    kernel vectorized across the PAIR axis (_dtw_batch_numpy): O(n*band)
+    Python-loop iterations per Arrow batch, each a whole-batch numpy
+    op — bit-identical to the dtw_distance_python referee (asserted in
+    tests). Rows are grouped by their (len_a, len_b) shape so one kernel
+    call covers each group; empty-side rows fall back to the referee.
 
     With k set, returns the top-k per query by (dtw_dist, neighbor_id).
     """
@@ -158,10 +202,26 @@ def dtw_refine(
         import pandas as pd
 
         for pdf in batches:
-            dists = [
-                round(dtw_distance_python(qa, nb, band), 6)
-                for qa, nb in zip(pdf["__qp"], pdf["__np"])
-            ]
+            if len(pdf) == 0:
+                continue
+            lens = [(len(qa), len(nb)) for qa, nb in zip(pdf["__qp"], pdf["__np"])]
+            dists = [0.0] * len(pdf)
+            # group equal-shape rows and run the batch kernel per group
+            groups: dict[tuple[int, int], list[int]] = {}
+            for idx, ln in enumerate(lens):
+                groups.setdefault(ln, []).append(idx)
+            qp = list(pdf["__qp"])
+            np_ = list(pdf["__np"])
+            for (la, lb), idxs in groups.items():
+                if la > 0 and lb > 0:
+                    out = _dtw_batch_numpy(
+                        [qp[i] for i in idxs], [np_[i] for i in idxs], band
+                    )
+                    for i, v in zip(idxs, out):
+                        dists[i] = round(float(v), 6)
+                else:
+                    for i in idxs:
+                        dists[i] = round(dtw_distance_python(qp[i], np_[i], band), 6)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -191,22 +251,11 @@ def trajectory_topk(
     """Exact top-k most-similar trajectories per query signature
     (ascending L2 over signatures, self-matches excluded, deterministic
     neighbor-id tie-break). `queries` is (query_id, sig) and is
-    broadcast — the signature corpus is scanned map-only, exactly the
-    brute_force_topk shape of the embedding family."""
+    broadcast — the signature corpus is scanned map-only, via the
+    embedding family's shared skeleton (similarity.broadcast_metric_topk)
+    with L2 ascending instead of cosine descending."""
+    from transitlog_hfp_sink_spark.operators.similarity import broadcast_metric_topk
+
     c = signatures.select(F.col("id").alias("neighbor_id"), F.col("sig").alias("__cv"))
     q = queries.select(F.col("query_id"), F.col("sig").alias("__qv"))
-    scored = c.join(
-        F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(l2_distance(F.col("__qv"), F.col("__cv")), 6).alias("dist"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "dist", "rank")
-    )
+    return broadcast_metric_topk(c, q, l2_distance, "dist", k, ascending=True)

@@ -30,6 +30,24 @@ SQL_NORM = (
 )
 
 
+def sql_quality_case(n_ws: str, awl: str, swr: str, pr: str) -> str:
+    """DuckDB replay of textanalysis.quality_score generated from the
+    SAME constants (QUALITY_WEIGHTS / ranges) — the one source of truth
+    shared by ORACLE_TEXT_QUALITY and the corpus-profile oracle
+    (queries/surface.py), so a threshold change cannot leave a stale
+    hand-edited copy behind."""
+    w_len, w_wl, w_sw, w_pr = ta.QUALITY_WEIGHTS
+    lo, hi = ta.QUALITY_LENGTH_RANGE
+    wlo, whi = ta.QUALITY_WORDLEN_RANGE
+    return (
+        f"round(CAST({w_len} * (CASE WHEN {n_ws} BETWEEN {lo} AND {hi} THEN 1.0 ELSE 0.0 END)"
+        f" + {w_wl} * (CASE WHEN {awl} BETWEEN {wlo} AND {whi} THEN 1.0 ELSE 0.0 END)"
+        f" + {w_sw} * (CASE WHEN {swr} >= {ta.QUALITY_STOPWORD_MIN} THEN 1.0 ELSE 0.0 END)"
+        f" + {w_pr} * (CASE WHEN {pr} <= {ta.QUALITY_PUNCT_MAX} THEN 1.0 ELSE 0.0 END)"
+        " AS DOUBLE), 4)"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at both granularities, tagged union (round 3 adds the
     window level):
@@ -1167,7 +1185,7 @@ feat AS (
     CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) AS awl,
     CAST(len(list_filter(words, w -> list_contains({_SW_ARR}, w))) AS DOUBLE) / len(words) AS swr,
     CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE) / length(text) ELSE CAST(0.0 AS DOUBLE) END AS pr,
-    len(ws_tokens) AS n_ws,
+    CASE WHEN trim(text) = '' THEN 0 ELSE len(ws_tokens) END AS n_ws,
     len(list_filter(string_split_regex(text, '\r?\n'), l -> trim(l) <> '')) AS n_lines,
     len(list_distinct(list_filter(string_split_regex(text, '\r?\n'), l -> trim(l) <> ''))) AS n_dlines,
     len([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 2 + 1)]) AS n_g3,
@@ -1182,9 +1200,9 @@ struct AS (
     round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> len(string_split_regex(trim(l), '\\s+')) < 3)) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS short_line_frac,
     round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]'))) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS bullet_line_frac,
     round(CASE WHEN n_lines > 0 THEN CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS ellipsis_line_frac,
-    round(CAST(len(list_filter(ws_tokens, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_ws, 4) AS alpha_word_frac,
-    round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-         + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / n_ws, 4) AS symbol_word_ratio,
+    round(CASE WHEN n_ws > 0 THEN CAST(len(list_filter(ws_tokens, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / n_ws ELSE CAST(0.0 AS DOUBLE) END, 4) AS alpha_word_frac,
+    round(CASE WHEN n_ws > 0 THEN (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+         + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / n_ws ELSE CAST(0.0 AS DOUBLE) END, 4) AS symbol_word_ratio,
     (n_ws >= 5 AND NOT contains(lower(text), '{{') AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep,
     n_ws, awl
   FROM (SELECT f.*, b.ws_tokens FROM feat f JOIN base b USING (doc_id))
@@ -1195,10 +1213,7 @@ SELECT doc_id, lang,
   round(feat.awl, 4) AS avg_word_len,
   round(swr, 4) AS stopword_ratio,
   round(pr, 4) AS punct_ratio,
-  round(CAST(0.3 * (CASE WHEN feat.n_ws BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * (CASE WHEN feat.awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-      + 0.3 * (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS quality,
+  {sql_quality_case('feat.n_ws', 'feat.awl', 'swr', 'pr')} AS quality,
   round(CASE WHEN n_lines > 0 THEN CAST(n_lines - n_dlines AS DOUBLE) / n_lines ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_line_frac,
   round(CASE WHEN n_g3 > 0 THEN CAST(n_g3 - n_dg3 AS DOUBLE) / n_g3 ELSE CAST(0.0 AS DOUBLE) END, 4) AS dup_trigram_frac,
   {_LANG_CASE} AS lang_pred,

@@ -182,11 +182,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_percentiles_sql() -> str:
-    from transitlog_hfp_sink_spark.operators.textanalysis import STOPWORDS
-    from transitlog_hfp_sink_spark.queries.ml import SQL_NORM
+    from transitlog_hfp_sink_spark.queries.ml import (
+        _SW_ARR,
+        SQL_NORM,
+        sql_quality_case,
+    )
 
     norm = SQL_NORM.format(c="text")
-    sw_arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    awl = "CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)"
+    swr = (
+        f"CAST(len(list_filter(words, w -> list_contains({_SW_ARR}, w))) AS DOUBLE)"
+        " / len(words)"
+    )
     pad = """
   CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens,
   CAST(NULL AS DOUBLE) AS dup_doc_rate, CAST(NULL AS DOUBLE) AS mean_quality,
@@ -205,10 +212,7 @@ WITH pdoc AS (
 ),
 pq AS (
   SELECT source, nt, fp,
-    round(CAST(0.3 * (CASE WHEN nt BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
-        + 0.2 * (CASE WHEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-        + 0.3 * (CASE WHEN CAST(len(list_filter(words, w -> list_contains({sw_arr}, w))) AS DOUBLE) / len(words) >= 0.05 THEN 1.0 ELSE 0.0 END)
-        + 0.2 * (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS q
+    {sql_quality_case('nt', awl, swr, 'pr')} AS q
   FROM pdoc
 )
 SELECT 'pctl' AS part, o_orderpriority AS grp,

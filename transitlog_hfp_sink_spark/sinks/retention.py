@@ -60,31 +60,51 @@ def drop_partitions_older_than(
 ) -> dict:
     """Drop leaf partitions older than the cutoff.
 
-    cutoff: partition-column values, compared lexicographically in the
-    dict's key order against each partition's parsed values — e.g.
+    cutoff: partition-column values, compared in the dict's key order
+    against each partition's parsed values — e.g.
     {"received_date": "2024-01-05"} drops date partitions before Jan 5;
-    {"received_date": "2024-01-05", "received_hour": "03"} drops
-    everything before that hour (zero-pad hour values at WRITE time if
-    hour-granular retention is needed; the default sink writes unpadded
-    hours, where date-level cutoffs are the safe granularity).
+    {"received_date": "2024-01-05", "received_hour": "3"} everything
+    before that hour. Each component compares NUMERICALLY when both
+    sides parse as integers and lexicographically otherwise (dates in
+    yyyy-MM-dd sort lexically; hours are integers) — so the default
+    sink's UNPADDED hour directories are safe by construction: a plain
+    string compare would call hour "12" < "2" and delete newer data.
+    Mixed forms of the same component (one side numeric, one not) never
+    match and therefore never drop (fail-safe).
 
     older_than: custom predicate over the parsed partition values —
-    overrides `cutoff` entirely when layouts don't sort lexically.
+    overrides `cutoff` entirely for layouts these rules don't fit.
 
     Returns {partitions_seen, partitions_dropped, files_dropped,
-    bytes_dropped, dropped (list of partition strings)}.
+    bytes_dropped, dropped, failed} — `failed` lists partitions whose
+    delete returned false (permissions, concurrent removal); those are
+    NOT counted as dropped, so the report never claims data expired
+    that is still on disk.
     """
     if (cutoff is None) == (older_than is None):
         raise ValueError("provide exactly one of cutoff / older_than")
     if older_than is None:
         keys = list(cutoff)
-        bound = tuple(cutoff[k] for k in keys)
+
+        def _component(v: str) -> tuple[int, int | str]:
+            try:
+                return (0, int(v))
+            except ValueError:
+                return (1, v)
+
+        bound = tuple(_component(cutoff[k]) for k in keys)
 
         def older_than(values: dict[str, str]) -> bool:
             try:
-                return tuple(values[k] for k in keys) < bound
+                got = tuple(_component(values[k]) for k in keys)
             except KeyError:
                 return False  # unknown layout: never drop
+            for g, b in zip(got, bound):
+                if g[0] != b[0]:
+                    return False  # numeric vs non-numeric: fail-safe
+                if g != b:
+                    return g < b
+            return False  # equal = not older
 
     report = {
         "partitions_seen": 0,
@@ -92,6 +112,7 @@ def drop_partitions_older_than(
         "files_dropped": 0,
         "bytes_dropped": 0,
         "dropped": [],
+        "failed": [],
     }
     if not path_exists(spark, path):
         return report
@@ -106,15 +127,20 @@ def drop_partitions_older_than(
         report["partitions_seen"] += 1
         if not older_than(parse_partition(part)):
             continue
+        if not dry_run:
+            # deleting leaf dirs is always safe and leaves empty parents,
+            # which the FS listing ignores — delete the leaf. Hadoop
+            # delete() reports failure as FALSE, not an exception; a
+            # partition that would not delete must not be reported
+            # expired (auditing/compliance).
+            ok = fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{part}"), True)
+            if not ok:
+                report["failed"].append(part)
+                continue
         report["partitions_dropped"] += 1
         report["files_dropped"] += s["n_files"]
         report["bytes_dropped"] += s["bytes"]
         report["dropped"].append(part)
-        if not dry_run:
-            # drop the OUTERMOST expired directory level only when every
-            # nested leaf under it expires too; deleting leaf dirs is
-            # always safe and leaves empty parents, which the FS listing
-            # ignores — delete the leaf
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{part}"), True)
     report["dropped"].sort()
+    report["failed"].sort()
     return report
