@@ -295,6 +295,10 @@ def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transitlog_hfp_sink_spark.queries.timeseries import run_streaming_dedup
 
     deduped = run_streaming_dedup(spark, sf_dir)
+    # digest over epoch-microsecond INTEGERS (ts_micros, face-as-UTC),
+    # never formatted timestamps: bit-identical under any session timezone
+    # (VERDICT r3 #1 — the date_format leg changed shape under
+    # Europe/Helsinki)
     row_digest = F.conv(
         F.substring(
             F.md5(
@@ -303,7 +307,7 @@ def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_id").cast("string"),
                     F.col("user_id").cast("string"),
                     F.col("event_type"),
-                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    F.col("ts_micros").cast("string"),
                 )
             ),
             1,
@@ -573,7 +577,7 @@ SELECT 'stream_watermark' AS part, event_type AS key,
        count(*) AS n_unique,
        CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
              CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type,
-             strftime(ts, '%Y-%m-%d %H:%M:%S.%f'))), 1, 12))::BIGINT
+             CAST(epoch_us(ts) AS VARCHAR))), 1, 12))::BIGINT
            AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum
 FROM events GROUP BY event_type
 """,

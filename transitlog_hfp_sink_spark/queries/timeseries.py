@@ -6,6 +6,8 @@ joins, and a real Structured Streaming rollup.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -387,6 +389,73 @@ GROUP BY event_type
 """
 
 
+@contextlib.contextmanager
+def _pinned_stream_confs(spark: SparkSession, timezone: str = "UTC"):
+    """Pin the session confs a bounded streaming run depends on, restoring
+    the caller's values afterwards.
+
+    Round-3 hardening (VERDICT r3 #1): the streaming legs previously SET
+    ``spark.sql.legacy.parquet.nanosAsLong`` and never restored it — a conf
+    leak into every subsequently-run query — and relied on the session
+    factory's UTC pin (session.py) for timestamp determinism, which a host
+    environment with a different session timezone silently breaks (the
+    NTZ<->LTZ casts inside the stream go through session-local time).
+    Streaming queries capture conf values at ``start()``, so pinning for the
+    duration of start+awaitTermination makes the run deterministic under any
+    caller timezone."""
+    pins = {
+        "spark.sql.session.timeZone": timezone,
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    saved: dict[str, str | None] = {}
+    for key, val in pins.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+
+def _await_bounded(spark: SparkSession, query, name: str, timeout: float = 420.0):
+    """Wait for an availableNow streaming query to COMMIT, then return the
+    memory-sink table.
+
+    Root cause of the round-3 driver-red ``hfp_dedup_replay`` row (VERDICT
+    r3 #1): ``q.awaitTermination(120)`` returned False under a loaded driver
+    and the boolean was ignored, so the not-yet-committed memory sink was
+    read as the result — right row keys, wrong counts/checksums. Here a
+    timeout raises instead of silently returning partial data, and a failed
+    query re-raises its streaming exception. availableNow guarantees that a
+    clean termination means every input file was processed and committed,
+    so a successful return is a complete, exact result."""
+    try:
+        finished = query.awaitTermination(timeout)
+    except Exception:
+        # surface the real streaming error, not a partial-read hash mismatch
+        query.stop()
+        raise
+    if not finished:
+        progress = query.lastProgress
+        query.stop()
+        raise TimeoutError(
+            f"bounded streaming query {name!r} did not commit within "
+            f"{timeout}s; refusing to read a partial memory sink "
+            f"(lastProgress={progress!r})"
+        )
+    exc = query.exception()
+    if exc is not None:
+        raise exc
+    return spark.table(name)
+
+
 def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hourly rollup executed as a REAL Structured Streaming query:
     file-stream the events parquet (availableNow), windowed agg into a
@@ -396,38 +465,37 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    # raw on-disk schema (ts = int64 nanos under the legacy conf); convert
-    # exactly as the batch reader does so stream and batch results align
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file-stream sources need a directory: point at sf_dir with a glob
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
-    agg = stream.groupBy(
-        F.window("ts", "1 hour").getField("start").alias("bucket"), "event_type"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
-    )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    with _pinned_stream_confs(spark):
+        # raw on-disk schema (ts = int64 nanos under the legacy conf);
+        # convert exactly as the batch reader does so stream and batch align
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        # file-stream sources need a directory: point at sf_dir with a glob
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _await_bounded(spark, q, name)
 
 
 
@@ -443,28 +511,28 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from transitlog_hfp_sink_spark.streaming.stateful import streaming_sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
-    sessions = streaming_sessionize(stream, gap_seconds=1800, flush_final=True)
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _pinned_stream_confs(spark):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        sessions = streaming_sessionize(stream, gap_seconds=1800, flush_final=True)
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(spark, q, name)
     return spark.table(name).select(
         "user_id",
         "session_id",
@@ -486,7 +554,14 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    with _pinned_stream_confs(spark):
+        return _run_stream_join(spark, sf_dir, name)
+
+
+def _run_stream_join(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import tempfile
+
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def _stream():
@@ -537,7 +612,6 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
     )
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")
         .queryName(name)
@@ -546,8 +620,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    return spark.table(name)
+    return _await_bounded(spark, q, name)
 
 
 ORACLE_STREAM_JOIN = """
@@ -571,48 +644,55 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     has to fit in a static table. Run bounded (availableNow) so the
     result is deterministic: dedup must restore exactly one copy of each
     unique event. Driver-checked as the 'stream_watermark' leg of
-    hfp_dedup_replay (round-3 consolidation to hold the 50-entry cap)."""
+    hfp_dedup_replay (round-3 consolidation to hold the 50-entry cap).
+
+    Output carries ``ts_micros`` (BIGINT epoch micros, face value as UTC)
+    instead of a timestamp so every downstream digest is independent of the
+    caller's session timezone (VERDICT r3 #1 hardening): the only tz-
+    sensitive step (NTZ->LTZ for the watermark) happens inside the stream
+    under the pinned-UTC confs captured at ``start()``."""
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def _stream():
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
-        return s.select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.col("ts").cast("timestamp").alias("ts"),
-        )
-
-    doubled = _stream().unionByName(_stream()).withWatermark("ts", "1 hour")
-    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-    )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    with _pinned_stream_confs(spark):
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+        def _stream():
+            s = (
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            if dict(s.dtypes).get("ts") == "bigint":
+                s = s.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            # the cast runs under the pinned UTC session tz, so unix_micros
+            # of the LTZ value == face-value-as-UTC micros, matching the
+            # oracle's epoch_us(ts) on the naive timestamp
+            ltz = F.col("ts").cast("timestamp")
+            return s.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                ltz.alias("ts"),
+                F.unix_micros(ltz).alias("ts_micros"),
+            )
+
+        doubled = _stream().unionByName(_stream()).withWatermark("ts", "1 hour")
+        deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+            "event_id", "user_id", "event_type", "ts_micros"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _await_bounded(spark, q, name)
 
 
 def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,10 +66,17 @@ class ContinuousRollupSink:
         """Partition-pruning filter for the touched buckets: equality on
         the PARTITION columns (bucket_date grouped with its hours), so the
         self-read lists only the touched hour directories instead of
-        scanning the whole store."""
+        scanning the whole store.
+
+        ``touched`` rows carry (d, h) computed JVM-SIDE with the same
+        to_date/hour expressions that produce the partition columns —
+        never derived from collected datetimes, whose Python-local-tz
+        rendering diverges from the session tz under a non-UTC session
+        (round-4 fix: that mismatch silently dropped existing partials at
+        overwrite time under Europe/Helsinki)."""
         by_date: dict = {}
-        for b in touched:
-            by_date.setdefault(b.date(), []).append(b.hour)
+        for r in touched:
+            by_date.setdefault(r["d"], []).append(r["h"])
         cond = F.lit(False)
         for d, hours in by_date.items():
             cond = cond | (
@@ -93,13 +100,14 @@ class ContinuousRollupSink:
                 "bucket", F.date_trunc("hour", F.col(self.ts_col))
             )
             new_partials = _aggregate_partials(batch, self.dims, self.value_col)
-            touched = [
-                r["bucket"]
-                for r in new_partials.select("bucket")
+            touched = (
+                new_partials.select(
+                    F.to_date("bucket").alias("d"), F.hour("bucket").alias("h")
+                )
                 .distinct()
                 .limit(self.max_touched_list + 1)
                 .collect()
-            ]
+            )
             if not touched:
                 return
             merged = new_partials
