@@ -201,3 +201,41 @@ def test_batch_kernel_matches_referee_rectangular():
             (got,) = _dtw_batch_numpy([pa], [pb], band)
             want = dtw_distance_python(pa, pb, band)
             assert float(got) == want, (band, pa, pb)
+
+
+def test_hot_key_million_point_trajectory_bounded(spark):
+    """VERDICT r3 #4: a degenerate 1M-point trajectory (plus small
+    normal keys) must build signatures with BOUNDED per-key aggregation
+    state — the rank-filter formulation keeps <=m points per key past
+    the window, so no executor holds a million-point array row. The
+    sampled signature is checked against the closed-form expectation."""
+    n = 1_000_000
+    m = 8
+    hot = spark.range(n).select(
+        F.lit("hot").alias("unique_vehicle_id"),
+        F.col("id").alias("tst"),
+        (F.col("id") * 0.001).alias("lat"),
+        (F.col("id") * -0.002).alias("long"),
+    )
+    cold = spark.range(10).select(
+        F.lit("cold").alias("unique_vehicle_id"),
+        F.col("id").alias("tst"),
+        F.col("id").cast("double").alias("lat"),
+        F.col("id").cast("double").alias("long"),
+    )
+    sigs = {
+        r["id"]: r
+        for r in trajectory_signatures(
+            hot.unionByName(cold), "unique_vehicle_id", ("tst",), "lat", "long", m=m
+        ).collect()
+    }
+    assert sigs["hot"]["n_points"] == n
+    expected = []
+    for i in range(m):
+        r = (i * (n - 1)) // (m - 1)
+        expected.extend([r * 0.001, r * -0.002])
+    got = sigs["hot"]["sig"]
+    assert len(got) == 2 * m
+    for g, e in zip(got, expected):
+        assert abs(g - e) < 1e-9
+    assert sigs["cold"]["n_points"] == 10
