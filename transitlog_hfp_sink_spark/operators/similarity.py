@@ -701,18 +701,26 @@ def pq_train(
     return books
 
 
-def _sub_assign(vec: Column, book: list[list[float]], lo: int, dsub: int) -> Column:
+def _sub_assign(
+    vec: Column, book: list[list[float]], lo: int, dsub: int,
+    round_digits: int | None = None,
+) -> Column:
     """Nearest-centroid CODE of vec[lo:lo+dsub] in one codebook — the
-    transform-over-literal loop (one compiled lambda per subvector)."""
+    transform-over-literal loop (one compiled lambda per subvector).
+    round_digits rounds each sub-distance BEFORE the argmin (the
+    round-before-argmin idiom that makes a DuckDB twin bit-stable on
+    near-ties; None = full precision for production encode)."""
     sub = F.slice(vec, lo + 1, dsub)
-    dists = F.transform(
-        _centroid_literal(book),
-        lambda c: F.aggregate(
+
+    def _d(c: Column) -> Column:
+        d = F.aggregate(
             F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-    )
+        )
+        return d if round_digits is None else F.round(d, round_digits)
+
+    dists = F.transform(_centroid_literal(book), _d)
     idx = F.sequence(F.lit(0), F.lit(len(book) - 1))
     pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
     best = F.array_sort(
@@ -729,6 +737,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """(id, codes array<tinyint> of length m): each subvector replaced by
     its nearest codebook index. MAP-ONLY (codebooks are broadcast
@@ -740,11 +749,47 @@ def pq_encode(
     staged = df.select(F.col(id_col), v.alias("__v"))
     codes = F.array(
         *[
-            _sub_assign(F.col("__v"), book, j * dsub, dsub)
+            _sub_assign(F.col("__v"), book, j * dsub, dsub, round_digits)
             for j, book in enumerate(codebooks)
         ]
     )
     return staged.select(F.col(id_col), codes.alias("codes"))
+
+
+def _adc_tables(
+    qv: list[float], codebooks: list[list[list[float]]], dsub: int
+) -> list[list[float]]:
+    """Driver-side ADC lookup tables for one (residual) query vector:
+    tables[j][c] = ||q_j - C_jc||^2, accumulated in the SAME IEEE-double
+    fold order as the zip_with/aggregate expression it replaces, so the
+    scored distances are bit-identical to the literal-expression path."""
+    tabs = []
+    for j, book in enumerate(codebooks):
+        lo = j * dsub
+        sub = qv[lo : lo + dsub]
+        row = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(sub, c):
+                acc = acc + (a - b) * (a - b)
+            row.append(acc)
+        tabs.append(row)
+    return tabs
+
+
+def _nearest_lists_py(
+    qv: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side twin of _nearest_lists (sequential-fold distances,
+    stable sort => ties keep index order, matching array_sort's stable
+    comparator-0 behavior)."""
+    dists = []
+    for c in centroids:
+        acc = 0.0
+        for a, b in zip(qv, c):
+            acc = acc + (a - b) * (a - b)
+        dists.append(acc)
+    return sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
 
 
 def pq_adc_topk(
@@ -765,31 +810,32 @@ def pq_adc_topk(
     path; approximation quality is a recall-vs-exact contract in tests.
 
     Returns (query_id, neighbor_id, approx_dist2, rank).
+
+    PERF (VERDICT r3 #6): the ADC tables are computed DRIVER-SIDE from the
+    collected query rows (the query side is the broadcast side by
+    contract, so the collect is bounded) and shipped as plain DATA via
+    createDataFrame. The previous formulation built them as expressions
+    over m x k x dsub literal arrays; profiling showed the flat ~1.5-2.7 s
+    cost of the PQ tiers was almost entirely PYTHON EXPRESSION-TREE
+    CONSTRUCTION (py4j round-trips for the nested literals), not codegen
+    or execution. The arithmetic replays the zip_with/aggregate fold
+    order exactly ((a-b)*(a-b) accumulated left to right in IEEE
+    doubles), so results are bit-identical.
     """
     dsub = len(codebooks[0][0])
     qv = _as_double(vec_col)
-
-    # tables: array over j of array over c of ||q_j - C_jc||^2. NB: the
-    # subvector offset must be bound via a factory, NOT a second lambda
-    # parameter — a 2-arg transform() lambda means (element, index) and
-    # would silently rebind the offset to the centroid index.
-    def _qtable(book: list[list[float]], lo: int) -> Column:
-        sub = F.slice(F.col("__qv"), lo + 1, dsub)
-        return F.transform(
-            _centroid_literal(book),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    tables = F.array(
-        *[_qtable(book, j * dsub) for j, book in enumerate(codebooks)]
-    )
-    q = queries.select(
+    qrows = queries.select(
         F.col(query_id_col).alias("query_id"), qv.alias("__qv")
-    ).select("query_id", tables.alias("__tabs"))
+    ).collect()
+    data = [
+        (r["query_id"], _adc_tables(r["__qv"], codebooks, dsub)) for r in qrows
+    ]
+    qid_type = dict(
+        queries.select(F.col(query_id_col).alias("query_id")).dtypes
+    )["query_id"]
+    q = corpus_codes.sparkSession.createDataFrame(
+        data, schema=f"query_id {qid_type}, __tabs array<array<double>>"
+    )
     c = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
     scored = c.join(
         F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")
@@ -919,42 +965,29 @@ def ivfpq_topk(
     scored with m code lookups — the corpus leg reads (list_id, codes)
     only, joined on list_id, never shuffled.
 
-    Returns (query_id, neighbor_id, approx_dist2, rank)."""
+    Returns (query_id, neighbor_id, approx_dist2, rank).
+
+    PERF (VERDICT r3 #6): the per-(query, list) residual ADC tables are
+    computed DRIVER-SIDE and shipped as data — see pq_adc_topk; the
+    nprobe x m x k literal expression trees were the flat ~2.7 s cost of
+    this entry (py4j construction time, not execution)."""
     dsub = len(codebooks[0][0])
-    C_lit = _centroid_literal(centroids)
     qv = _as_double(vec_col)
-    q1 = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        qv.alias("__qv"),
-        F.explode(_nearest_lists(qv, centroids, nprobe)).alias("list_id"),
-    )
-    q2 = q1.select(
-        "query_id",
-        F.col("list_id").cast("int").alias("list_id"),
-        F.zip_with(
-            F.col("__qv"),
-            F.element_at(C_lit, F.col("list_id").cast("int") + 1),
-            lambda a, b: a - b,
-        ).alias("__qr"),
-    )
-
-    def _qtable(book: list[list[float]], lo: int) -> Column:
-        sub = F.slice(F.col("__qr"), lo + 1, dsub)
-        return F.transform(
-            _centroid_literal(book),
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-
-    q3 = q2.select(
-        "query_id",
-        "list_id",
-        F.array(*[_qtable(book, j * dsub) for j, book in enumerate(codebooks)]).alias(
-            "__tabs"
-        ),
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), qv.alias("__qv")
+    ).collect()
+    data = []
+    for r in qrows:
+        v = r["__qv"]
+        for list_id in _nearest_lists_py(v, centroids, nprobe):
+            resid = [a - b for a, b in zip(v, centroids[list_id])]
+            data.append((r["query_id"], list_id, _adc_tables(resid, codebooks, dsub)))
+    qid_type = dict(
+        queries.select(F.col(query_id_col).alias("query_id")).dtypes
+    )["query_id"]
+    q3 = index.sparkSession.createDataFrame(
+        data,
+        schema=f"query_id {qid_type}, list_id int, __tabs array<array<double>>",
     )
     c = index.select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
     scored = (
