@@ -65,3 +65,60 @@ def test_app_bad_sink_spec_exits_nonzero(tmp_path):
         timeout=180,
     )
     assert proc.returncode == 1  # Main.java:31-38: log + close + fail
+
+
+def test_app_maintenance_subcommands_end_to_end(spark, tmp_path):
+    """VERDICT r3 #9: retention + compaction as app subcommands
+    (TimescaleDB compress_chunks/drop_chunks background-job parity),
+    driven as real subprocesses over a partitioned store."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "store")
+    df = spark.range(400).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string")).alias(
+            "received_date"
+        ),
+        (F.col("id") % 2).cast("string").alias("received_hour"),
+    )
+    # many small files per partition so compaction has work to do
+    df.repartition(8).write.partitionBy("received_date", "received_hour").parquet(store)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app",
+         "compact", "--path", store, "--max-files", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["job"] == "compact"
+    assert report["partitions_compacted"] > 0
+    assert spark.read.parquet(store).count() == 400
+
+    # dry-run first: reports but deletes nothing
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app",
+         "retention", "--path", store,
+         "--cutoff", "received_date=2024-01-03", "--dry-run"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["dry_run"] is True and report["partitions_dropped"] > 0
+    assert spark.read.parquet(store).count() == 400
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app",
+         "retention", "--path", store, "--cutoff", "received_date=2024-01-03"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["partitions_dropped"] > 0 and not report["failed"]
+    kept = spark.read.parquet(store)
+    assert kept.count() == kept.where(F.col("received_date") == "2024-01-03").count()
+    assert kept.count() > 0

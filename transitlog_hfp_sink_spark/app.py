@@ -15,6 +15,17 @@ Usage::
     # JDBC sink (connection string from /run/secrets/db_conn_string or
     # $DB_CONN_STRING, README.md:40-41 parity):
     python -m transitlog_hfp_sink_spark.app --source ... --sink jdbc:vehicles
+
+Maintenance subcommands (TimescaleDB background-job parity: the
+reference's hypertable relies on compress_chunks / drop_chunks policies,
+run/init.sql:21-85; here they are explicit operator-invoked jobs over the
+partitioned parquet store):
+
+    python -m transitlog_hfp_sink_spark.app compact --path /data/vehicles
+    python -m transitlog_hfp_sink_spark.app retention --path /data/vehicles \
+        --cutoff received_date=2024-01-05 [--cutoff received_hour=3] [--dry-run]
+
+Both print a one-line JSON report and exit 0 on success.
 """
 
 from __future__ import annotations
@@ -49,7 +60,86 @@ def make_sink(spec: str):
     raise ValueError(f"unknown sink spec: {spec}")
 
 
+def _maintain_compact(argv: list[str]) -> int:
+    """Chunk-compaction job (sinks/compact.py): the compress_chunks
+    background-policy parity, run on demand."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app compact")
+    p.add_argument("--path", required=True)
+    p.add_argument("--partition-cols", default="received_date,received_hour",
+                   help="comma-separated partition columns of the store")
+    p.add_argument("--max-files", type=int, default=4)
+    p.add_argument("--target-file-bytes", type=int, default=None)
+    args = p.parse_args(argv)
+    from transitlog_hfp_sink_spark.sinks.compact import (
+        DEFAULT_TARGET_FILE_BYTES,
+        compact_partitioned,
+    )
+
+    spark = build_session(app_name="hfp-maintenance-compact")
+    try:
+        report = compact_partitioned(
+            spark,
+            args.path,
+            partition_cols=[c for c in args.partition_cols.split(",") if c],
+            max_files_per_partition=args.max_files,
+            target_file_bytes=args.target_file_bytes or DEFAULT_TARGET_FILE_BYTES,
+        )
+        print(json.dumps({"job": "compact", "path": args.path, **report}))
+        return 0
+    except Exception:
+        logger.exception("compaction failed")
+        return 1
+    finally:
+        spark.stop()
+
+
+def _maintain_retention(argv: list[str]) -> int:
+    """Retention job (sinks/retention.py): drop_chunks parity — deletes
+    whole leaf partitions strictly older than the cutoff; numeric-aware
+    component compare, failed deletes reported not counted."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app retention")
+    p.add_argument("--path", required=True)
+    p.add_argument("--cutoff", action="append", required=True,
+                   metavar="COL=VALUE",
+                   help="partition cutoff component; repeat for nested "
+                        "partitions, order = compare order")
+    p.add_argument("--dry-run", action="store_true")
+    args = p.parse_args(argv)
+    from transitlog_hfp_sink_spark.sinks.retention import drop_partitions_older_than
+
+    cutoff: dict[str, str] = {}
+    for item in args.cutoff:
+        col, sep, val = item.partition("=")
+        if not sep or not col or not val:
+            p.error(f"--cutoff must be COL=VALUE, got {item!r}")
+        cutoff[col] = val
+    spark = build_session(app_name="hfp-maintenance-retention")
+    try:
+        report = drop_partitions_older_than(
+            spark, args.path, cutoff=cutoff, dry_run=args.dry_run
+        )
+        print(json.dumps({
+            "job": "retention", "path": args.path, "dry_run": args.dry_run,
+            **report,
+        }))
+        return 0 if not report.get("failed") else 1
+    except Exception:
+        logger.exception("retention failed")
+        return 1
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["compact"]:
+        return _maintain_compact(argv[1:])
+    if argv[:1] == ["retention"]:
+        return _maintain_retention(argv[1:])
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source", required=True, help="input dir (file stream) or topic")
     p.add_argument("--source-format", default="parquet",
