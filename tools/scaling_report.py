@@ -79,7 +79,18 @@ def main() -> None:
     )
     lines.append("")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.md"), "w") as f:
+    out_path = os.path.join(root, "SCALING.md")
+    # preserve hand-written / other-tool sections (## ...) after the table
+    try:
+        with open(out_path) as f:
+            old = f.read().splitlines()
+        first_section = next(
+            i for i, ln in enumerate(old) if ln.startswith("## ")
+        )
+        lines.extend(old[first_section:] + [""])
+    except (FileNotFoundError, StopIteration):
+        pass
+    with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
     spark.stop()
