@@ -402,7 +402,14 @@ def _pinned_stream_confs(spark: SparkSession, timezone: str = "UTC"):
     NTZ<->LTZ casts inside the stream go through session-local time).
     Streaming queries capture conf values at ``start()``, so pinning for the
     duration of start+awaitTermination makes the run deterministic under any
-    caller timezone."""
+    caller timezone.
+
+    Concurrency note: overlapping runs in one session pin the SAME values,
+    so races only affect which saved value is restored last — harmless when
+    the session already runs the pinned values (the driver's profile; the
+    4-way concurrent test exercises exactly this), and the per-run results
+    are unaffected either way because each query captures the pinned confs
+    at its own start()."""
     pins = {
         "spark.sql.session.timeZone": timezone,
         "spark.sql.legacy.parquet.nanosAsLong": "true",
