@@ -122,11 +122,25 @@ def synth_hfp(events: DataFrame) -> DataFrame:
     )
 
 
+#: constructed-plan cache: the synth+flatten expression tree is ~200
+#: Column calls (~0.8 s of py4j round-trips) and is identical for every
+#: HFP entry in a run — DataFrames are immutable plans, so reuse is safe.
+#: Keyed by applicationId so a plan never outlives its session.
+_SYNTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def synth_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> synthetic raw -> ENGINE transform -> valid vehicles rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SYNTH_CACHE.get(key)
+    if cached is not None:
+        return cached
     raw = synth_hfp(read_table(spark, sf_dir, "events"))
     flat = hfp_flatten(raw.where(F.col("schema_valid")))
-    return flat.where(F.col("tst").isNotNull())
+    out = flat.where(F.col("tst").isNotNull())
+    _SYNTH_CACHE.clear()  # one live session/SF at a time; no unbounded growth
+    _SYNTH_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
