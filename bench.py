@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "pack_bpe_compose",
     "corpus_profile",
     "trajectory_similarity",
+    "embedding_topk_ivf_served",
 ]
 
 
@@ -296,6 +297,31 @@ def bench_overrides():
             k=5,
         )
 
+    _ivf_state: dict = {}
+
+    def _ivf_served(spark, sf_dir):
+        # IVF-flat serving shape (round 4, completing the index-once
+        # family): centroids trained and the (id, vec, list_id)
+        # assignment PERSISTED once; the timed plan is probe nprobe
+        # lists + broadcast-query equi-join + exact cosine re-rank —
+        # what a query actually costs once the index exists
+        import tempfile
+
+        emb = read_table(spark, sf_dir, "embeddings", widen=True)
+        if "dir" not in _ivf_state:
+            cents = sim.ivf_centroids(emb, n_lists=16, max_iter=8)
+            d = tempfile.mkdtemp(prefix="bench-ivf-")
+            sim.ivf_assign(emb, cents).write.parquet(d + "/index")
+            _ivf_state.update(dir=d, cents=cents)
+        queries = emb.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.ivf_topk(
+            emb, queries, k=3, n_lists=16, nprobe=4,
+            centroids=_ivf_state["cents"],
+            index=spark.read.parquet(_ivf_state["dir"] + "/index"),
+        )
+
     _ivfpq_state: dict = {}
 
     def _ivfpq(spark, sf_dir):
@@ -479,6 +505,7 @@ def bench_overrides():
         "lm_score_bigram": _lm_bigram,
         "embedding_topk_pq": _pq_adc,
         "embedding_topk_ivfpq": _ivfpq,
+        "embedding_topk_ivf_served": _ivf_served,
         "embedding_semdedup": _semdedup,
         "nb_classifier_score": _nb_classifier,
         "dedup_spans_exact": _spans,

@@ -527,3 +527,31 @@ def test_semdedup_plan_no_cartesian(corpus):
         plan = explain_str(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_served_index_equals_adhoc(spark, sf_dir):
+    """ivf_topk over a stored ivf_assign index must return exactly the
+    ad-hoc result (the index is a materialization of the same map-only
+    assignment) — the IVF-flat serving shape (round 4)."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_lists=8, max_iter=6)
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adhoc = ivf_topk(emb, queries, k=3, n_lists=8, nprobe=3, centroids=cents)
+    index = ivf_assign(emb, cents)
+    served = ivf_topk(
+        emb, queries, k=3, n_lists=8, nprobe=3, centroids=cents, index=index
+    )
+    a = sorted(tuple(r) for r in adhoc.collect())
+    s = sorted(tuple(r) for r in served.collect())
+    assert a == s and len(a) > 0

@@ -331,6 +331,25 @@ def _nearest_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Co
     return F.slice(F.transform(ordered, lambda p: p["i"]), 1, nprobe)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, list_id) — the persistable IVF-flat index: each corpus
+    vector bucketed into exactly its nearest list (map-only). Store this
+    partitioned/bucketed by list_id and pass it to ivf_topk(index=...) so
+    query time never re-assigns the corpus (the same index-once shape as
+    build_postings / ivfpq_encode)."""
+    v = _as_double(vec_col)
+    return corpus.select(
+        F.col(id_col),
+        v.alias(vec_col),
+        F.element_at(_nearest_lists(v, centroids, 1), 1).cast("int").alias("list_id"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -342,6 +361,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus rows are bucketed by
     nearest k-means centroid (the inverted lists); each query probes its
@@ -351,14 +371,25 @@ def ivf_topk(
     the query join is an equi-join on list_id with the (small) query side
     broadcast, so the corpus is never shuffled at query time. Recall rises
     with nprobe (nprobe = n_lists -> exact search).
+
+    index: a stored ivf_assign frame — skips the corpus assignment
+    entirely (the serving shape; `centroids` must be the ones the index
+    was built with).
     """
     cents = centroids if centroids is not None else ivf_centroids(corpus, n_lists, vec_col, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("__cv"),
-        # corpus rows live in exactly their nearest list
-        F.element_at(_nearest_lists(_as_double(vec_col), cents, 1), 1).alias("list_id"),
-    )
+    if index is not None:
+        c = index.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("__cv"),
+            "list_id",
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("__cv"),
+            # corpus rows live in exactly their nearest list
+            F.element_at(_nearest_lists(_as_double(vec_col), cents, 1), 1).alias("list_id"),
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _as_double(vec_col).alias("__qv"),
