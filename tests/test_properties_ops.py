@@ -111,3 +111,76 @@ def test_semdedup_keep_rule_property(spark, vecs):
     # a near-duplicate pair never keeps both of its ends
     for a, b in pairs:
         assert not (a in kept and b in kept), (a, b)
+
+
+def test_nearest_lists_python_twin_matches_expression(spark):
+    """_nearest_lists_py (driver-side, used by ivfpq_topk) must reproduce
+    the _nearest_lists expression exactly — same sequential-fold
+    distances, same stable ordering (round-4 twin introduced with the
+    driver-side ADC tables)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        _nearest_lists,
+        _nearest_lists_py,
+    )
+
+    rng = random.Random(41)
+    dim, n_lists, nprobe = 16, 7, 3
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_lists)]
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<double>"
+    )
+    got = {
+        r["id"]: list(r["lists"])
+        for r in df.select(
+            "id", _nearest_lists(F.col("v"), cents, nprobe).alias("lists")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == _nearest_lists_py(v, cents, nprobe), f"vec {i}"
+
+
+def test_adc_tables_python_twin_matches_scored_distances(spark):
+    """pq_adc_topk's driver-side tables must yield the same rounded
+    distances as recomputing sum_j tables[j][code_j] in Python over the
+    encoded corpus — pinning the IEEE fold-order claim of _adc_tables
+    (round 4)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        _adc_tables,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    rng = random.Random(43)
+    dim, m, k = 16, 4, 5
+    dsub = dim // m
+    books = [
+        [[rng.uniform(-1, 1) for _ in range(dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id bigint, embedding array<double>"
+    )
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    queries = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq_adc_topk(pq_encode(df, books), queries, books, k=len(vecs)).collect()
+    assert got
+    for r in got:
+        tabs = _adc_tables(vecs[r["query_id"]], books, dsub)
+        acc = 0.0
+        for j, code in enumerate(codes[r["neighbor_id"]]):
+            acc = acc + tabs[j][code]
+        assert abs(r["approx_dist2"] - round(acc, 6)) < 1e-12, (
+            f"query {r['query_id']} neighbor {r['neighbor_id']}"
+        )

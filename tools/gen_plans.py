@@ -91,7 +91,19 @@ def main(sf_dir="/root/testdata/sf0.01"):
     for name, why in PICKS.items():
         plan = explain_str(qs[name](spark, sf_dir), "simple")
         out += [f"## {name}", "", f"*{why}*", "", "```", plan.strip()[:3000], "```", ""]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    # hand-written analysis after the sentinel survives regeneration
+    try:
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("<!-- notes -->")
+        if idx >= 0:
+            out += ["", old[idx:].rstrip()]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
         f.write("\n".join(out))
     spark.stop()
 
