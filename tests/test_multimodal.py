@@ -1,0 +1,86 @@
+"""Multimodal plumbing: bytes+meta, frame sampling, resize planning, and
+feature extraction (round 4) — the full decode/feature/resize/frame-sample
+surface with the deterministic codec stand-ins, including the handoff of
+extracted features into the ANN stack."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_bytes_meta,
+    extract_features,
+    resize_plan,
+)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, "image", content, None)
+            for i, content in enumerate(rows)
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def test_extract_features_deterministic_and_null_safe(spark):
+    payloads = [b"hello world", b"", None, b"hello world"]
+    df = _media(spark, payloads)
+    got = {r["media_id"]: r["features"] for r in extract_features(df).collect()}
+    assert got[2] is None  # null payload -> null features, not a crash
+    assert got[0] == got[3]  # identical bytes -> identical features
+    expected = [x / 127.5 - 1.0 for x in hashlib.md5(b"hello world").digest()]
+    assert got[0] == expected
+    assert len(got[1]) == 16 and all(-1.0 <= x < 1.0 for x in got[1])
+
+
+def test_extracted_features_feed_the_ann_stack(spark):
+    """The feature column plugs into brute_force_topk unchanged: a planted
+    duplicate payload must be its twin's top-1 neighbor at cos ~1.0."""
+    from transitlog_hfp_sink_spark.operators.similarity import brute_force_topk
+
+    payloads = [b"alpha", b"beta", b"gamma", b"alpha", b"delta", b"epsilon"]
+    feats = extract_features(_media(spark, payloads)).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = feats.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(feats, queries, k=1).collect()
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == 3
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_resize_plan_invariants(spark):
+    df = _media(
+        spark,
+        [b"x" * 100_000, b"y" * 9, b"", b"z" * 50176],  # 224^2 = 50176
+    )
+    got = {r["media_id"]: r for r in resize_plan(df, max_dim=224).collect()}
+    # large image: bounded to max_dim, aspect preserved within rounding
+    big = got[0]
+    assert max(big["out_w"], big["out_h"]) <= 224
+    assert big["src_w"] > 224 or big["src_h"] > 224
+    # small image: untouched (scale capped at 1.0)
+    small = got[1]
+    assert (small["out_w"], small["out_h"]) == (small["src_w"], small["src_h"])
+    # empty payload: all-zero dims, no division error
+    assert (got[2]["src_w"], got[2]["out_w"], got[2]["out_h"]) == (0, 0, 0)
+    # exactly max_dim^2 bytes: square 224x224, unscaled
+    assert (got[3]["src_w"], got[3]["src_h"]) == (224, 224)
+    assert (got[3]["out_w"], got[3]["out_h"]) == (224, 224)
+
+
+def test_bytes_meta_null_content(spark):
+    got = {
+        r["media_id"]: r
+        for r in extract_bytes_meta(_media(spark, [b"abc", None])).collect()
+    }
+    assert got[0]["n_bytes"] == 3
+    assert got[0]["content_md5"] == hashlib.md5(b"abc").hexdigest()
+    assert got[1]["n_bytes"] is None and got[1]["content_md5"] is None

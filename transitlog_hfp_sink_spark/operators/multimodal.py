@@ -93,6 +93,70 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def resize_plan(df: DataFrame, max_dim: int = 224) -> DataFrame:
+    """Image-resize plumbing: source dims fake-decoded from byte length
+    (w = ceil(sqrt(n)), h = ceil(n / w) — the deterministic stand-in in
+    decode_image's slot), then aspect-preserving bound to max_dim. Pure
+    expressions (map-only, codegen); a real decoder only replaces the
+    dim derivation, the scaling math and schema stay.
+
+    Returns (media_id, src_w, src_h, out_w, out_h)."""
+    n = F.octet_length("content").cast("double")
+    w = F.ceil(F.sqrt(n)).cast("int")
+    h = F.when(w > 0, F.ceil(n / w)).otherwise(F.lit(0)).cast("int")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_dim)) / F.greatest(w, h).cast("double")
+    )
+    return df.select(
+        "media_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        F.when(w > 0, F.greatest(F.lit(1), F.floor(w * scale).cast("int")))
+        .otherwise(F.lit(0))
+        .alias("out_w"),
+        F.when(h > 0, F.greatest(F.lit(1), F.floor(h * scale).cast("int")))
+        .otherwise(F.lit(0))
+        .alias("out_h"),
+    )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Feature-extraction plumbing (the embed-the-media step): Arrow-
+    batched mapInPandas producing a fixed-width array<double> per payload
+    that feeds the existing ANN stack (brute_force_topk / pq_encode /
+    ivf_assign) unchanged. The kernel is the DETERMINISTIC stand-in in
+    decode_image's slot — md5 digest bytes mapped to 16 doubles in
+    [-1, 1) — so the whole leg is oracle-checkable; a real encoder
+    replaces only the per-batch kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(b):
+            if b is None:
+                return None
+            digest = hashlib.md5(b).digest()
+            return [x / 127.5 - 1.0 for x in digest]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "features": pdf[content_col].map(feats),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter used by tests/queries: treats document text bytes as an
     opaque payload so the multimodal plumbing is exercised end-to-end on

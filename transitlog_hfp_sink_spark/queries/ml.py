@@ -1428,40 +1428,111 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part='frame' — video frame-sampling plumbing over opaque payloads:
                    one row per sampled frame index (deterministic
                    byte-length-derived frame counts; the demux codec is
-                   the stubbed slot — SURVEY north-star multimodal)."""
-    from transitlog_hfp_sink_spark.operators.multimodal import frame_sample_plan
+                   the stubbed slot — SURVEY north-star multimodal);
+    part='resize' — aspect-preserving resize planning (round 4): source
+                   dims fake-decoded from byte length, bounded to 224;
+                   out dims in (out_w, out_h) — pure expressions;
+    part='feature' — feature-extraction plumbing (round 4): Arrow-
+                   batched mapInPandas producing the fixed-width
+                   array<double> the ANN stack consumes; checked via the
+                   per-payload feature checksum in feat_sum (the
+                   deterministic md5-byte kernel stands in the codec
+                   slot, so the leg is value-hash-checked end to end)."""
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        resize_plan,
+    )
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
     media = documents_as_media(docs)
-    meta_leg = extract_bytes_meta(media).select(
-        F.lit("meta").alias("part"),
-        "media_id",
-        "n_bytes",
-        "content_md5",
-        F.lit(None).cast("int").alias("frame_idx"),
+    pad = {
+        "n_bytes": F.lit(None).cast("bigint"),
+        "content_md5": F.lit(None).cast("string"),
+        "frame_idx": F.lit(None).cast("int"),
+        "out_w": F.lit(None).cast("int"),
+        "out_h": F.lit(None).cast("int"),
+        "feat_sum": F.lit(None).cast("double"),
+    }
+
+    def leg(df, part, **cols):
+        return df.select(
+            F.lit(part).alias("part"),
+            "media_id",
+            *[cols.get(c, pad[c]).alias(c) for c in pad],
+        )
+
+    meta_leg = leg(
+        extract_bytes_meta(media), "meta",
+        n_bytes=F.col("n_bytes"), content_md5=F.col("content_md5"),
     )
-    frame_leg = frame_sample_plan(media, every_n=30).select(
-        F.lit("frame").alias("part"),
-        "media_id",
-        F.lit(None).cast("bigint").alias("n_bytes"),
-        F.lit(None).cast("string").alias("content_md5"),
-        "frame_idx",
+    frame_leg = leg(
+        frame_sample_plan(media, every_n=30), "frame", frame_idx=F.col("frame_idx")
     )
-    return meta_leg.unionByName(frame_leg)
+    resize_leg = leg(
+        resize_plan(media, max_dim=224), "resize",
+        out_w=F.col("out_w"), out_h=F.col("out_h"),
+    )
+    feature_leg = leg(
+        extract_features(media), "feature",
+        feat_sum=F.round(
+            F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x), 6
+        ),
+    )
+    return (
+        meta_leg.unionByName(frame_leg)
+        .unionByName(resize_leg)
+        .unionByName(feature_leg)
+    )
 
 
 ORACLE_MULTIMODAL = """
+WITH pads AS (
+  SELECT CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS content_md5,
+         CAST(NULL AS INTEGER) AS frame_idx, CAST(NULL AS INTEGER) AS out_w,
+         CAST(NULL AS INTEGER) AS out_h, CAST(NULL AS DOUBLE) AS feat_sum
+),
+dims AS (
+  SELECT doc_id,
+    CAST(octet_length(encode(text)) AS DOUBLE) AS n,
+    CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE))) AS INTEGER) AS w
+  FROM documents
+),
+rz AS (
+  SELECT doc_id, w,
+    CASE WHEN w > 0
+      THEN CAST(ceil(n / w) AS INTEGER) ELSE 0 END AS h,
+    CASE WHEN w > 0
+      THEN least(1.0, 224.0 / CAST(greatest(w, CASE WHEN w > 0 THEN CAST(ceil(n / w) AS INTEGER) ELSE 0 END) AS DOUBLE))
+      ELSE 0.0 END AS scale
+  FROM dims
+)
 SELECT 'meta' AS part, doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5,
-       CAST(NULL AS INTEGER) AS frame_idx
-FROM documents
+       pads.frame_idx, pads.out_w, pads.out_h, pads.feat_sum
+FROM documents, pads
 UNION ALL
 SELECT 'frame' AS part, doc_id AS media_id,
-       CAST(NULL AS BIGINT) AS n_bytes,
-       CAST(NULL AS VARCHAR) AS content_md5,
-       CAST(unnest(range(0, CAST(octet_length(encode(text)) // 1000 AS INTEGER) + 1, 30)) AS INTEGER) AS frame_idx
-FROM documents
+       pads.n_bytes, pads.content_md5,
+       CAST(unnest(range(0, CAST(octet_length(encode(text)) // 1000 AS INTEGER) + 1, 30)) AS INTEGER) AS frame_idx,
+       pads.out_w, pads.out_h, pads.feat_sum
+FROM documents, pads
+UNION ALL
+SELECT 'resize' AS part, doc_id AS media_id,
+       pads.n_bytes, pads.content_md5, pads.frame_idx,
+       CAST(CASE WHEN w > 0 THEN greatest(1, CAST(floor(w * scale) AS INTEGER)) ELSE 0 END AS INTEGER) AS out_w,
+       CAST(CASE WHEN h > 0 THEN greatest(1, CAST(floor(h * scale) AS INTEGER)) ELSE 0 END AS INTEGER) AS out_h,
+       pads.feat_sum
+FROM rz, pads
+UNION ALL
+SELECT 'feature' AS part, doc_id AS media_id,
+       pads.n_bytes, pads.content_md5, pads.frame_idx, pads.out_w, pads.out_h,
+       round(list_sum([
+         ('0x' || substr(md5(text), 2*i - 1, 2))::INT / 127.5 - 1.0
+         for i in range(1, 17)
+       ]), 6) AS feat_sum
+FROM documents, pads
 """
 
 
