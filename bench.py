@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "corpus_profile",
     "trajectory_similarity",
     "embedding_topk_ivf_served",
+    "multimodal_features",
 ]
 
 
@@ -297,6 +298,48 @@ def bench_overrides():
             k=5,
         )
 
+    def _multimodal_classic(spark, sf_dir):
+        # pre-round-4 projection (meta + frame legs only) so the name's
+        # timing stays comparable; the new legs time as multimodal_features
+        from transitlog_hfp_sink_spark.operators.multimodal import (
+            documents_as_media,
+            extract_bytes_meta,
+            frame_sample_plan,
+        )
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        media = documents_as_media(docs)
+        meta = extract_bytes_meta(media).select(
+            F.lit("meta").alias("part"), "media_id", "n_bytes", "content_md5",
+            F.lit(None).cast("int").alias("frame_idx"),
+        )
+        frame = frame_sample_plan(media, every_n=30).select(
+            F.lit("frame").alias("part"), "media_id",
+            F.lit(None).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("string").alias("content_md5"), "frame_idx",
+        )
+        return meta.unionByName(frame)
+
+    def _multimodal_features(spark, sf_dir):
+        # the round-4 legs standalone: resize planning (pure expressions)
+        # + Arrow-batched feature extraction
+        from transitlog_hfp_sink_spark.operators.multimodal import (
+            documents_as_media,
+            extract_features,
+            resize_plan,
+        )
+
+        docs = read_table(spark, sf_dir, "documents", widen=True)
+        media = documents_as_media(docs)
+        rz = resize_plan(media, max_dim=224).select(
+            "media_id", F.col("out_w").cast("double").alias("v")
+        )
+        ft = extract_features(media).select(
+            "media_id",
+            F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x).alias("v"),
+        )
+        return rz.unionByName(ft)
+
     _ivf_state: dict = {}
 
     def _ivf_served(spark, sf_dir):
@@ -506,6 +549,8 @@ def bench_overrides():
         "embedding_topk_pq": _pq_adc,
         "embedding_topk_ivfpq": _ivfpq,
         "embedding_topk_ivf_served": _ivf_served,
+        "multimodal_pipeline": _multimodal_classic,
+        "multimodal_features": _multimodal_features,
         "embedding_semdedup": _semdedup,
         "nb_classifier_score": _nb_classifier,
         "dedup_spans_exact": _spans,
