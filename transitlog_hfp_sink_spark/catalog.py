@@ -1,0 +1,71 @@
+"""SQL-surface catalog — the psql-parity entry point.
+
+The reference's users query the sink through SQL (`vehicles` hypertable +
+TimescaleDB functions over it; run/init.sql:26-85). Spark's equivalent is
+`spark.sql(...)` over registered views and functions; this module performs
+that registration in one call so a user of the reference can point their
+SQL at the engine unchanged:
+
+    from transitlog_hfp_sink_spark.catalog import register_catalog
+    register_catalog(spark, sf_dir="/root/testdata/sf0.001")
+    spark.sql("SELECT route_id, count(*) FROM vehicles "
+              "WHERE event_type = 'VP' AND is_ongoing GROUP BY 1").show()
+
+Registered surface:
+- the ten driver testdata tables as temp views (when ``sf_dir`` given);
+- ``vehicles`` — a stored sink table (``vehicles_path``, the production
+  shape: partitioned parquet written by the pipeline) or, for fixtures,
+  the synthesized stream transformed through the REAL engine transform;
+- ``vehicles_dedup`` — the M3 idempotent read view (natural-key dedup);
+- ``vehicles_geo`` — vehicles plus the geohash-5 spatial bucketing
+  column (functions/geo.py, pure expressions — a view, not a UDF);
+- SQL functions: ``haversine_km`` (the lat/long distance workload Q4
+  serves) and ``geometric_mean`` (UDAF surface).
+
+Views are session-scoped metadata only — no data is materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from transitlog_hfp_sink_spark.functions.geo import geohash_encode
+from transitlog_hfp_sink_spark.functions.udfs import register_udfs
+from transitlog_hfp_sink_spark.sources.files import TABLES, read_table
+
+VEHICLES_VIEW = "vehicles"
+DEDUP_VIEW = "vehicles_dedup"
+
+
+def register_catalog(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    vehicles_path: str | None = None,
+) -> list[str]:
+    """Register views + SQL functions; returns the registered view names."""
+    registered: list[str] = []
+    if sf_dir is not None:
+        for t in TABLES:
+            read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            registered.append(t)
+    if vehicles_path is not None:
+        vehicles = spark.read.parquet(vehicles_path)
+    elif sf_dir is not None:
+        from transitlog_hfp_sink_spark.queries.hfp import synth_vehicles
+
+        vehicles = synth_vehicles(spark, sf_dir)
+    else:
+        vehicles = None
+    if vehicles is not None:
+        vehicles.createOrReplaceTempView(VEHICLES_VIEW)
+        registered.append(VEHICLES_VIEW)
+        from transitlog_hfp_sink_spark.transform import dedup_vehicles
+
+        dedup_vehicles(vehicles).createOrReplaceTempView(DEDUP_VIEW)
+        registered.append(DEDUP_VIEW)
+        vehicles.withColumn(
+            "geohash5", geohash_encode("lat", "long", precision=5)
+        ).createOrReplaceTempView("vehicles_geo")
+        registered.append("vehicles_geo")
+    register_udfs(spark)
+    return registered

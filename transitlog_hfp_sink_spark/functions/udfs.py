@@ -23,9 +23,15 @@ def haversine_km(
 ) -> pd.Series:
     """Great-circle distance in km — scalar pandas UDF (Arrow-batched;
     the trig has no exact Catalyst composition that is also readable).
-    Vectorized numpy math: per-BATCH Python cost, not per-row."""
+    Vectorized numpy math: per-BATCH Python cost, not per-row.
+    Inputs are coerced to float64: SQL numeric literals arrive as
+    DECIMAL (object-dtype Decimal series), which numpy ufuncs reject —
+    a real pitfall for spark.sql callers of a registered UDF."""
     import numpy as np
 
+    lat1, lon1, lat2, lon2 = (
+        s.astype("float64") for s in (lat1, lon1, lat2, lon2)
+    )
     rlat1, rlat2 = np.radians(lat1), np.radians(lat2)
     dlat = rlat2 - rlat1
     dlon = np.radians(lon2) - np.radians(lon1)
