@@ -176,3 +176,88 @@ class ContinuousRollupSink:
             F.col("sum_value_dec").cast("double").alias("sum_value"),
             (F.col("sum_value_dec").cast("double") / F.col("n")).alias("avg_value"),
         )
+
+    def refresh(self, base: DataFrame, start: str, end: str) -> dict:
+        """``refresh_continuous_aggregate(start, end)`` parity: recompute
+        the hour buckets in [start, end) FROM THE BASE TABLE and overwrite
+        exactly those partitions — the repair path for late rewrites or a
+        corrupted range, O(range) not O(history). start/end are timestamp
+        strings compared against the event time column.
+
+        The recomputed partials replace (not merge with) whatever the
+        store holds for the range, so a refresh after arbitrary store
+        damage converges to the batch truth. Buckets inside the range
+        with NO base rows are dropped (their partitions overwritten only
+        if the range recompute yields rows for them — fully-empty buckets
+        are removed via the retention-style delete below)."""
+        from transitlog_hfp_sink_spark.sinks.retention import (
+            drop_partitions_older_than,
+        )
+
+        for label, v in (("start", start), ("end", end)):
+            tail = v.replace("T", " ")[13:]
+            if tail.strip(":0 "):
+                # TimescaleDB aligns refresh windows to bucket boundaries;
+                # a mid-hour bound here would drop a whole hour partition
+                # while recomputing only part of it — refuse instead
+                raise ValueError(
+                    f"{label}={v!r} is not on an hour boundary"
+                )
+        ts = F.col(self.ts_col)
+        ts_type = dict(base.dtypes).get(self.ts_col, "timestamp")
+        cast_to = ts_type if ts_type.startswith("timestamp") else "timestamp"
+        lo, hi = F.lit(start).cast(cast_to), F.lit(end).cast(cast_to)
+        ranged = base.where((ts >= lo) & (ts < hi)).withColumn(
+            "bucket", F.date_trunc("hour", F.col(self.ts_col))
+        )
+        partials = _aggregate_partials(ranged, self.dims, self.value_col)
+        out = (
+            partials.withColumn("bucket_date", F.to_date("bucket"))
+            .withColumn("bucket_hour", F.hour("bucket"))
+            .withColumn("last_batch_id", F.lit(-1))
+        )
+        n_buckets = out.select("bucket").distinct().count()
+        # drop every store partition inside the range first: dynamic
+        # overwrite only replaces partitions present in the output, so a
+        # bucket that lost ALL its base rows would otherwise survive stale
+        if path_exists(self.spark, self.path):
+
+            def _key(ts_str: str) -> tuple[str, int]:
+                t = ts_str.replace("T", " ")
+                hour = int(t[11:13]) if len(t) >= 13 else 0
+                return t[:10], hour
+
+            k_lo, k_hi = _key(start), _key(end)
+
+            def _in_range(values: dict[str, str]) -> bool:
+                d = values.get("bucket_date", "")
+                h = values.get("bucket_hour", "")
+                if not d or not h.isdigit():
+                    return False
+                return k_lo <= (d, int(h)) < k_hi
+
+            report = drop_partitions_older_than(
+                self.spark, self.path, older_than=_in_range
+            )
+            if report.get("failed"):
+                # appending over a partition we failed to clear would
+                # double-count; surface the problem instead
+                raise RuntimeError(
+                    f"refresh aborted: could not clear partitions "
+                    f"{report['failed']}"
+                )
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        try:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            out.write.mode("append").partitionBy(
+                "bucket_date", "bucket_hour"
+            ).parquet(self.path)
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        return {"refreshed_buckets": n_buckets, "start": start, "end": end}
