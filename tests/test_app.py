@@ -122,3 +122,49 @@ def test_app_maintenance_subcommands_end_to_end(spark, tmp_path):
     kept = spark.read.parquet(store)
     assert kept.count() == kept.where(F.col("received_date") == "2024-01-03").count()
     assert kept.count() > 0
+
+
+def test_app_refresh_rollup_subcommand(spark, tmp_path):
+    """refresh-rollup subcommand end-to-end: build a rollup store, damage
+    it by doubling a partition's files, refresh the day via the CLI,
+    verify convergence."""
+    import glob
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.sources.files import read_table
+    from transitlog_hfp_sink_spark.streaming.rollup_sink import ContinuousRollupSink
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    base = f"{sf_dir}/events.parquet"
+    ev = read_table(spark, sf_dir, "events")
+    store = str(tmp_path / "rollup")
+    sink = ContinuousRollupSink(
+        spark=spark, path=store, ts_col="ts", value_col="value",
+        dims=["event_type"],
+    )
+    sink(ev, 0)
+    truth = sink.read().agg(F.sum("n")).first()[0]
+    victim = sorted(glob.glob(store + "/bucket_date=*/bucket_hour=*"))[3]
+    for f in glob.glob(victim + "/part-*.parquet"):
+        shutil.copy(f, f.replace("part-", "dup-part-"))
+    assert sink.read().agg(F.sum("n")).first()[0] > truth
+
+    date = victim.split("bucket_date=")[1].split("/")[0]
+    import datetime as dt
+
+    nxt = (dt.date.fromisoformat(date) + dt.timedelta(days=1)).isoformat()
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app",
+         "refresh-rollup", "--store", store, "--base", base,
+         "--ts-col", "ts", "--value-col", "value", "--dims", "event_type",
+         "--start", f"{date} 00:00:00", "--end", f"{nxt} 00:00:00"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["refreshed_buckets"] > 0
+    assert sink.read().agg(F.sum("n")).first()[0] == truth

@@ -24,8 +24,12 @@ partitioned parquet store):
     python -m transitlog_hfp_sink_spark.app compact --path /data/vehicles
     python -m transitlog_hfp_sink_spark.app retention --path /data/vehicles \
         --cutoff received_date=2024-01-05 [--cutoff received_hour=3] [--dry-run]
+    python -m transitlog_hfp_sink_spark.app refresh-rollup \
+        --store /data/rollup --base /data/events.parquet \
+        --ts-col ts --value-col value --dims event_type \
+        --start "2024-01-01 00:00:00" --end "2024-01-02 00:00:00"
 
-Both print a one-line JSON report and exit 0 on success.
+Each prints a one-line JSON report and exits 0 on success.
 """
 
 from __future__ import annotations
@@ -134,12 +138,49 @@ def _maintain_retention(argv: list[str]) -> int:
         spark.stop()
 
 
+def _maintain_refresh_rollup(argv: list[str]) -> int:
+    """Targeted rollup-range refresh (streaming/rollup_sink.py): the
+    refresh_continuous_aggregate background-job parity, run on demand."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app refresh-rollup")
+    p.add_argument("--store", required=True, help="rollup store path")
+    p.add_argument("--base", required=True, help="base table parquet path")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--dims", default="", help="comma-separated extra group keys")
+    p.add_argument("--start", required=True, help="hour-aligned timestamp")
+    p.add_argument("--end", required=True, help="hour-aligned timestamp (exclusive)")
+    args = p.parse_args(argv)
+    from transitlog_hfp_sink_spark.streaming.rollup_sink import ContinuousRollupSink
+
+    spark = build_session(app_name="hfp-maintenance-refresh")
+    try:
+        sink = ContinuousRollupSink(
+            spark=spark, path=args.store, ts_col=args.ts_col,
+            value_col=args.value_col,
+            dims=[d for d in args.dims.split(",") if d],
+        )
+        report = sink.refresh(
+            spark.read.parquet(args.base), args.start, args.end
+        )
+        print(json.dumps({"job": "refresh-rollup", "store": args.store, **report}))
+        return 0
+    except Exception:
+        logger.exception("rollup refresh failed")
+        return 1
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv[:1] == ["compact"]:
         return _maintain_compact(argv[1:])
     if argv[:1] == ["retention"]:
         return _maintain_retention(argv[1:])
+    if argv[:1] == ["refresh-rollup"]:
+        return _maintain_refresh_rollup(argv[1:])
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source", required=True, help="input dir (file stream) or topic")
     p.add_argument("--source-format", default="parquet",
