@@ -201,3 +201,48 @@ def test_refresh_with_empty_base_drops_range_buckets(spark, sf_dir, tmp_path):
     assert after == 0
     # everything outside the range untouched
     assert sink.read().where(F.to_date("bucket") != first_day).count() > 0
+
+
+def test_date_granularity_store_converges_and_refreshes(spark, sf_dir, tmp_path):
+    """granularity='date' (round 4 — for replay/backfill batches that
+    touch every hour): one directory level, same merge semantics; refresh
+    requires day-aligned bounds and converges after damage."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    ev = read_table(spark, sf_dir, "events").cache()
+    sink = ContinuousRollupSink(
+        spark=spark, path=str(tmp_path / "rollup"),
+        ts_col="ts", value_col="value", dims=["event_type"],
+        granularity="date",
+    )
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+    sink(b1, 0)
+    sink(b2, 1)
+    assert not glob.glob(str(tmp_path / "rollup" / "bucket_date=*/bucket_hour=*"))
+    assert glob.glob(str(tmp_path / "rollup" / "bucket_date=*"))
+    truth = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in sink.read().collect()
+    }
+    expected_n = ev.count()
+    assert sum(v[0] for v in truth.values()) == expected_n
+
+    victim = sorted(glob.glob(str(tmp_path / "rollup" / "bucket_date=*")))[2]
+    for f in glob.glob(victim + "/part-*.parquet"):
+        shutil.copy(f, f.replace("part-", "dup-part-"))
+    date = victim.split("bucket_date=")[1].rstrip("/")
+    nxt = (dt.date.fromisoformat(date) + dt.timedelta(days=1)).isoformat()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="day boundary"):
+        sink.refresh(ev, f"{date} 05:00:00", f"{nxt} 00:00:00")
+    sink.refresh(ev, f"{date} 00:00:00", f"{nxt} 00:00:00")
+    got = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in sink.read().collect()
+    }
+    assert got == truth

@@ -719,6 +719,11 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         value_col="value",
         dims=["event_type"],
+        # the replay batches here touch EVERY hour of the month; date
+        # granularity keeps the per-partition commit count sane (24x
+        # fewer dirs, ~3x faster entry) while hour granularity remains
+        # the streaming default (micro-batches touch 1-2 hours)
+        granularity="date",
     )
     for i in range(3):
         sink(ev.where(F.col("event_id") % 3 == i), i)

@@ -51,6 +51,22 @@ class ContinuousRollupSink:
     #: the bucket list on the driver and filters via a broadcast semi-join
     #: (a replay of a huge historical batch must not blow the driver)
     max_touched_list: int = 4096
+    #: physical partition granularity of the store: "hour" (default —
+    #: hypertable 1 h chunk parity; bucket_date/bucket_hour directories)
+    #: or "date" (bucket_date only; hour stays a data column, pruned via
+    #: row-group stats). Use "date" when batches routinely touch MANY
+    #: hours (historical replays/backfills): the per-partition commit is
+    #: driver-side and measured ~9 s per 720 hour-dirs locally, 24x fewer
+    #: dirs under "date". Streaming micro-batches touch 1-2 hours and are
+    #: unaffected either way.
+    granularity: str = "hour"
+
+    def _part_cols(self) -> list[str]:
+        return (
+            ["bucket_date"]
+            if self.granularity == "date"
+            else ["bucket_date", "bucket_hour"]
+        )
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_last_committed_batch")
@@ -77,6 +93,11 @@ class ContinuousRollupSink:
         by_date: dict = {}
         for r in touched:
             by_date.setdefault(r["d"], []).append(r["h"])
+        if self.granularity == "date":
+            # the overwrite unit is a DATE dir: every hour of a touched
+            # date must be read into the merge, or untouched hours of
+            # that date would be deleted by the dir-level overwrite
+            return F.col("bucket_date").isin(sorted(by_date))
         cond = F.lit(False)
         for d, hours in by_date.items():
             cond = cond | (
@@ -116,11 +137,25 @@ class ContinuousRollupSink:
                 if len(touched) > self.max_touched_list:
                     # giant replay: no driver-side bucket list; restrict the
                     # store via a broadcast semi-join on the batch partials
-                    existing = store.join(
-                        F.broadcast(new_partials.select("bucket").distinct()),
-                        on="bucket",
-                        how="left_semi",
-                    )
+                    # — at the store's OVERWRITE granularity (see
+                    # _touched_filter: a date-dir overwrite must merge
+                    # every hour of a touched date)
+                    if self.granularity == "date":
+                        existing = store.join(
+                            F.broadcast(
+                                new_partials.select(
+                                    F.to_date("bucket").alias("bucket_date")
+                                ).distinct()
+                            ),
+                            on="bucket_date",
+                            how="left_semi",
+                        )
+                    else:
+                        existing = store.join(
+                            F.broadcast(new_partials.select("bucket").distinct()),
+                            on="bucket",
+                            how="left_semi",
+                        )
                 else:
                     existing = store.where(self._touched_filter(touched))
                 # replay guard, step 2 (crash-safe): the partition
@@ -155,7 +190,7 @@ class ContinuousRollupSink:
             # deletion deferred to job commit); static mode would drop the
             # untouched partitions — hence set + restore around the write.
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            out.write.mode("overwrite").partitionBy("bucket_date", "bucket_hour").parquet(
+            out.write.mode("overwrite").partitionBy(*self._part_cols()).parquet(
                 self.path
             )
             with open(self._meta_path(), "w") as f:
@@ -195,14 +230,16 @@ class ContinuousRollupSink:
         )
 
         for label, v in (("start", start), ("end", end)):
-            tail = v.replace("T", " ")[13:]
+            # TimescaleDB aligns refresh windows to bucket boundaries;
+            # an unaligned bound would drop a whole partition while
+            # recomputing only part of it — refuse instead. Alignment
+            # follows the STORE granularity: hour dirs need hour-aligned
+            # bounds, date dirs need day-aligned bounds.
+            tail_from = 13 if self.granularity == "hour" else 10
+            tail = v.replace("T", " ")[tail_from:]
             if tail.strip(":0 "):
-                # TimescaleDB aligns refresh windows to bucket boundaries;
-                # a mid-hour bound here would drop a whole hour partition
-                # while recomputing only part of it — refuse instead
-                raise ValueError(
-                    f"{label}={v!r} is not on an hour boundary"
-                )
+                unit = "an hour" if self.granularity == "hour" else "a day"
+                raise ValueError(f"{label}={v!r} is not on {unit} boundary")
         ts = F.col(self.ts_col)
         ts_type = dict(base.dtypes).get(self.ts_col, "timestamp")
         cast_to = ts_type if ts_type.startswith("timestamp") else "timestamp"
@@ -231,8 +268,12 @@ class ContinuousRollupSink:
 
             def _in_range(values: dict[str, str]) -> bool:
                 d = values.get("bucket_date", "")
+                if not d:
+                    return False
+                if self.granularity == "date":
+                    return k_lo[0] <= d < k_hi[0]
                 h = values.get("bucket_hour", "")
-                if not d or not h.isdigit():
+                if not h.isdigit():
                     return False
                 return k_lo <= (d, int(h)) < k_hi
 
@@ -253,9 +294,9 @@ class ContinuousRollupSink:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", "dynamic"
             )
-            out.write.mode("append").partitionBy(
-                "bucket_date", "bucket_hour"
-            ).parquet(self.path)
+            out.write.mode("append").partitionBy(*self._part_cols()).parquet(
+                self.path
+            )
         finally:
             self.spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
