@@ -168,3 +168,52 @@ def test_app_refresh_rollup_subcommand(spark, tmp_path):
     report = json.loads(proc.stdout.strip().splitlines()[-1])
     assert report["refreshed_buckets"] > 0
     assert sink.read().agg(F.sum("n")).first()[0] == truth
+
+
+def test_app_backfill_subcommand_idempotent(spark, tmp_path):
+    """backfill subcommand: reprocess raw drops into an existing sink via
+    natural-key MERGE — overlapping rows don't duplicate, new rows land,
+    and re-running the same backfill is a no-op."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hfp_fixtures import make_hfp_rows
+
+    from transitlog_hfp_sink_spark.schema import HFP_RAW_SCHEMA
+    from transitlog_hfp_sink_spark.sinks.parquet import write_vehicles_parquet
+    from transitlog_hfp_sink_spark.transform import hfp_split
+
+    rows = make_hfp_rows(200)
+    raw = spark.createDataFrame(rows, schema=HFP_RAW_SCHEMA)
+    first, rest = raw.limit(120), raw.subtract(raw.limit(120))
+
+    sink_path = str(tmp_path / "vehicles")
+    valid_first, _ = hfp_split(first)
+    write_vehicles_parquet(valid_first, sink_path, mode="overwrite")
+    n_initial = spark.read.parquet(sink_path).count()
+
+    # raw drops for the backfill: overlap (first) + the rest
+    drops = str(tmp_path / "drops")
+    raw.coalesce(2).write.parquet(drops)
+    valid_all, _ = hfp_split(raw)
+    n_expected = valid_all.dropDuplicates(
+        ["unique_vehicle_id", "tst", "event_type", "journey_type"]
+    ).count()
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    cmd = [sys.executable, "-m", "transitlog_hfp_sink_spark.app",
+           "backfill", "--source", drops, "--sink-path", sink_path,
+           "--dead-letter", str(tmp_path / "dead")]
+    for attempt in range(2):  # second run must be a no-op
+        proc = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                              text=True, timeout=240)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        report = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert report["job"] == "backfill" and report["rows_upserted"] > 0
+        got = spark.read.parquet(sink_path)
+        assert got.count() == n_expected
+        assert got.dropDuplicates(
+            ["unique_vehicle_id", "tst", "event_type", "journey_type"]
+        ).count() == n_expected
+    assert n_expected >= n_initial

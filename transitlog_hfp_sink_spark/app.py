@@ -173,8 +173,61 @@ def _maintain_refresh_rollup(argv: list[str]) -> int:
         spark.stop()
 
 
+def _backfill(argv: list[str]) -> int:
+    """Idempotent BATCH reprocessing of raw HFP drops into the parquet
+    sink (the ops path for topic replays / late corrections): read raw,
+    run the SAME transform the stream runs, MERGE on the natural key so
+    re-running a backfill (or overlapping it with already-streamed data)
+    never duplicates rows — the M3 at-least-once story applied to batch
+    repair."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app backfill")
+    p.add_argument("--source", required=True, help="raw drops dir (parquet/json)")
+    p.add_argument("--source-format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--sink-path", required=True, help="partitioned vehicles store")
+    p.add_argument("--dead-letter", default=None)
+    args = p.parse_args(argv)
+    from transitlog_hfp_sink_spark.schema import HFP_RAW_SCHEMA, PARTITION_COLUMNS
+    from transitlog_hfp_sink_spark.sinks.merge import upsert_partitioned
+    from transitlog_hfp_sink_spark.transform import hfp_split, with_partition_columns
+
+    spark = build_session(app_name="hfp-backfill")
+    try:
+        reader = spark.read.schema(HFP_RAW_SCHEMA)
+        raw = (
+            reader.parquet(args.source)
+            if args.source_format == "parquet"
+            else reader.json(args.source)
+        )
+        valid, dead = hfp_split(raw)
+        if args.dead_letter:
+            dead.write.mode("append").parquet(args.dead_letter)
+        updates = with_partition_columns(valid)
+        n = updates.count()
+        upsert_partitioned(
+            spark,
+            args.sink_path,
+            updates,
+            key_cols=["unique_vehicle_id", "tst", "event_type", "journey_type"],
+            partition_cols=list(PARTITION_COLUMNS),
+        )
+        print(json.dumps({
+            "job": "backfill", "source": args.source, "sink": args.sink_path,
+            "rows_upserted": n,
+        }))
+        return 0
+    except Exception:
+        logger.exception("backfill failed")
+        return 1
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["backfill"]:
+        return _backfill(argv[1:])
     if argv[:1] == ["compact"]:
         return _maintain_compact(argv[1:])
     if argv[:1] == ["retention"]:

@@ -88,11 +88,20 @@ def upsert_partitioned(
                 clause = eq if clause is None else (clause & eq)
             cond = clause if cond is None else (cond | clause)
         existing = store.where(cond)
-    kept = existing.join(
-        F.broadcast(fresh.select(*key_cols).distinct()),
-        on=key_cols,
-        how="left_anti",
-    )
+    # NULL-SAFE key matching (NULLS NOT DISTINCT, matching
+    # transform.dedup_vehicles' dropDuplicates semantics): a plain
+    # equi-anti-join never matches a NULL key component, so a store row
+    # with e.g. NULL journey_type would survive every merge AND be
+    # re-inserted by fresh — duplicating once per backfill run (round-4
+    # fix, caught by the app-backfill idempotency test).
+    fresh_keys = fresh.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+    ).distinct()
+    null_safe = None
+    for c in key_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        null_safe = e if null_safe is None else (null_safe & e)
+    kept = existing.join(F.broadcast(fresh_keys), on=null_safe, how="left_anti")
     merged = kept.select(*fresh.columns).unionByName(fresh)
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
