@@ -7,6 +7,7 @@ joins, and a real Structured Streaming rollup.
 from __future__ import annotations
 
 import contextlib
+import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -727,6 +728,21 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(3):
         sink(ev.where(F.col("event_id") % 3 == i), i)
+    # refresh-repair leg (driver-visible check of
+    # refresh_continuous_aggregate parity): double-merge a subset of one
+    # mid-range day as a 4th batch — the store now DOUBLE-COUNTS those
+    # rows — then repair exactly that day from the base table. The entry
+    # stays on the plain batch oracle, so it is hash-green only if
+    # refresh() truly recomputes the damaged range rather than merging.
+    day = ev.agg(F.date_add(F.to_date(F.min("ts")), 14)).first()[0]
+    lo, hi = f"{day} 00:00:00", f"{day + datetime.timedelta(days=1)} 00:00:00"
+    corrupt = ev.where(
+        (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        & (F.col("event_id") % 5 == 0)
+    )
+    sink(corrupt, 3)
+    sink.refresh(ev, lo, hi)
     return sink.read().select(
         "bucket", "event_type", "n", "sum_value", "avg_value"
     )
