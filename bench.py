@@ -92,21 +92,21 @@ def _bm25_postings_query():
         from transitlog_hfp_sink_spark.queries.ml import BM25_QUERIES
         from transitlog_hfp_sink_spark.sources.files import read_table
 
-        if "dir" not in state:
+        if sf_dir not in state:  # keyed by SF: scaling_report runs several
             docs = read_table(spark, sf_dir, "documents", widen=True)
             postings, doclens = build_postings(docs)
             d = tempfile.mkdtemp(prefix="bench-bm25-")
             postings.write.parquet(d + "/postings")
             doclens.write.parquet(d + "/doclens")
-            state["dir"] = d
+            state[sf_dir] = d
         qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
         query_terms = qdf.select(
             "query_id",
             F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
         )
         return bm25_score_postings(
-            spark.read.parquet(state["dir"] + "/postings"),
-            spark.read.parquet(state["dir"] + "/doclens"),
+            spark.read.parquet(state[sf_dir] + "/postings"),
+            spark.read.parquet(state[sf_dir] + "/doclens"),
             query_terms,
         )
 
@@ -137,21 +137,21 @@ def _hybrid_postings_query():
         from transitlog_hfp_sink_spark.queries.ml import BM25_QUERIES
         from transitlog_hfp_sink_spark.sources.files import read_table
 
-        if "dir" not in state:
+        if sf_dir not in state:  # keyed by SF: scaling_report runs several
             docs = read_table(spark, sf_dir, "documents", widen=True)
             postings, doclens = build_postings(docs)
             d = tempfile.mkdtemp(prefix="bench-hybrid-")
             postings.write.parquet(d + "/postings")
             doclens.write.parquet(d + "/doclens")
-            state["dir"] = d
+            state[sf_dir] = d
         qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
         query_terms = qdf.select(
             "query_id",
             F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
         )
         sparse = bm25_score_postings(
-            spark.read.parquet(state["dir"] + "/postings"),
-            spark.read.parquet(state["dir"] + "/doclens"),
+            spark.read.parquet(state[sf_dir] + "/postings"),
+            spark.read.parquet(state[sf_dir] + "/doclens"),
             query_terms,
             topk=20,
         )
@@ -217,7 +217,8 @@ def bench_overrides():
         import tempfile
 
         docs = read_table(spark, sf_dir, "documents", widen=True)
-        if "dir" not in _incr_state:
+        st = _incr_state.setdefault(sf_dir, {})  # keyed by SF, as above
+        if "dir" not in st:
             old = docs.where(F.col("doc_id") % 5 != 0)
             bands_df, sh_df = dd.build_minhash_index(
                 old, "text", "doc_id", num_perm=64, bands=16, shingle_n=3
@@ -225,12 +226,12 @@ def bench_overrides():
             d = tempfile.mkdtemp(prefix="bench-incr-")
             bands_df.write.parquet(d + "/bands")
             sh_df.write.parquet(d + "/shingles")
-            _incr_state["dir"] = d
+            st["dir"] = d
         new = docs.where(F.col("doc_id") % 5 == 0)
         return dd.incremental_minhash_pairs(
             new,
-            spark.read.parquet(_incr_state["dir"] + "/bands"),
-            spark.read.parquet(_incr_state["dir"] + "/shingles"),
+            spark.read.parquet(st["dir"] + "/bands"),
+            spark.read.parquet(st["dir"] + "/shingles"),
             "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5,
         )
 
@@ -283,18 +284,19 @@ def bench_overrides():
         import tempfile
 
         emb = read_table(spark, sf_dir, "embeddings", widen=True)
-        if "dir" not in _pq_state:
+        st = _pq_state.setdefault(sf_dir, {})  # keyed by SF, as above
+        if "dir" not in st:
             cents = sim.pq_train(emb, m=8, k=16)
             d = tempfile.mkdtemp(prefix="bench-pq-")
             sim.pq_encode(emb, cents).write.parquet(d + "/codes")
-            _pq_state.update(dir=d, cents=cents)
+            st.update(dir=d, cents=cents)
         queries = emb.where(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return sim.pq_adc_topk(
-            spark.read.parquet(_pq_state["dir"] + "/codes"),
+            spark.read.parquet(st["dir"] + "/codes"),
             queries,
-            _pq_state["cents"],
+            st["cents"],
             k=5,
         )
 
@@ -351,18 +353,22 @@ def bench_overrides():
         import tempfile
 
         emb = read_table(spark, sf_dir, "embeddings", widen=True)
-        if "dir" not in _ivf_state:
+        st = _ivf_state.setdefault(sf_dir, {})  # keyed by SF: the index
+        # must be built from THIS corpus (scaling_report reuses the
+        # process across SFs; a stale sf0.001 index would make the
+        # larger-SF timings meaningless)
+        if "dir" not in st:
             cents = sim.ivf_centroids(emb, n_lists=16, max_iter=8)
             d = tempfile.mkdtemp(prefix="bench-ivf-")
             sim.ivf_assign(emb, cents).write.parquet(d + "/index")
-            _ivf_state.update(dir=d, cents=cents)
+            st.update(dir=d, cents=cents)
         queries = emb.where(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return sim.ivf_topk(
             emb, queries, k=3, n_lists=16, nprobe=4,
-            centroids=_ivf_state["cents"],
-            index=spark.read.parquet(_ivf_state["dir"] + "/index"),
+            centroids=st["cents"],
+            index=spark.read.parquet(st["dir"] + "/index"),
         )
 
     _ivfpq_state: dict = {}
@@ -374,19 +380,20 @@ def bench_overrides():
         import tempfile
 
         emb = read_table(spark, sf_dir, "embeddings", widen=True)
-        if "dir" not in _ivfpq_state:
+        st = _ivfpq_state.setdefault(sf_dir, {})  # keyed by SF, as above
+        if "dir" not in st:
             cents, books = sim.ivfpq_train(emb, n_lists=16, m=8, k=16)
             d = tempfile.mkdtemp(prefix="bench-ivfpq-")
             sim.ivfpq_encode(emb, cents, books).write.parquet(d + "/index")
-            _ivfpq_state.update(dir=d, cents=cents, books=books)
+            st.update(dir=d, cents=cents, books=books)
         queries = emb.where(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         return sim.ivfpq_topk(
-            spark.read.parquet(_ivfpq_state["dir"] + "/index"),
+            spark.read.parquet(st["dir"] + "/index"),
             queries,
-            _ivfpq_state["cents"],
-            _ivfpq_state["books"],
+            st["cents"],
+            st["books"],
             k=5,
             nprobe=4,
         )

@@ -151,15 +151,34 @@ def _maintain_refresh_rollup(argv: list[str]) -> int:
     p.add_argument("--dims", default="", help="comma-separated extra group keys")
     p.add_argument("--start", required=True, help="hour-aligned timestamp")
     p.add_argument("--end", required=True, help="hour-aligned timestamp (exclusive)")
+    p.add_argument(
+        "--granularity", default="auto", choices=["auto", "hour", "date"],
+        help="store partition granularity; auto = detect from the store "
+        "layout (a mismatched granularity would silently double-count)",
+    )
     args = p.parse_args(argv)
-    from transitlog_hfp_sink_spark.streaming.rollup_sink import ContinuousRollupSink
+    from transitlog_hfp_sink_spark.streaming.rollup_sink import (
+        ContinuousRollupSink,
+        detect_granularity,
+    )
 
     spark = build_session(app_name="hfp-maintenance-refresh")
     try:
+        gran = args.granularity
+        if gran == "auto":
+            gran = detect_granularity(spark, args.store)
+            if gran is None:
+                print(json.dumps({
+                    "job": "refresh-rollup", "store": args.store,
+                    "error": "store missing/empty: pass --granularity "
+                             "hour|date explicitly",
+                }))
+                return 1
         sink = ContinuousRollupSink(
             spark=spark, path=args.store, ts_col=args.ts_col,
             value_col=args.value_col,
             dims=[d for d in args.dims.split(",") if d],
+            granularity=gran,
         )
         report = sink.refresh(
             spark.read.parquet(args.base), args.start, args.end

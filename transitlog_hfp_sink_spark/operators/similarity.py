@@ -20,10 +20,25 @@ sf0.1 the expression path is faster for dim=64 (no Arrow transfer).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _dlit(x: float) -> str:
+    """One SQL double literal. repr()+'D' round-trips finite doubles
+    exactly, but 'nanD'/'infD' lex as identifiers and break the parser —
+    non-finite values (possible whenever a trained centroid inherits a
+    NaN embedding component) go through the ANSI string cast, which
+    accepts 'NaN'/'Infinity' for doubles."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _as_double(col: Column | str) -> Column:
@@ -111,7 +126,7 @@ def rp_signature(vec_col: Column | str, dim: int, bits: int = 16, seed: int = 11
     bit_cols = []
     for plane in planes:
         # one-F.expr SQL literal per plane (see _centroid_literal)
-        p = F.expr("array(" + ",".join(repr(float(x)) + "D" for x in plane) + ")")
+        p = F.expr("array(" + ",".join(_dlit(x) for x in plane) + ")")
         bit_cols.append(F.when(dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bit_cols)
 
@@ -306,7 +321,7 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     and yields the same values bit-for-bit (repr round-trips doubles
     exactly; the D suffix pins DoubleType)."""
     sql = "array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        "array(" + ",".join(_dlit(x) for x in c) + ")"
         for c in centroids
     ) + ")"
     return F.expr(sql)
@@ -376,6 +391,14 @@ def ivf_topk(
     entirely (the serving shape; `centroids` must be the ones the index
     was built with).
     """
+    if index is not None and centroids is None:
+        # retraining here would probe lists that don't match the stored
+        # assignment — silently wrong neighbors; make the documented
+        # precondition enforceable instead
+        raise ValueError(
+            "ivf_topk(index=...) requires the centroids the index was "
+            "built with"
+        )
     cents = centroids if centroids is not None else ivf_centroids(corpus, n_lists, vec_col, seed)
     if index is not None:
         c = index.select(
@@ -547,7 +570,7 @@ def codebook_assign(
         F.arrays_zip(
             d_raw.alias("d0"),
             F.expr(
-                "array(" + ",".join(repr(float(x)) + "D" for x in ccs) + ")"
+                "array(" + ",".join(_dlit(x) for x in ccs) + ")"
             ).alias("cc"),
         ),
         lambda p, i: F.struct(
@@ -871,8 +894,14 @@ def pq_adc_topk(
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), qv.alias("__qv")
     ).collect()
+    # a NULL query embedding has no defined neighbors: it contributes no
+    # result rows, and must not abort the other queries' search (the old
+    # expression path null-propagated to NULL distances; subscripting
+    # None here would kill the whole job on the driver)
     data = [
-        (r["query_id"], _adc_tables(r["__qv"], codebooks, dsub)) for r in qrows
+        (r["query_id"], _adc_tables(r["__qv"], codebooks, dsub))
+        for r in qrows
+        if r["__qv"] is not None
     ]
     qid_type = dict(
         queries.select(F.col(query_id_col).alias("query_id")).dtypes
@@ -1023,6 +1052,8 @@ def ivfpq_topk(
     data = []
     for r in qrows:
         v = r["__qv"]
+        if v is None:  # no defined neighbors; see pq_adc_topk
+            continue
         for list_id in _nearest_lists_py(v, centroids, nprobe):
             resid = [a - b for a, b in zip(v, centroids[list_id])]
             data.append((r["query_id"], list_id, _adc_tables(resid, codebooks, dsub)))

@@ -64,9 +64,14 @@ def trajectory_signatures(
         F.col(x_col).cast("double"),
         F.col(y_col).cast("double"),
     ]
-    w = Window.partitionBy(id_col).orderBy(*order_exprs)
+    # the grouping key is a 1-field STRUCT: struct equality matches NULL
+    # fields, so a NULL-id trajectory forms one group here exactly like
+    # it does under groupBy/collect_list (and DuckDB's GROUP BY) — a
+    # plain equi-join on the raw id would silently drop those rows
+    key = F.struct(F.col(id_col).alias("id"))
+    w = Window.partitionBy(key).orderBy(*order_exprs)
     ranked = df.select(
-        F.col(id_col).alias("id"),
+        key.alias("__k"),
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
         (F.row_number().over(w) - 1).alias("__r"),
@@ -74,18 +79,18 @@ def trajectory_signatures(
     # per-key point counts as a tiny pre-agg + join (one row per key;
     # measured ~11% faster than count() over an unbounded window, which
     # buffers whole partitions in the window operator). Both sides are
-    # hash-partitioned on id and the window sort's prefix satisfies the
+    # hash-partitioned on __k and the window sort's prefix satisfies the
     # merge-join ordering, so the join adds no exchange over ranked.
-    counts = df.groupBy(F.col(id_col).alias("id")).agg(F.count("*").alias("__n"))
-    ranked = ranked.join(counts, "id")
+    counts = df.groupBy(key.alias("__k")).agg(F.count("*").alias("__n"))
+    ranked = ranked.join(counts, "__k")
     # the <=m sampled 0-based ranks for this trajectory's length
     positions = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda i: F.floor(i * (F.col("__n") - F.lit(1)) / F.lit(m - 1)).cast("int"),
     )
     selected = ranked.where(F.array_contains(positions, F.col("__r")))
-    # window already partitioned by id -> this groupBy reuses the exchange
-    grouped = selected.groupBy("id").agg(
+    # window already partitioned by __k -> this groupBy reuses the exchange
+    grouped = selected.groupBy("__k").agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
@@ -106,7 +111,9 @@ def trajectory_signatures(
         e = F.element_at(F.col("__pmap"), pos(i))
         coords.extend([e["__x"], e["__y"]])
     return grouped.select(
-        "id", n.cast("int").alias("n_points"), F.array(*coords).alias("sig")
+        F.col("__k.id").alias("id"),
+        n.cast("int").alias("n_points"),
+        F.array(*coords).alias("sig"),
     )
 
 

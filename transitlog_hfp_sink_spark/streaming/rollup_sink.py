@@ -26,6 +26,23 @@ from transitlog_hfp_sink_spark.fs import path_exists
 _DEC = "decimal(30,12)"
 
 
+def detect_granularity(spark: SparkSession, path: str) -> str | None:
+    """The physical granularity an existing rollup store was written
+    with: "hour" (bucket_date/bucket_hour directories), "date"
+    (bucket_date only), or None when the store doesn't exist / has no
+    partitions yet. One driver-side FS listing — the same walk the
+    compaction/retention jobs do."""
+    from transitlog_hfp_sink_spark.sinks.compact import partition_file_stats
+
+    if not path_exists(spark, path):
+        return None
+    parts = [s["partition"] for s in partition_file_stats(spark, path)]
+    parts = [p for p in parts if "bucket_date=" in p]
+    if not parts:
+        return None
+    return "hour" if any("bucket_hour=" in p for p in parts) else "date"
+
+
 def _aggregate_partials(df: DataFrame, dims: list[str], value: str) -> DataFrame:
     return df.groupBy("bucket", *dims).agg(
         F.count("*").alias("n"),
@@ -61,12 +78,35 @@ class ContinuousRollupSink:
     #: unaffected either way.
     granularity: str = "hour"
 
+    def __post_init__(self) -> None:
+        if self.granularity not in ("hour", "date"):
+            raise ValueError(f"granularity must be hour|date, got {self.granularity!r}")
+
     def _part_cols(self) -> list[str]:
         return (
             ["bucket_date"]
             if self.granularity == "date"
             else ["bucket_date", "bucket_hour"]
         )
+
+    def _check_layout(self) -> None:
+        """Refuse to touch a store whose on-disk granularity differs from
+        this sink's: an hour-configured sink against a date store would
+        skip every stale partition in refresh() (no bucket_hour key to
+        match) and then append a NESTED bucket_date/bucket_hour layout
+        into flat date dirs — double counts plus a store Spark can no
+        longer read. Checked once per sink instance (one FS listing);
+        the layout of an existing store can't change underneath us."""
+        if getattr(self, "_layout_ok", False):
+            return
+        found = detect_granularity(self.spark, self.path)
+        if found is not None and found != self.granularity:
+            raise ValueError(
+                f"rollup store {self.path} is partitioned at "
+                f"granularity={found!r} but this sink is configured "
+                f"granularity={self.granularity!r}"
+            )
+        self._layout_ok = True
 
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_last_committed_batch")
@@ -112,6 +152,7 @@ class ContinuousRollupSink:
         # the SAME batch_id; skip ids at or below the high-water mark
         if batch_id <= self._last_committed():
             return
+        self._check_layout()
         batch_df.persist()
         prev_mode = self.spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -229,6 +270,7 @@ class ContinuousRollupSink:
             drop_partitions_older_than,
         )
 
+        self._check_layout()
         for label, v in (("start", start), ("end", end)):
             # TimescaleDB aligns refresh windows to bucket boundaries;
             # an unaligned bound would drop a whole partition while
@@ -287,18 +329,10 @@ class ContinuousRollupSink:
                     f"refresh aborted: could not clear partitions "
                     f"{report['failed']}"
                 )
-        prev_mode = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # plain append: the range's partitions were cleared above (the
+        # delete is the replace step — partitionOverwriteMode only
+        # affects mode("overwrite") and has no business here)
+        out.write.mode("append").partitionBy(*self._part_cols()).parquet(
+            self.path
         )
-        try:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            out.write.mode("append").partitionBy(*self._part_cols()).parquet(
-                self.path
-            )
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
         return {"refreshed_buckets": n_buckets, "start": start, "end": end}
