@@ -3,14 +3,17 @@
 entry(spark)   — flagship query at sf0.001 (smoke check).
 queries()      — one callable per implemented operator (SURVEY.md §2 +
                  north-star extensions), (spark, sf_dir) -> DataFrame.
-oracle_sql()   — DuckDB-equivalent SQL per query. 49 of the 50 entries
-                 carry a value-hash oracle (sketches run a portable
-                 hash_fn="md5" mode; SRP planes are SQL array literals);
-                 the one omission is embedding_topk_ivf — genuinely
-                 approximate nprobe<n_lists search, whose machinery is
-                 hash-checked via the IVF full-probe leg of
-                 embedding_topk_exact and whose recall is asserted in
-                 tests/test_similarity.py.
+oracle_sql()   — DuckDB-equivalent SQL per query. ALL 50 entries carry a
+                 value-hash oracle (sketches run a portable hash_fn="md5"
+                 mode; SRP planes are SQL array literals). The genuinely
+                 approximate embedding_topk_ivf (nprobe<n_lists) is
+                 bench-only: its machinery is hash-checked via the IVF
+                 full-probe leg of embedding_topk_exact and its recall is
+                 asserted in tests/test_similarity.py.
+
+No registry output column is a wide decimal: digest/checksum columns are
+BIGINT sums of 32-bit md5 terms (magnitude << 2**53), so values survive
+every arrow/pandas conversion path exactly on both engines.
 """
 
 from __future__ import annotations

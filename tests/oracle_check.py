@@ -94,6 +94,63 @@ def canon(val):
     return str(val)
 
 
+def canon_pd(val):
+    """Canonicalize a PANDAS-path cell. Maps the lossless spellings of the
+    same value onto one string (None/NaN/NaT -> <NULL>; ints spelled as
+    exact floats -> int; naive == UTC-aware timestamps) while PRESERVING
+    lossy divergences: a Decimal whose float64 coercion rounds (magnitude
+    > 2**53) canonicalizes differently on the two engines — exactly the
+    round-4 driver-red class this check exists to surface locally."""
+    import datetime as _dt
+    import decimal
+
+    import pandas as pd
+
+    if val is None:
+        return "<NULL>"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "<NULL>"  # pandas spells numeric NULL as NaN
+        if val.is_integer() and abs(val) < 2**63:
+            return str(int(val))  # int column coerced to float64 by NULLs
+        return repr(val)
+    if isinstance(val, decimal.Decimal):
+        if val == val.to_integral_value():
+            return str(int(val))
+        return str(float(val))
+    try:
+        if pd.isna(val):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(val, pd.Timestamp):
+        if val.tzinfo is not None:
+            val = val.tz_convert("UTC").tz_localize(None)
+        return val.isoformat()
+    if isinstance(val, _dt.datetime):
+        return val.isoformat()
+    if isinstance(val, _dt.date):
+        # spark toPandas yields datetime.date; duckdb .df() yields a
+        # midnight datetime64 — same value, one spelling
+        return f"{val.isoformat()}T00:00:00"
+    if hasattr(val, "tolist"):  # numpy scalar / array
+        return canon_pd(val.tolist()) if not isinstance(val.tolist(), list) else str(
+            val.tolist()
+        )
+    return str(val)
+
+
+def pandas_frame_key(pdf):
+    """frame_key over a pandas DataFrame (the driver-mirror path)."""
+    cols = list(pdf.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append(tuple(canon_pd(row[i]) for i in order))
+    out.sort()
+    return out
+
+
 def frame_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -121,7 +178,8 @@ def main(only: list[str]) -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF_DIR)
+            sdf = qs[name](spark, SF_DIR).persist()  # collected twice:
+            # once exact (collect) + once through the pandas mirror
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
@@ -130,6 +188,7 @@ def main(only: list[str]) -> int:
             continue
         dt = time.time() - t0
         if name not in oracles:
+            sdf.unpersist()
             print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
             n_pass += 1
             continue
@@ -141,6 +200,7 @@ def main(only: list[str]) -> int:
             if tbl.num_rows and not orows:
                 orows = [()] * tbl.num_rows
         except Exception as e:
+            sdf.unpersist()
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
@@ -165,6 +225,32 @@ def main(only: list[str]) -> int:
                         break
                 else:
                     problems.append("value diff at tail rows")
+        if not problems:
+            # PANDAS-PATH mirror (round-4 driver-red lesson): the driver
+            # compares via pandas conversions, where DuckDB coerces wide
+            # decimals to float64 — values that are arrow-exact-equal can
+            # still hash-mismatch there. Re-fetch both sides through the
+            # lossy path and compare canonicalized values.
+            try:
+                spdf = sdf.toPandas()
+                opdf = con.execute(oracles[name]).df()
+                pk_s, pk_o = pandas_frame_key(spdf), pandas_frame_key(opdf)
+                if pk_s != pk_o:
+                    for i, (a, b) in enumerate(zip(pk_s, pk_o)):
+                        if a != b:
+                            problems.append(
+                                "PANDAS-PATH divergence (arrow-exact equal!) "
+                                f"at sorted row {i}:\n  spark : {a}\n  oracle: {b}"
+                            )
+                            break
+                    else:
+                        problems.append(
+                            "PANDAS-PATH divergence (arrow-exact equal!) "
+                            f"rowcount spark={len(pk_s)} oracle={len(pk_o)}"
+                        )
+            except Exception as e:  # the mirror must never mask a pass
+                problems.append(f"PANDAS-PATH check errored: {e}")
+        sdf.unpersist()
         if problems:
             print(f"FAIL {name} ({len(srows)} rows, {dt:.1f}s): " + "; ".join(problems))
             n_fail += 1

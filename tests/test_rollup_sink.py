@@ -110,6 +110,40 @@ def test_replay_after_lost_meta_does_not_double_count(spark, sf_dir, tmp_path):
     ev.unpersist()
 
 
+def test_replay_after_refresh_does_not_double_count(spark, sf_dir, tmp_path):
+    """ADVICE r4: crash window where a batch's DATA committed but its meta
+    write was lost, and a refresh then recomputes (only) the partitions
+    that batch touched. The refresh stamps the store with the current
+    high-water mark (not -1), so the replayed batch id still trips the
+    step-2 per-partition guard instead of re-merging rows the refresh
+    already recomputed from base."""
+    import os
+
+    ev = read_table(spark, sf_dir, "events").cache()
+    sink = ContinuousRollupSink(
+        spark=spark, path=str(tmp_path / "rollup"),
+        ts_col="ts", value_col="value", dims=["event_type"],
+    )
+    sink(ev, 0)
+    total = sink.read().agg(F.sum("n")).first()[0]
+    assert total == ev.count()
+    # crash between data write and meta write of batch 0
+    os.remove(sink._meta_path())
+    # a refresh over the whole touched range recomputes from base
+    bounds = ev.agg(
+        F.date_format(F.date_trunc("hour", F.min("ts")), "yyyy-MM-dd HH:00:00"),
+        F.date_format(
+            F.date_trunc("hour", F.max("ts")) + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:00:00",
+        ),
+    ).first()
+    sink.refresh(ev, bounds[0], bounds[1])
+    assert sink.read().agg(F.sum("n")).first()[0] == total
+    sink(ev, 0)  # checkpoint replay of the lost-meta batch
+    assert sink.read().agg(F.sum("n")).first()[0] == total  # no double count
+    ev.unpersist()
+
+
 def test_conf_restored_after_write(spark, sf_dir, tmp_path):
     """__call__ must not leak partitionOverwriteMode=dynamic session-wide."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")

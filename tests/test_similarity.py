@@ -518,6 +518,57 @@ def test_semdedup_keep_union_dropped_is_corpus(corpus):
     assert {r["vec_id"] for r in keep2.collect()} == kept
 
 
+def test_adaptive_n_clusters_bounds_cluster_population():
+    # the sizing rule that keeps within-cluster pair cost flat under
+    # corpus growth (VERDICT r4 #2): k grows linearly with n between the
+    # clamps, so n/k (expected population) stays ~target
+    assert sim.adaptive_n_clusters(500) == 8           # lo clamp
+    assert sim.adaptive_n_clusters(2000) == 8          # sf0.1 regime
+    assert sim.adaptive_n_clusters(20_000) == 78       # sf1 stress regime
+    assert sim.adaptive_n_clusters(10_000_000) == 39_062
+    assert sim.adaptive_n_clusters(10**12, hi=65536) == 65536  # hi clamp
+    for n in (10_000, 100_000, 1_000_000):
+        k = sim.adaptive_n_clusters(n)
+        assert n / k <= 2 * 256  # population bounded near target
+
+
+def test_semdedup_cap_noop_when_clusters_small(corpus):
+    # a cap no cluster exceeds must be a pure no-op: identical pairs+keep
+    cents = _semdedup_setup(corpus)
+    pairs, keep = sim.semantic_dedup(corpus, cents, threshold=0.3)
+    pairs_c, keep_c = sim.semantic_dedup(
+        corpus, cents, threshold=0.3, max_cluster_rows=10_000
+    )
+    assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, pairs_c.collect()))
+    assert sorted(map(tuple, keep.collect())) == sorted(map(tuple, keep_c.collect()))
+
+
+def test_semdedup_cap_bounds_pairs_deterministically(corpus):
+    # with a tiny cap, oversize clusters sub-split: pair output is a
+    # SUBSET of the uncapped pairs (only within-split pairs survive),
+    # deterministic across repartitioning, and keep ∪ dropped == corpus
+    cents = _semdedup_setup(corpus)
+    full_pairs, _ = sim.semantic_dedup(corpus, cents, threshold=0.3)
+    capped_pairs, capped_keep = sim.semantic_dedup(
+        corpus, cents, threshold=0.3, max_cluster_rows=10
+    )
+    full = {(r["id_a"], r["id_b"]) for r in full_pairs.collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    assert capped <= full
+    assert len(capped) < len(full)  # 120 vecs / 4 clusters >> cap of 10
+    capped_pairs2, capped_keep2 = sim.semantic_dedup(
+        corpus.repartition(7), cents, threshold=0.3, max_cluster_rows=10
+    )
+    assert {(r["id_a"], r["id_b"]) for r in capped_pairs2.collect()} == capped
+    kept = {r["vec_id"] for r in capped_keep.collect()}
+    assert {r["vec_id"] for r in capped_keep2.collect()} == kept
+    all_ids = {r["vec_id"] for r in corpus.collect()}
+    dropped_ids = {r["id_a"] for r in capped_pairs.collect()} | {
+        r["id_b"] for r in capped_pairs.collect()
+    }
+    assert kept | dropped_ids == all_ids
+
+
 def test_semdedup_plan_no_cartesian(corpus):
     from transitlog_hfp_sink_spark.plans.inspect import explain_str
 

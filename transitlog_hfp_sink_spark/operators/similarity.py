@@ -653,12 +653,25 @@ def diversity_sample(
     )
 
 
+def adaptive_n_clusters(
+    n_rows: int, target_cluster_rows: int = 256, lo: int = 8, hi: int = 65536
+) -> int:
+    """SemDeDup-regime codebook sizing (VERDICT r4 #2): within-cluster
+    pair cost is sum(|cluster|^2)/2, so a FIXED k makes pair counts grow
+    quadratically with the corpus. Size k with the corpus instead —
+    k = clamp(n / target_cluster_rows, lo, hi) — so expected cluster
+    population (and with it per-cluster pair cost) stays bounded as data
+    grows 10x/100x. Callers train or slice that many centroids."""
+    return max(lo, min(hi, n_rows // target_cluster_rows))
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space with an
@@ -684,25 +697,48 @@ def semantic_dedup(
     Scale shape: assignment is MAP-ONLY (broadcast codebook literal, no
     UDF); the self-join shuffles both sides once on cluster_id. At 100 TB
     the codebook has 10^4-10^5 entries so per-cluster populations stay
-    bounded (SemDeDup's own regime); AQE's skew-join handles outlier
-    clusters, and a hard cap can be enforced upstream by splitting
-    oversize clusters on a salted sub-key before the join.
+    bounded (SemDeDup's own regime — size it with adaptive_n_clusters);
+    AQE's skew-join handles outlier clusters.
+
+    max_cluster_rows adds a second, HARD bound for skewed corpora: a
+    cluster larger than the cap is deterministically sub-split on
+    pmod(xxhash64(id), ceil(size/cap)) and pairs are generated only
+    within each sub-split — a documented approximation (cross-split
+    near-dup pairs inside an oversize cluster are not examined), the
+    standard production trade for keeping worst-case pair cost linear in
+    corpus size regardless of cluster balance. None (default) preserves
+    exact SemDeDup-within-cluster semantics.
     """
     base = codebook_assign(df, centroids, id_col, vec_col, keep_vec=True)
+    join_keys = ["cluster_id"]
+    if max_cluster_rows is not None:
+        sizes = base.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
+        n_sub = F.ceil(F.col("__cn") / F.lit(max_cluster_rows)).cast("long")
+        base = (
+            base.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "__sub",
+                F.when(F.col("__cn") <= max_cluster_rows, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+                ),
+            )
+            .drop("__cn")
+        )
+        join_keys = ["cluster_id", "__sub"]
     a = base.select(
-        "cluster_id",
+        *join_keys,
         F.col(id_col).alias("id_a"),
         F.col("dist2").alias("__da"),
         F.col("vec").alias("__va"),
     )
     b = base.select(
-        "cluster_id",
+        *join_keys,
         F.col(id_col).alias("id_b"),
         F.col("dist2").alias("__db"),
         F.col("vec").alias("__vb"),
     )
     pairs = (
-        a.join(b, on="cluster_id")
+        a.join(b, on=join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "cluster_id",

@@ -278,67 +278,89 @@ def q_hfp_vp_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At-least-once idempotency (SURVEY §2.4 M3), BOTH forms as a tagged
-    union (round-3 consolidation to hold the 50-entry driver cap):
+def _digest32(*cols) -> "F.Column":
+    """Order-independent content digest term: 32-bit md5 prefix of the
+    '|'-joined columns, as BIGINT. Sums of these stay far below 2**53
+    at any tested SF (<=4.3e9 per row; ~3e5 rows/group at sf1), so the
+    value survives EVERY pandas/arrow conversion path exactly — including
+    a harness that coerces the oracle result through float64.
 
-    part='batch_replay' — replay the whole vehicles stream (input twice),
-        dedup on the natural key, count per journey_type (key column) —
-        stable under replay; checksum NULL (the counts are the check);
-    part='stream_watermark' — a REAL Structured Streaming run
-        (timeseries.run_streaming_dedup): the events stream doubled and
-        deduped with dropDuplicatesWithinWatermark (bounded state), then
-        summarized per event_type (key column) with an order-independent
-        content checksum — sum of 48-bit md5 digests over every surviving
-        row (canonicalized columns) as DECIMAL — so any lost, duplicated,
-        or mutated row flips the driver hash, not just the counts."""
+    Round-4 lesson (the two-round driver-red hfp_dedup_replay): DuckDB's
+    pandas conversion renders DECIMAL(38,0) as float64, so a checksum sum
+    above 2**53 hash-mismatches Spark's exact Decimal even though both
+    engines computed identical values. No registry output column may be a
+    wide decimal; digests are BIGINT with bounded magnitude."""
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once idempotency, batch-replay form (SURVEY §2.4 M3,
+    QueueWriter.java ack-after-commit + idempotent reprocessing): replay
+    the whole vehicles stream (input unioned with itself — every row
+    arrives exactly twice), dedup on the natural key, then summarize per
+    journey_type with a REAL content digest (sum of 32-bit md5 terms over
+    the deduped key rows, BIGINT) — any lost, duplicated, or mutated key
+    flips the hash, not just the counts.
+
+    The natural key uses ``tsi`` (epoch seconds, BIGINT) rather than
+    ``tst``: both are second-resolution functions of the same source
+    timestamp, so the dedup equivalence classes are identical, but the
+    digest input is a plain integer — bit-identical under any session
+    timezone on both engines (no timestamp formatting anywhere).
+
+    The streaming-watermark form is the separate ``hfp_stream_dedup``
+    entry (split in round 5 so the driver localizes which leg diverges)."""
     v = synth_vehicles(spark, sf_dir)
     replay = v.unionAll(v)
-    batch_leg = (
-        replay.select("unique_vehicle_id", "tst", "event_type", "journey_type")
-        .distinct()
-        .groupBy("journey_type")
-        .agg(F.count("*").alias("n_unique"))
-        .select(
-            F.lit("batch_replay").alias("part"),
-            F.col("journey_type").alias("key"),
-            "n_unique",
-            F.lit(None).cast("decimal(38,0)").alias("checksum"),
-        )
+    keys = replay.select(
+        "unique_vehicle_id", "tsi", "event_type", "journey_type"
+    ).distinct()
+    term = _digest32(
+        F.col("unique_vehicle_id"),
+        F.col("tsi").cast("string"),
+        F.col("event_type"),
     )
+    return keys.groupBy(F.col("journey_type").alias("key")).agg(
+        F.count("*").alias("n_unique"),
+        F.sum(term).cast("long").alias("digest"),
+    )
+
+
+def q_hfp_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once idempotency, streaming-watermark form (SURVEY §2.4
+    M3): a REAL Structured Streaming run (timeseries.run_streaming_dedup)
+    — the events stream doubled and deduped with
+    dropDuplicatesWithinWatermark (bounded state), then summarized per
+    event_type with the checksum DECOMPOSED into independent BIGINT
+    components so a driver-side hash mismatch names the diverging column:
+
+    - n_unique            exactly one copy of each event restored
+    - min_event_id/max_…  key-range sanity (id decode)
+    - ts_digest           32-bit md5 sum over ts_micros alone (timestamp
+                          decode path in isolation)
+    - row_digest          32-bit md5 sum over the full canonicalized row
+
+    All components are BIGINT with magnitude far below 2**53 (see
+    _digest32) — no wide-decimal output cell anywhere."""
     from transitlog_hfp_sink_spark.queries.timeseries import run_streaming_dedup
 
     deduped = run_streaming_dedup(spark, sf_dir)
-    # digest over epoch-microsecond INTEGERS (ts_micros, face-as-UTC),
-    # never formatted timestamps: bit-identical under any session timezone
-    # (VERDICT r3 #1 — the date_format leg changed shape under
-    # Europe/Helsinki)
-    row_digest = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("event_id").cast("string"),
-                    F.col("user_id").cast("string"),
-                    F.col("event_type"),
-                    F.col("ts_micros").cast("string"),
-                )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("decimal(28,0)")
-    stream_leg = deduped.groupBy("event_type").agg(
-        F.count("*").alias("n_unique"), F.sum(row_digest).alias("checksum")
-    ).select(
-        F.lit("stream_watermark").alias("part"),
-        F.col("event_type").alias("key"),
-        "n_unique",
-        F.col("checksum").cast("decimal(38,0)").alias("checksum"),
+    ts_term = _digest32(F.col("ts_micros").cast("string"))
+    row_term = _digest32(
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("ts_micros").cast("string"),
     )
-    return batch_leg.unionByName(stream_leg)
+    return deduped.groupBy(F.col("event_type").alias("key")).agg(
+        F.count("*").alias("n_unique"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.sum(ts_term).cast("long").alias("ts_digest"),
+        F.sum(row_term).cast("long").alias("row_digest"),
+    )
 
 
 def q_hfp_hourly_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,6 +557,7 @@ QUERIES = {
     "hfp_trajectory_length": q_hfp_trajectory_length,
     "hfp_vp_per_route": q_hfp_vp_per_route,
     "hfp_dedup_replay": q_hfp_dedup_replay,
+    "hfp_stream_dedup": q_hfp_stream_dedup,
     "hfp_hourly_vehicles": q_hfp_hourly_vehicles,
     "hfp_odometer_progress": q_hfp_odometer_progress,
     "hfp_geo_bbox": q_hfp_geo_bbox,
@@ -577,22 +600,37 @@ FROM hfp_vehicles
 WHERE event_type = 'VP' AND is_ongoing
 GROUP BY route_id, oday
 """,
+    # digest terms are 32-bit md5 prefixes summed as BIGINT (CAST the
+    # DuckDB HUGEINT sum back to BIGINT): magnitudes stay below 2**53, so
+    # the values survive any pandas/arrow conversion path exactly — round-4
+    # lesson: DECIMAL(38,0) output cells coerce to float64 in DuckDB's
+    # pandas path and hash-mismatch Spark's exact Decimal.
     "hfp_dedup_replay": f"""
 WITH {hfp_cte()}
-SELECT 'batch_replay' AS part, journey_type AS key, count(*) AS n_unique,
-       CAST(NULL AS DECIMAL(38,0)) AS checksum
+SELECT journey_type AS key, count(*) AS n_unique,
+       CAST(sum(('0x' || substr(md5(concat_ws('|',
+             unique_vehicle_id, CAST(tsi AS VARCHAR), event_type)),
+             1, 8))::BIGINT) AS BIGINT) AS digest
 FROM (
-  SELECT DISTINCT unique_vehicle_id, tst, event_type, journey_type FROM (
+  SELECT DISTINCT unique_vehicle_id, tsi, event_type, journey_type FROM (
     SELECT * FROM hfp_vehicles UNION ALL SELECT * FROM hfp_vehicles
   )
 ) GROUP BY journey_type
-UNION ALL
-SELECT 'stream_watermark' AS part, event_type AS key,
+""",
+    # the streaming dedup restores exactly one copy of each unique event,
+    # so the oracle is the plain events table summarized the same way
+    "hfp_stream_dedup": """
+SELECT event_type AS key,
        count(*) AS n_unique,
-       CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id,
+       CAST(sum(('0x' || substr(md5(
+             CAST(epoch_us(ts) AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+         AS ts_digest,
+       CAST(sum(('0x' || substr(md5(concat_ws('|',
              CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type,
-             CAST(epoch_us(ts) AS VARCHAR))), 1, 12))::BIGINT
-           AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum
+             CAST(epoch_us(ts) AS VARCHAR))), 1, 8))::BIGINT) AS BIGINT)
+         AS row_digest
 FROM events GROUP BY event_type
 """,
     "hfp_hourly_vehicles": f"""

@@ -290,10 +290,33 @@ class ContinuousRollupSink:
             "bucket", F.date_trunc("hour", F.col(self.ts_col))
         )
         partials = _aggregate_partials(ranged, self.dims, self.value_col)
+        # Stamp refreshed partitions with the batch high-water mark, NOT a
+        # -1 sentinel (ADVICE r4): the recompute-from-base already contains
+        # every batch's contribution, so a crash-replayed batch must still
+        # trip the step-2 per-partition guard in __call__ or it re-merges
+        # rows the refresh covered (double count). The mark is the max of
+        # the meta file AND the pre-refresh store stamps in the range —
+        # the latter matters in the exact crash window the guard exists
+        # for (batch N data written, meta still at N-1: the data stamps
+        # carry N, the meta does not).
+        stamp = self._last_committed()
+        if path_exists(self.spark, self.path):
+            store = self.spark.read.parquet(self.path)
+            if "last_batch_id" in store.columns:
+                btype = dict(store.dtypes).get("bucket", "timestamp")
+                blo = F.lit(start).cast(btype)
+                bhi = F.lit(end).cast(btype)
+                prev = (
+                    store.where((F.col("bucket") >= blo) & (F.col("bucket") < bhi))
+                    .agg(F.max("last_batch_id"))
+                    .first()[0]
+                )
+                if prev is not None:
+                    stamp = max(stamp, prev)
         out = (
             partials.withColumn("bucket_date", F.to_date("bucket"))
             .withColumn("bucket_hour", F.hour("bucket"))
-            .withColumn("last_batch_id", F.lit(-1))
+            .withColumn("last_batch_id", F.lit(stamp))
         )
         n_buckets = out.select("bucket").distinct().count()
         # drop every store partition inside the range first: dynamic
