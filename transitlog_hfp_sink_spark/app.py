@@ -223,17 +223,20 @@ def _backfill(argv: list[str]) -> int:
         if args.dead_letter:
             dead.write.mode("append").parquet(args.dead_letter)
         updates = with_partition_columns(valid)
-        n = updates.count()
-        upsert_partitioned(
+        # rows_upserted must be the POST-dedup merged count the sink
+        # reports (count_rows=True), not a pre-dedup count() of the raw
+        # updates — which would over-report AND cost a redundant pass
+        report = upsert_partitioned(
             spark,
             args.sink_path,
             updates,
             key_cols=["unique_vehicle_id", "tst", "event_type", "journey_type"],
             partition_cols=list(PARTITION_COLUMNS),
+            count_rows=True,
         )
         print(json.dumps({
             "job": "backfill", "source": args.source, "sink": args.sink_path,
-            "rows_upserted": n,
+            "rows_upserted": report["rows_upserted"],
         }))
         return 0
     except Exception:

@@ -865,7 +865,18 @@ def _adc_tables(
     """Driver-side ADC lookup tables for one (residual) query vector:
     tables[j][c] = ||q_j - C_jc||^2, accumulated in the SAME IEEE-double
     fold order as the zip_with/aggregate expression it replaces, so the
-    scored distances are bit-identical to the literal-expression path."""
+    scored distances are bit-identical to the literal-expression path.
+
+    The dim check keeps the bit-identical contract honest (ADVICE r4): a
+    malformed vector must fail LOUDLY here — the expression twin
+    null-pads via zip_with and propagates NULL, while Python zip() would
+    silently truncate and return a plausible-but-wrong distance."""
+    want = len(codebooks) * dsub
+    if len(qv) != want:
+        raise ValueError(
+            f"query vector dim {len(qv)} != m*dsub {want}; "
+            "malformed vectors must not score silently"
+        )
     tabs = []
     for j, book in enumerate(codebooks):
         lo = j * dsub
@@ -885,14 +896,43 @@ def _nearest_lists_py(
 ) -> list[int]:
     """Driver-side twin of _nearest_lists (sequential-fold distances,
     stable sort => ties keep index order, matching array_sort's stable
-    comparator-0 behavior)."""
+    comparator-0 behavior). Dim-checked for the same reason as
+    _adc_tables: zip() truncation would yield wrong-but-plausible lists."""
     dists = []
     for c in centroids:
+        if len(qv) != len(c):
+            raise ValueError(
+                f"query vector dim {len(qv)} != centroid dim {len(c)}"
+            )
         acc = 0.0
         for a, b in zip(qv, c):
             acc = acc + (a - b) * (a - b)
         dists.append(acc)
     return sorted(range(len(centroids)), key=lambda i: dists[i])[:nprobe]
+
+
+def _collect_query_side(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_expr,
+    max_query_rows: int,
+) -> list:
+    """Bounded driver-side collect of the BROADCAST query side (same
+    limit(N+1) idiom as sinks/merge.py and the rollup touched-list): the
+    per-query ADC tables are computed on the driver by contract, which is
+    only sane while the query side is small. Raises instead of OOMing the
+    driver when a caller points this at a corpus-sized frame."""
+    rows = queries.select(
+        F.col(query_id_col).alias("query_id"), vec_expr.alias("__qv")
+    ).limit(max_query_rows + 1).collect()
+    if len(rows) > max_query_rows:
+        raise ValueError(
+            f"query side exceeds the broadcast contract "
+            f"(> {max_query_rows} rows); ADC tables are built driver-side "
+            "— raise max_query_rows deliberately or use the distributed "
+            "exact path for corpus-scale query sets"
+        )
+    return rows
 
 
 def pq_adc_topk(
@@ -903,6 +943,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: for each query,
     dist(q, x) ~ sum_j table_j[codes_j] with table_j[c] = ||q_j - C_jc||^2
@@ -913,6 +954,13 @@ def pq_adc_topk(
     path; approximation quality is a recall-vs-exact contract in tests.
 
     Returns (query_id, neighbor_id, approx_dist2, rank).
+
+    Contract notes (ADVICE r4): the query side is collected to the driver
+    (tables are computed there), bounded by max_query_rows — exceeding it
+    raises rather than OOMing. Queries with a NULL embedding vector have
+    no defined neighbors and contribute NO result rows (they are dropped,
+    not emitted as NULL-distance rows); a query vector whose length does
+    not match m*dsub raises.
 
     PERF (VERDICT r3 #6): the ADC tables are computed DRIVER-SIDE from the
     collected query rows (the query side is the broadcast side by
@@ -927,9 +975,7 @@ def pq_adc_topk(
     """
     dsub = len(codebooks[0][0])
     qv = _as_double(vec_col)
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), qv.alias("__qv")
-    ).collect()
+    qrows = _collect_query_side(queries, query_id_col, qv, max_query_rows)
     # a NULL query embedding has no defined neighbors: it contributes no
     # result rows, and must not abort the other queries' search (the old
     # expression path null-propagated to NULL distances; subscripting
@@ -1066,6 +1112,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """ADC search over the composed index: each query probes its nprobe
     nearest lists; within a probed list the lookup tables are built from
@@ -1076,15 +1123,17 @@ def ivfpq_topk(
 
     Returns (query_id, neighbor_id, approx_dist2, rank).
 
+    Same driver-side query contract as pq_adc_topk (ADVICE r4): bounded
+    collect (max_query_rows, raises when exceeded); NULL query embeddings
+    are dropped (no result rows), dim mismatches raise.
+
     PERF (VERDICT r3 #6): the per-(query, list) residual ADC tables are
     computed DRIVER-SIDE and shipped as data — see pq_adc_topk; the
     nprobe x m x k literal expression trees were the flat ~2.7 s cost of
     this entry (py4j construction time, not execution)."""
     dsub = len(codebooks[0][0])
     qv = _as_double(vec_col)
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), qv.alias("__qv")
-    ).collect()
+    qrows = _collect_query_side(queries, query_id_col, qv, max_query_rows)
     data = []
     for r in qrows:
         v = r["__qv"]
