@@ -613,7 +613,19 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            centroid training, list assignment, probing,
                            re-rank — is value-hash-checked end to end;
                            only nprobe<n_lists recall remains test-only
-                           (tests/test_similarity.py)."""
+                           (tests/test_similarity.py);
+    part='ivf_served'    — the PERSISTED-ANN serving path as users would
+                           deploy it (round 5, VERDICT r4 #6): ivf_assign
+                           builds the (vec_id, list_id) index table, it is
+                           WRITTEN to parquet and read back, and the query
+                           probes through the reloaded index in fullprobe
+                           mode — exact by construction, so the whole
+                           persist→reload→probe→re-rank chain shares the
+                           same oracle rows under its own label. The
+                           nprobe<n_lists timing of this shape is benched
+                           as embedding_topk_ivf_served."""
+    import tempfile
+
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -628,7 +640,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_fullprobe").alias("part"),
         "query_id", "neighbor_id", "cos_sim", "rank",
     )
-    return brute.unionByName(fullprobe)
+    idx_dir = tempfile.mkdtemp(prefix="ivf-served-") + "/index"
+    sim.ivf_assign(emb, cents).write.parquet(idx_dir)
+    served = sim.ivf_topk(
+        emb, queries, k=3, n_lists=16, nprobe=16, centroids=cents,
+        index=spark.read.parquet(idx_dir),
+    ).select(
+        F.lit("ivf_served").alias("part"),
+        "query_id", "neighbor_id", "cos_sim", "rank",
+    )
+    return brute.unionByName(fullprobe).unionByName(served)
 
 
 ORACLE_EMBEDDING_TOPK = """
@@ -654,6 +675,8 @@ topk AS (
 SELECT 'brute' AS part, * FROM topk
 UNION ALL
 SELECT 'ivf_fullprobe' AS part, * FROM topk
+UNION ALL
+SELECT 'ivf_served' AS part, * FROM topk
 """
 
 
@@ -797,7 +820,11 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                      SQL, so pq_encode's nearest-code math and
                      pq_adc_topk's table-lookup scoring are both
                      driver-hash-checked (id_a=query_id, id_b=neighbor,
-                     cos_sim carries approx_dist2)."""
+                     cos_sim carries approx_dist2);
+    part='pq_served' — the same fixed-codebook ADC but with the codes
+                     table PERSISTED to parquet and read back before
+                     scoring (round 5): the compressed-tier serving
+                     shape, persist→reload→ADC hash-checked end to end."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -848,6 +875,25 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_dist2").alias("cos_sim"),
         "rank",
     )
+    # pq_served (round 5, VERDICT r4 #6): the compressed-codes SERVING
+    # shape — the (vec_id, codes) table persisted to parquet and read
+    # back before ADC scoring, exactly how a 100 TB store keeps its
+    # 32x-compressed tier. Deterministic (same fixed books + the same
+    # round-before-argmin encode), so it shares the pq_adc oracle rows
+    # under its own label: the persist→reload→ADC chain is hash-checked.
+    import tempfile as _tf
+
+    codes_dir = _tf.mkdtemp(prefix="pq-served-") + "/codes"
+    sim.pq_encode(emb, books, round_digits=6).write.parquet(codes_dir)
+    pq_served_leg = sim.pq_adc_topk(
+        spark.read.parquet(codes_dir), queries, books, k=3
+    ).select(
+        F.lit("pq_served").alias("part"),
+        F.col("query_id").cast("bigint").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("approx_dist2").alias("cos_sim"),
+        "rank",
+    )
     sd_pairs, sd_keep = sim.semantic_dedup(emb, _fixed_codebook(emb), threshold=0.3)
     sd_pair_leg = sd_pairs.select(
         F.lit("semdedup_pair").alias("part"),
@@ -871,6 +917,7 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sd_pair_leg)
         .unionByName(sd_keep_leg)
         .unionByName(pq_leg)
+        .unionByName(pq_served_leg)
     )
 
 
@@ -1084,6 +1131,12 @@ SELECT 'pq_adc' AS part, CAST(query_id AS BIGINT) AS id_a,
        neighbor_id AS id_b, approx_dist2 AS cos_sim,
        CAST(rank AS INTEGER) AS rank
 FROM ({_ORACLE_PQ_ADC.strip()}) pq_t
+WHERE rank <= 3
+UNION ALL
+SELECT 'pq_served' AS part, CAST(query_id AS BIGINT) AS id_a,
+       neighbor_id AS id_b, approx_dist2 AS cos_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM ({_ORACLE_PQ_ADC.strip()}) pq_srv
 WHERE rank <= 3
 """
 
