@@ -130,8 +130,20 @@ _SYNTH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def synth_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> synthetic raw -> ENGINE transform -> valid vehicles rows."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    """events -> synthetic raw -> ENGINE transform -> valid vehicles rows.
+
+    The cache key includes the SESSION TIMEZONE: Spark resolves
+    timezone-aware expressions (string<->timestamp casts, date_format) by
+    baking the session tz into the plan at ANALYSIS time, so an analyzed
+    plan cached under one tz silently mis-renders when executed alongside
+    expressions analyzed under another (caught by the round-5 Helsinki +
+    concurrency tests: a Helsinki-cached synth plan shifted every tst
+    face by the zone offset for the later UTC caller)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        spark.conf.get("spark.sql.session.timeZone"),
+    )
     cached = _SYNTH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -304,22 +316,24 @@ def q_hfp_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deduped key rows, BIGINT) — any lost, duplicated, or mutated key
     flips the hash, not just the counts.
 
-    The natural key uses ``tsi`` (epoch seconds, BIGINT) rather than
-    ``tst``: both are second-resolution functions of the same source
-    timestamp, so the dedup equivalence classes are identical, but the
-    digest input is a plain integer — bit-identical under any session
-    timezone on both engines (no timestamp formatting anywhere).
+    The digest renders ``tst`` through date_format — the FACE value. The
+    synth pipeline parses tst from a face string and date_format renders
+    it back under the same session timezone, so parse→format is face-
+    identity under ANY session tz (the data is DST-transition-free;
+    epoch-integer derivations like ``tsi``/unix_seconds are NOT tz-stable
+    here because the NTZ source is cast through the session zone —
+    measured: a Europe/Helsinki session shifts them by the zone offset).
 
     The streaming-watermark form is the separate ``hfp_stream_dedup``
     entry (split in round 5 so the driver localizes which leg diverges)."""
     v = synth_vehicles(spark, sf_dir)
     replay = v.unionAll(v)
     keys = replay.select(
-        "unique_vehicle_id", "tsi", "event_type", "journey_type"
+        "unique_vehicle_id", "tst", "event_type", "journey_type"
     ).distinct()
     term = _digest32(
         F.col("unique_vehicle_id"),
-        F.col("tsi").cast("string"),
+        F.date_format("tst", "yyyy-MM-dd HH:mm:ss"),
         F.col("event_type"),
     )
     return keys.groupBy(F.col("journey_type").alias("key")).agg(
@@ -609,10 +623,10 @@ GROUP BY route_id, oday
 WITH {hfp_cte()}
 SELECT journey_type AS key, count(*) AS n_unique,
        CAST(sum(('0x' || substr(md5(concat_ws('|',
-             unique_vehicle_id, CAST(tsi AS VARCHAR), event_type)),
-             1, 8))::BIGINT) AS BIGINT) AS digest
+             unique_vehicle_id, strftime(tst, '%Y-%m-%d %H:%M:%S'),
+             event_type)), 1, 8))::BIGINT) AS BIGINT) AS digest
 FROM (
-  SELECT DISTINCT unique_vehicle_id, tsi, event_type, journey_type FROM (
+  SELECT DISTINCT unique_vehicle_id, tst, event_type, journey_type FROM (
     SELECT * FROM hfp_vehicles UNION ALL SELECT * FROM hfp_vehicles
   )
 ) GROUP BY journey_type

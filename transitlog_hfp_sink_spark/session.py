@@ -34,6 +34,15 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet stores ts as TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; reading nanos as int64 is SESSION
+        # POLICY set once here (read_table converts with exact integer
+        # math). Setting it lazily per-read left a race: a concurrently
+        # finishing bounded stream (_pinned_stream_confs) could restore
+        # the conf to unset while a batch scan executed, garbling
+        # timestamp faces mid-query (caught by the round-5 batch-digest +
+        # 5-way concurrency test; counts were blind to it).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
