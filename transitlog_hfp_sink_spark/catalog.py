@@ -20,7 +20,11 @@ Registered surface:
 - ``vehicles_geo`` — vehicles plus the geohash-5 spatial bucketing
   column (functions/geo.py, pure expressions — a view, not a UDF);
 - SQL functions: ``haversine_km`` (the lat/long distance workload Q4
-  serves) and ``geometric_mean`` (UDAF surface).
+  serves), ``geometric_mean`` (UDAF surface), and ``time_bucket``
+  (TimescaleDB's most-used hypertable query function, run/init.sql:70-73
+  workload) — a pure SQL scalar function (Spark 4 ``CREATE FUNCTION ...
+  RETURN``), JVM-side, no Python UDF: epoch-aligned arbitrary-width
+  bucketing, ``time_bucket(3600, ts)`` == ``date_trunc('hour', ts)``.
 
 Views are session-scoped metadata only — no data is materialized.
 """
@@ -68,4 +72,25 @@ def register_catalog(
         ).createOrReplaceTempView("vehicles_geo")
         registered.append("vehicles_geo")
     register_udfs(spark)
+    register_time_bucket(spark)
     return registered
+
+
+def register_time_bucket(spark: SparkSession) -> None:
+    """TimescaleDB ``time_bucket(width, ts)`` parity as a pure SQL scalar
+    function: floor ts to an epoch-aligned bucket of ``width_seconds``
+    (TimescaleDB aligns sub-week buckets to the epoch origin; weeks'
+    2000-01-03 alignment and timezone-origin variants are out of scope).
+    Integer-truncating div, so pre-1970 timestamps bucket toward zero —
+    documented deviation, irrelevant for telemetry data."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION time_bucket(
+            width_seconds BIGINT, ts TIMESTAMP
+        ) RETURNS TIMESTAMP
+        RETURN timestamp_micros(
+            (unix_micros(ts) div (width_seconds * 1000000))
+            * width_seconds * 1000000
+        )
+        """
+    )
