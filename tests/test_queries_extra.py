@@ -64,9 +64,9 @@ def test_registry_names_are_wellformed():
     # the driver's correctness gate evaluates exactly 50 entries in
     # insertion order — stay at the cap, never above it
     assert len(qs) == 50
-    # round 3: md5-mode sketches + SRP/SQ literals gave every sketch an
-    # oracle; the ONLY rows-only entry left is genuinely approximate
-    # (nprobe<n_lists IVF — its machinery is hash-checked via the
-    # fullprobe leg of embedding_topk_exact, its recall in tests)
+    # round 5: EVERY registry entry carries a value-hash oracle — the
+    # genuinely approximate nprobe<n_lists IVF search moved to bench-only
+    # (machinery hash-checked via the fullprobe + ivf_served legs of
+    # embedding_topk_exact, recall in tests)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"embedding_topk_ivf"}
+    assert rows_only == set()
