@@ -725,17 +725,30 @@ def semantic_dedup(
             .drop("__cn")
         )
         join_keys = ["cluster_id", "__sub"]
+    # per-row norm computed ONCE before the pair join (round 5): the
+    # within-cluster join evaluates O(sum |c|^2) pairs, and cosine()
+    # would re-fold both vectors' norms per PAIR — 3x the interpreted
+    # higher-order-function work. Same l2_norm expression, same division
+    # order, same zero-norm guard => bit-identical cos_sim values (the
+    # semdedup oracle legs stay hash-green).
+    base = base.withColumn("__nrm", l2_norm(F.col("vec")))
     a = base.select(
         *join_keys,
         F.col(id_col).alias("id_a"),
         F.col("dist2").alias("__da"),
         F.col("vec").alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     b = base.select(
         *join_keys,
         F.col(id_col).alias("id_b"),
         F.col("dist2").alias("__db"),
         F.col("vec").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(
+        F.lit(0.0)
     )
     pairs = (
         a.join(b, on=join_keys)
@@ -746,7 +759,7 @@ def semantic_dedup(
             "id_b",
             "__da",
             "__db",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
