@@ -190,3 +190,78 @@ def test_decode_stats_null_and_undecodable_payloads(spark):
     }
     for mid in (0, 1):
         assert got[mid]["img_w"] is None and got[mid]["px_md5"] is None
+
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF PCM16) codec (round 5): audio leg of the multimodal surface
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_mono_and_stereo():
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [((j * 257) % 65536) - 32768 for j in range(40)]
+    data = encode_wav(16000, samples)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert decode_wav(data) == (16000, 1, samples)
+    # stereo interleaved
+    data2 = encode_wav(44100, samples, channels=2)
+    rate, ch, got = decode_wav(data2)
+    assert (rate, ch, got) == (44100, 2, samples)
+
+
+def test_wav_decoder_walks_extra_chunks():
+    import struct
+
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [1, -2, 3, -4, 32767, -32768]
+    data = bytearray(encode_wav(8000, samples))
+    # splice a LIST chunk (odd length -> exercises word-alignment) between
+    # fmt and data, fixing up the RIFF size
+    payload = b"INFOxy z"  # 8 bytes; make odd:
+    payload = payload[:7]
+    chunk = b"LIST" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    fmt_end = 12 + 8 + 16
+    data[fmt_end:fmt_end] = chunk
+    struct.pack_into("<I", data, 4, len(data) - 8)
+    assert decode_wav(bytes(data)) == (8000, 1, samples)
+
+
+def test_wav_rejects_non_pcm16():
+    import pytest as _pytest
+
+    from transitlog_hfp_sink_spark.operators.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS not a riff")
+
+
+def test_synth_audio_stats_match_closed_form(spark):
+    import math as _math
+
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        audio_stats,
+        synth_audio,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    got = {r["media_id"]: r for r in audio_stats(synth_audio(ids)).collect()}
+    assert len(got) == 24
+    for i in range(24):
+        n = i % 50 + 20
+        samples = [((i * 37 + j * 257) % 65536) - 32768 for j in range(n)]
+        r = got[i]
+        assert (r["sample_rate"], r["n_samples"]) == (16000, n)
+        assert r["pcm_sum"] == sum(samples)
+        assert r["pcm_wsum"] == sum((j + 1) * v for j, v in enumerate(samples))
+        want_rms = [
+            round(_math.sqrt(sum(v * v for v in samples[k : k + 10]) / 10), 6)
+            for k in range(0, n - 9, 10)
+        ]
+        assert list(r["frame_rms"]) == want_rms

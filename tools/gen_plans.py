@@ -50,7 +50,8 @@ def main(sf_dir="/root/testdata/sf0.01"):
     _ov = bench_overrides()
     for _n in ("embedding_semdedup", "nb_classifier_score", "dedup_spans_exact",
                "bpe_encode_documents", "pack_bpe_compose",
-               "trajectory_similarity", "corpus_profile"):
+               "trajectory_similarity", "corpus_profile",
+               "embedding_topk_ivf"):  # bench-only since round 5
         qs[_n] = _ov[_n]
 
     # zorder_clustered_scan's registry entry re-derives the 32-term Morton

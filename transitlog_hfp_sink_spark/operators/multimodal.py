@@ -220,6 +220,52 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(out)
 
 
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """RIFF/WAVE PCM16 little-endian from int16 samples (interleaved if
+    channels > 1). The real audio container format, dependency-free."""
+    n = len(samples)
+    data = struct.pack(f"<{n}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
+    """-> (sample_rate, channels, int16 samples). PCM16 only; walks the
+    RIFF chunk list (fmt /data may be separated by LIST/fact chunks)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    fmt_code = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        payload = content[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload
+            )
+        elif tag == b"data":
+            data = payload
+        pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if fmt_code != 1 or bits != 16:
+        raise NotImplementedError(f"WAV fmt={fmt_code} bits={bits} unsupported")
+    if data is None:
+        raise ValueError("WAV payload has no data chunk")
+    return rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
 def decode_image(content: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload -> (w, h, row-major top-down RGB bytes).
 
@@ -423,6 +469,102 @@ def decode_stats(
             )
 
     return df.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("pcm_sum", T.LongType(), True),
+        T.StructField("pcm_wsum", T.LongType(), True),
+        T.StructField("frame_rms", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL WAV payloads keyed by id: sample i =
+    ((id*37 + i*257) % 65536) - 32768 (int16), n = id%50 + 20 samples,
+    16 kHz mono PCM16 — actual RIFF files via encode_wav. Closed-form
+    sample law => a SQL oracle predicts the DECODED stats analytically."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(i: int) -> bytes:
+            i = int(i)
+            n = i % 50 + 20
+            samples = [((i * 37 + j * 257) % 65536) - 32768 for j in range(n)]
+            return encode_wav(16000, samples)
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio",
+                    "content": ids.map(make),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=schema)
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    frame: int = 10,
+) -> DataFrame:
+    """REAL WAV decode -> per-clip sample statistics + per-frame RMS
+    (the frame-energy features an audio curation pipeline gates on):
+    sample sum, the ORDER-SENSITIVE weighted sum, and RMS over
+    non-overlapping `frame`-sample windows rounded to 6 dp (tail frame
+    dropped — fixed frame shape). Undecodable payloads yield NULL stats."""
+    import math as _math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(content: bytes):
+            if content is None:
+                return (None,) * 5
+            try:
+                rate, channels, samples = decode_wav(content)
+            except (NotImplementedError, ValueError):
+                return (None,) * 5
+            n = len(samples)
+            s = sum(samples)
+            ws = sum((i + 1) * v for i, v in enumerate(samples))
+            rms = [
+                round(
+                    _math.sqrt(
+                        sum(v * v for v in samples[k : k + frame]) / frame
+                    ),
+                    6,
+                )
+                for k in range(0, n - frame + 1, frame)
+            ]
+            return (rate, n, s, ws, rms)
+
+        for pdf in it:
+            cols = list(zip(*pdf[content_col].map(stats)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array(cols[0], dtype="Int32") if cols else [],
+                    "n_samples": pd.array(cols[1], dtype="Int32") if cols else [],
+                    "pcm_sum": pd.array(cols[2], dtype="Int64") if cols else [],
+                    "pcm_wsum": pd.array(cols[3], dtype="Int64") if cols else [],
+                    "frame_rms": cols[4] if cols else [],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
 def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1502,12 +1502,23 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    carries the pixel-byte sum, content_md5 the hex-md5
                    of the decoded RGB stream, frame_idx the pixel
                    count, out_w/out_h the decoded dims, feat_sum the
-                   order-sensitive weighted sum sum((i+1)*px_i)."""
+                   order-sensitive weighted sum sum((i+1)*px_i);
+    part='audio' — REAL WAV decode (round 5): actual RIFF/PCM16 files
+                   from a closed-form sample law (synth_audio), decoded
+                   by the pure-Python RIFF chunk walker, with per-frame
+                   RMS energy features — n_bytes carries the sample sum,
+                   content_md5 the digest of the 6-dp RMS vector (values
+                   scaled to ints so the string form is engine-stable),
+                   frame_idx the sample count, out_w the sample rate,
+                   out_h the frame count, feat_sum the order-sensitive
+                   weighted sample sum."""
     from transitlog_hfp_sink_spark.operators.multimodal import (
+        audio_stats,
         decode_stats,
         extract_features,
         frame_sample_plan,
         resize_plan,
+        synth_audio,
         synth_images,
     )
 
@@ -1555,11 +1566,30 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_h=F.col("img_h"),
         feat_sum=F.col("px_wsum").cast("double"),
     )
+    rms_digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                "frame_rms",
+                lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
+            ),
+        )
+    )
+    audio_leg = leg(
+        audio_stats(synth_audio(docs)), "audio",
+        n_bytes=F.col("pcm_sum"),
+        content_md5=rms_digest,
+        frame_idx=F.col("n_samples"),
+        out_w=F.col("sample_rate"),
+        out_h=F.size("frame_rms"),
+        feat_sum=F.col("pcm_wsum").cast("double"),
+    )
     return (
         meta_leg.unionByName(frame_leg)
         .unionByName(resize_leg)
         .unionByName(feature_leg)
         .unionByName(decode_leg)
+        .unionByName(audio_leg)
     )
 
 
@@ -1631,6 +1661,30 @@ SELECT 'decode' AS part, doc_id AS media_id,
        CAST(list_sum([(i+1) * ((doc_id*31 + i) % 256)
                       for i in range(0, (doc_id % 7 + 2)*(doc_id % 5 + 2)*3)])
             AS DOUBLE) AS feat_sum
+FROM documents
+UNION ALL
+-- audio leg: the analytic prediction of the REAL WAV decode — sample j of
+-- clip doc_id is ((doc_id*37 + j*257) % 65536) - 32768 (int16), n =
+-- doc_id%50+20 samples at 16 kHz (operators/multimodal.synth_audio);
+-- content_md5 digests the per-frame RMS energies (round(sqrt(sum v^2/10),
+-- 6), scaled to ints so the string form is engine-stable).
+SELECT 'audio' AS part, doc_id AS media_id,
+       CAST(list_sum([((doc_id*37 + j*257) % 65536) - 32768
+                      for j in range(0, doc_id % 50 + 20)]) AS BIGINT)
+         AS n_bytes,
+       md5(array_to_string(
+         [CAST(CAST(round(
+             round(sqrt(list_sum(
+               [CAST(((doc_id*37 + (k*10+j)*257) % 65536) - 32768 AS DOUBLE) ** 2
+                for j in range(0, 10)]) / 10), 6) * 1000000) AS BIGINT) AS VARCHAR)
+          for k in range(0, (doc_id % 50 + 20) // 10)], ','))
+         AS content_md5,
+       CAST(doc_id % 50 + 20 AS INTEGER) AS frame_idx,
+       CAST(16000 AS INTEGER) AS out_w,
+       CAST((doc_id % 50 + 20) // 10 AS INTEGER) AS out_h,
+       CAST(list_sum([(j+1) * (((doc_id*37 + j*257) % 65536) - 32768)
+                      for j in range(0, doc_id % 50 + 20)]) AS DOUBLE)
+         AS feat_sum
 FROM documents
 """
 
