@@ -265,3 +265,74 @@ def test_synth_audio_stats_match_closed_form(spark):
             for k in range(0, n - 9, 10)
         ]
         assert list(r["frame_rms"]) == want_rms
+
+
+# ---------------------------------------------------------------------------
+# Real AVI (RIFF video) demux (round 5): video leg of the multimodal surface
+# ---------------------------------------------------------------------------
+
+def _dib_frames(seed: int, w: int, h: int, nf: int):
+    stride = (w * 3 + 3) & ~3
+    frames, rgbs = [], []
+    for f in range(nf):
+        rgb = bytes((seed * 41 + f * 7 + j) % 256 for j in range(w * h * 3))
+        rgbs.append(rgb)
+        dib = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = rgb[y * w * 3 : (y + 1) * w * 3]
+            for x in range(w):
+                r, g, b = row[x * 3 : x * 3 + 3]
+                dib += bytes((b, g, r))
+            dib += b"\x00" * (stride - w * 3)
+        frames.append(bytes(dib))
+    return frames, rgbs
+
+
+def test_avi_roundtrip_all_stride_residues():
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        demux_avi,
+        encode_avi,
+    )
+
+    for w in range(2, 7):  # covers every stride residue
+        frames, rgbs = _dib_frames(w, w, 3, 4)
+        data = encode_avi(w, 3, frames)
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        got_w, got_h, got = demux_avi(data)
+        assert (got_w, got_h) == (w, 3)
+        assert got == rgbs
+
+
+def test_avi_rejects_garbage():
+    import pytest as _pytest
+
+    from transitlog_hfp_sink_spark.operators.multimodal import demux_avi
+
+    with _pytest.raises(ValueError):
+        demux_avi(b"RIFFxxxxWAVE")  # RIFF but not AVI
+    with _pytest.raises(ValueError):
+        demux_avi(b"not riff at all")
+
+
+def test_synth_videos_stats_match_closed_form(spark):
+    import hashlib as _hashlib
+
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        synth_videos,
+        video_stats,
+    )
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = video_stats(synth_videos(ids), every_n=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    for i in range(12):
+        w, h, nf = i % 5 + 2, i % 4 + 2, i % 6 + 2
+        sampled = list(range(0, nf, 2))
+        assert {k[1] for k in got if k[0] == i} == set(sampled)
+        for f in sampled:
+            rgb = bytes((i * 41 + f * 7 + j) % 256 for j in range(w * h * 3))
+            r = got[(i, f)]
+            assert (r["img_w"], r["img_h"]) == (w, h)
+            assert r["px_sum"] == sum(rgb)
+            assert r["px_wsum"] == sum((j + 1) * b for j, b in enumerate(rgb))
+            assert r["px_md5"] == _hashlib.md5(rgb.hex().encode()).hexdigest()

@@ -266,6 +266,86 @@ def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
     return rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
 
 
+def encode_avi(w: int, h: int, frames: list[bytes], fps: int = 30) -> bytes:
+    """Minimal RIFF/AVI container with uncompressed 24-bit DIB video
+    frames ('00db' chunks): hdrl (avih + one strl/strh/strf) + movi. Each
+    frame is raw bottom-up BGR pixel data with 4-byte row stride — the
+    same layout a BMP carries after its header. A real (if spartan)
+    container per the public AVI RIFF spec."""
+    stride = (w * 3 + 3) & ~3
+    for fdata in frames:
+        if len(fdata) != stride * h:
+            raise ValueError("frame byte length != stride*h")
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+
+    def lst(tag: bytes, payload: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(payload)) + tag + payload
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(content: bytes) -> tuple[int, int, list[bytes]]:
+    """-> (w, h, frames) where each frame is row-major TOP-DOWN RGB bytes
+    (stride padding removed, BGR->RGB, bottom-up flipped — DIB layout
+    decoded for real). Walks RIFF LIST structure; uncompressed 24-bit
+    'db' chunks only."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h
+        pos = lo
+        while pos + 8 <= hi:
+            tag = content[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", content, pos + 4)
+            if tag == b"LIST":
+                walk(pos + 12, pos + 8 + length)
+            elif tag == b"strf":
+                _sz, bw, bh, _pl, bpp = struct.unpack_from(
+                    "<IiiHH", content, pos + 8
+                )
+                if bpp != 24:
+                    raise NotImplementedError(f"AVI bpp={bpp} unsupported")
+                w, h = bw, abs(bh)
+            elif tag[2:4] == b"db":
+                frames.append(content[pos + 8 : pos + 8 + length])
+            pos += 8 + length + (length % 2)
+
+    walk(12, 8 + struct.unpack_from("<I", content, 4)[0])
+    if w is None:
+        raise ValueError("AVI payload has no strf header")
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for fdata in frames:
+        rgb = bytearray(w * h * 3)
+        for y in range(h):
+            row = fdata[(h - 1 - y) * stride : (h - 1 - y) * stride + w * 3]
+            for x in range(w):
+                b, g, r = row[x * 3 : x * 3 + 3]
+                rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3] = bytes((r, g, b))
+        out.append(bytes(rgb))
+    return w, h, out
+
+
 def decode_image(content: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload -> (w, h, row-major top-down RGB bytes).
 
@@ -469,6 +549,121 @@ def decode_stats(
             )
 
     return df.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("img_w", T.IntegerType(), True),
+        T.StructField("img_h", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+        T.StructField("px_md5", T.StringType(), True),
+    ]
+)
+
+
+def synth_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL AVI payloads keyed by id: nf = id%6+2 frames of
+    w = id%5+2 by h = id%4+2, frame f pixel i (row-major top-down RGB) =
+    (id*41 + f*7 + i) % 256 — packed into actual DIB frame chunks
+    (bottom-up BGR, stride-padded) inside a real RIFF/AVI container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def make(i: int) -> bytes:
+            i = int(i)
+            w, h, nf = i % 5 + 2, i % 4 + 2, i % 6 + 2
+            stride = (w * 3 + 3) & ~3
+            frames = []
+            for f in range(nf):
+                rgb = bytes((i * 41 + f * 7 + j) % 256 for j in range(w * h * 3))
+                dib = bytearray()
+                for y in range(h - 1, -1, -1):
+                    row = rgb[y * w * 3 : (y + 1) * w * 3]
+                    for x in range(w):
+                        r, g, b = row[x * 3 : x * 3 + 3]
+                        dib += bytes((b, g, r))
+                    dib += b"\x00" * (stride - w * 3)
+                frames.append(bytes(dib))
+            return encode_avi(w, h, frames)
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "video",
+                    "content": ids.map(make),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=schema)
+
+
+def video_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 2,
+) -> DataFrame:
+    """REAL video demux + frame sampling (the de-stubbed video slot): walk
+    the AVI container, take every ``every_n``-th frame, emit one row per
+    SAMPLED frame with its decoded-RGB pixel statistics (order-sensitive
+    weighted sum + hex-md5, as decode_stats). Undecodable payloads yield
+    a single NULL-stats row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows(mid: int, content: bytes):
+            if content is None:
+                return [(mid, None, None, None, None, None, None)]
+            try:
+                w, h, frames = demux_avi(content)
+            except (NotImplementedError, ValueError):
+                return [(mid, None, None, None, None, None, None)]
+            out = []
+            for f in range(0, len(frames), every_n):
+                rgb = frames[f]
+                out.append(
+                    (
+                        mid,
+                        f,
+                        w,
+                        h,
+                        sum(rgb),
+                        sum((i + 1) * b for i, b in enumerate(rgb)),
+                        hashlib.md5(rgb.hex().encode()).hexdigest(),
+                    )
+                )
+            return out
+
+        for pdf in it:
+            recs = []
+            for mid, content in zip(
+                pdf[id_col].astype("int64"), pdf[content_col]
+            ):
+                recs.extend(rows(int(mid), content))
+            cols = list(zip(*recs)) if recs else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(cols[0], dtype="int64"),
+                    "frame_idx": pd.array(cols[1], dtype="Int32"),
+                    "img_w": pd.array(cols[2], dtype="Int32"),
+                    "img_h": pd.array(cols[3], dtype="Int32"),
+                    "px_sum": pd.array(cols[4], dtype="Int64"),
+                    "px_wsum": pd.array(cols[5], dtype="Int64"),
+                    "px_md5": cols[6],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=VIDEO_STATS_SCHEMA)
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

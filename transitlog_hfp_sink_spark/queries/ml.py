@@ -1511,7 +1511,13 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    scaled to ints so the string form is engine-stable),
                    frame_idx the sample count, out_w the sample rate,
                    out_h the frame count, feat_sum the order-sensitive
-                   weighted sample sum."""
+                   weighted sample sum;
+    part='video' — REAL AVI demux + frame sampling (round 5): actual
+                   RIFF/AVI containers with DIB frames (synth_videos),
+                   demuxed by the pure-Python chunk walker, every 2nd
+                   frame decoded (bottom-up BGR stride frames -> RGB) —
+                   one row per sampled frame carrying the image-leg
+                   stats, over the doc_id%7==0 subset."""
     from transitlog_hfp_sink_spark.operators.multimodal import (
         audio_stats,
         decode_stats,
@@ -1520,6 +1526,8 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_plan,
         synth_audio,
         synth_images,
+        synth_videos,
+        video_stats,
     )
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
@@ -1584,12 +1592,26 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_h=F.size("frame_rms"),
         feat_sum=F.col("pcm_wsum").cast("double"),
     )
+    # video leg (round 5): real AVI demux + every-2nd-frame sampling over
+    # a bounded id subset (each video expands to multiple rows; %7==0
+    # keeps the leg's cardinality in line with its siblings)
+    vids = docs.where(F.col("doc_id") % 7 == 0)
+    video_leg = leg(
+        video_stats(synth_videos(vids), every_n=2), "video",
+        n_bytes=F.col("px_sum"),
+        content_md5=F.col("px_md5"),
+        frame_idx=F.col("frame_idx"),
+        out_w=F.col("img_w"),
+        out_h=F.col("img_h"),
+        feat_sum=F.col("px_wsum").cast("double"),
+    )
     return (
         meta_leg.unionByName(frame_leg)
         .unionByName(resize_leg)
         .unionByName(feature_leg)
         .unionByName(decode_leg)
         .unionByName(audio_leg)
+        .unionByName(video_leg)
     )
 
 
@@ -1686,6 +1708,30 @@ SELECT 'audio' AS part, doc_id AS media_id,
                       for j in range(0, doc_id % 50 + 20)]) AS DOUBLE)
          AS feat_sum
 FROM documents
+UNION ALL
+-- video leg: the analytic prediction of the REAL AVI demux + frame
+-- sampling — video doc_id has nf=doc_id%6+2 frames of (doc_id%5+2) x
+-- (doc_id%4+2), frame f pixel i = (doc_id*41 + f*7 + i) % 256
+-- (operators/multimodal.synth_videos); every 2nd frame sampled, one row
+-- per sampled frame with the same order-sensitive stats as the image leg.
+SELECT 'video' AS part, doc_id AS media_id,
+       CAST(list_sum([(doc_id*41 + f*7 + i) % 256
+                      for i in range(0, (doc_id % 5 + 2)*(doc_id % 4 + 2)*3)])
+            AS BIGINT) AS n_bytes,
+       md5(lower(array_to_string(
+           [lpad(to_hex((doc_id*41 + f*7 + i) % 256), 2, '0')
+            for i in range(0, (doc_id % 5 + 2)*(doc_id % 4 + 2)*3)], '')))
+         AS content_md5,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(doc_id % 5 + 2 AS INTEGER) AS out_w,
+       CAST(doc_id % 4 + 2 AS INTEGER) AS out_h,
+       CAST(list_sum([(i+1) * ((doc_id*41 + f*7 + i) % 256)
+                      for i in range(0, (doc_id % 5 + 2)*(doc_id % 4 + 2)*3)])
+            AS DOUBLE) AS feat_sum
+FROM (
+  SELECT doc_id, unnest(range(0, doc_id % 6 + 2, 2)) AS f
+  FROM documents WHERE doc_id % 7 = 0
+)
 """
 
 
