@@ -29,6 +29,83 @@ DST = "/tmp/spark_graft_stress_sf1"
 COPIES = 10
 
 
+def _shifted_copies(df, key: str, n_copies: int):
+    """Union n key-shifted copies of df; stride = max(key)+1 so shifted
+    keys never collide even when the key domain is sparse. Referential
+    integrity is preserved by shifting the SAME key column in every table
+    that carries it (orders.o_orderkey and lineitem.l_orderkey move in
+    lockstep; dims are copied unchanged — a 10x fact-side growth with
+    fixed dims is the realistic scale-up shape)."""
+    stride = df.agg(F.max(key)).first()[0] + 1
+    legs = [
+        df.withColumn(key, (F.col(key) + F.lit(i * stride)).cast(dict(df.dtypes)[key]))
+        for i in range(n_copies)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def build_input_relational(spark) -> None:
+    """sf1 events + TPC-H fact tables: 10 key-shifted copies of the sf0.1
+    facts (events 100k->1M, orders 150k->1.5M, lineitem 600k->6M), dims
+    copied as-is. events keeps its timestamps, so per-hour density grows
+    10x — the harder stress for windows/sessions than widening the time
+    range would be. synth_hfp derives vehicles/routes from event_id, so
+    shifted ids synthesize genuinely new fleet activity."""
+    if os.path.exists(f"{DST}/lineitem.parquet"):
+        return
+    from transitlog_hfp_sink_spark.sources.files import TABLES
+
+    ev = read_table(spark, SRC, "events")
+    # keep ts as raw nanos on disk? read_table converted to timestamp;
+    # write micros-precision timestamps — read_table passes non-bigint
+    # ts through unchanged, and every consumer goes through read_table.
+    _shifted_copies(ev, "event_id", COPIES).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{DST}/events.parquet")
+    _shifted_copies(
+        spark.read.parquet(f"{SRC}/orders.parquet"), "o_orderkey", COPIES
+    ).repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+    _shifted_copies(
+        spark.read.parquet(f"{SRC}/lineitem.parquet"), "l_orderkey", COPIES
+    ).repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{dim}.parquet"
+        )
+
+
+#: HFP / events / TPC-H headline queries stressed at sf1 (reads only;
+#: write-path entries like merge_upsert/zorder and the fixed-overhead
+#: streaming entries are covered by their own robustness tests).
+RELATIONAL_NAMES = [
+    "hfp_vehicles_transform",
+    "hfp_vp_per_route",
+    "hfp_trajectory_length",
+    "hfp_hourly_vehicles",
+    "hfp_odometer_progress",
+    "hfp_geo_bbox",
+    "events_hourly_rollup",
+    "sessionize_events",
+    "window_frames",
+    "window_top3_per_type",
+    "asof_error_click",
+    "resample_trajectory",
+    "salted_skew_agg",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "top_brands_revenue",
+    "rollup_cube_grouping",
+    "set_ops_customers",
+    "tpch_power_run",
+]
+
+
 def build_input(spark) -> None:
     if os.path.exists(f"{DST}/documents.parquet"):
         return
@@ -64,9 +141,57 @@ def build_input(spark) -> None:
     eout.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
 
+def run_relational(spark) -> None:
+    """Time the HFP/events/TPC-H headline set at sf1 and append the
+    second stress table to SCALING.md."""
+    build_input_relational(spark)
+    from transitlog_hfp_sink_spark.queries import queries as all_queries
+
+    qs = all_queries()
+    from bench import bench_overrides
+
+    overrides = bench_overrides()
+    read_table(spark, DST, "events").count()  # warm page cache
+    spark.read.parquet(f"{DST}/lineitem.parquet").count()
+    rows = []
+    for name in RELATIONAL_NAMES:
+        fn = overrides.get(name) or qs[name]
+        materialize(fn(spark, DST))  # warmup
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            materialize(fn(spark, DST))
+            best = min(best, time.time() - t0)
+        rows.append((name, best))
+        print(name, round(best, 3), flush=True)
+    lines = [
+        "",
+        "## sf1 stress — HFP / events / TPC-H families",
+        "",
+        "Fact tables at 10x the largest driver SF (events 1M, orders 1.5M,",
+        "lineitem 6M key-shifted copies; dims unchanged — fact-side growth",
+        "with fixed dims). events keeps its timestamps, so per-hour density",
+        "grows 10x: the harder case for windows/sessions/rollups.",
+        "Regenerate: `python tools/stress_sf1.py relational`.",
+        "",
+        "| query | sf1 (s) |",
+        "|---|---|",
+    ]
+    for name, t in rows:
+        lines.append(f"| {name} | {t:.3f} |")
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended relational sf1 table to SCALING.md")
+
+
 def main() -> None:
     spark = build_session(app_name="stress-sf1", master="local[32]",
                           shuffle_partitions=32)
+    family = sys.argv[1] if len(sys.argv) > 1 else "docs"
+    if family in ("relational", "all"):
+        run_relational(spark)
+        if family == "relational":
+            return
     build_input(spark)
     from transitlog_hfp_sink_spark.queries import ml
 
