@@ -1,0 +1,144 @@
+"""WebDataset-style tar-shard export sink (sinks/wds.py).
+
+Round-trip, byte-determinism, partitioning-invariance, member order,
+overwrite semantics — the same contract family as the JSONL exporter
+(tests/test_export.py idiom) applied to the bytes+meta path."""
+
+import hashlib
+import json
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.multimodal import synth_images
+from transitlog_hfp_sink_spark.operators.pack import shard_of
+from transitlog_hfp_sink_spark.sinks.wds import (
+    read_wds_shards,
+    write_wds_shards,
+)
+from transitlog_hfp_sink_spark.sources.files import read_table
+
+N_SHARDS = 4
+
+
+def _media(spark, sf_dir, n=60):
+    docs = read_table(spark, sf_dir, "documents").limit(n)
+    media = synth_images(docs)  # media_id, media_type, content (real BMP/PNG)
+    return media.withColumn(
+        "ext", F.when(F.col("media_id") % 2 == 1, F.lit("png")).otherwise(F.lit("bmp"))
+    ).withColumn("n_bytes", F.length("content").cast("bigint"))
+
+
+def _file_md5s(path):
+    return {
+        f: hashlib.md5(open(os.path.join(path, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(path))
+        if f.startswith("shard-")
+    }
+
+
+def test_wds_roundtrip_bytes_and_meta(spark, sf_dir, tmp_path):
+    media = _media(spark, sf_dir)
+    out = str(tmp_path / "wds")
+    manifest = write_wds_shards(
+        media,
+        out,
+        N_SHARDS,
+        ext_col="ext",
+        meta_cols=("media_type", "n_bytes"),
+    )
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert sum(s["n_items"] for s in manifest["shards"]) == media.count()
+
+    back = read_wds_shards(spark, out)
+    src = {
+        r["media_id"]: (bytes(r["content"]), r["ext"], r["n_bytes"])
+        for r in media.collect()
+    }
+    got = back.collect()
+    assert len(got) == len(src)
+    for r in got:
+        data, ext, n_bytes = src[r["key"]]
+        assert bytes(r["data"]) == data
+        assert r["ext"] == ext
+        meta = json.loads(r["meta"])
+        assert meta == {"media_type": "image", "n_bytes": n_bytes}
+        # content-keyed placement: shard is derivable from the id alone
+    placed = {r["key"]: r["shard"] for r in got}
+    expect = {
+        r["media_id"]: r["s"]
+        for r in media.select(
+            "media_id", shard_of("media_id", N_SHARDS, "wds").alias("s")
+        ).collect()
+    }
+    assert placed == expect
+
+
+def test_wds_byte_determinism_and_partitioning_invariance(spark, sf_dir, tmp_path):
+    media = _media(spark, sf_dir)
+    a, b, c = (str(tmp_path / d) for d in ("a", "b", "c"))
+    write_wds_shards(media, a, N_SHARDS, ext_col="ext", meta_cols=("n_bytes",))
+    write_wds_shards(media, b, N_SHARDS, ext_col="ext", meta_cols=("n_bytes",))
+    # a different input partitioning must not change a single byte
+    write_wds_shards(
+        media.repartition(7), c, N_SHARDS, ext_col="ext", meta_cols=("n_bytes",)
+    )
+    assert _file_md5s(a) == _file_md5s(b) == _file_md5s(c)
+    assert len(_file_md5s(a)) > 0
+
+
+def test_wds_member_order_is_md5_permutation(spark, sf_dir, tmp_path):
+    media = _media(spark, sf_dir)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, 1, ext_col="ext")
+    with tarfile.open(os.path.join(out, "shard-00000.tar")) as tar:
+        names = [m.name for m in tar]
+    # members come in (data, json) pairs per key, keys in md5-permuted order
+    keys = [n.rsplit(".", 1)[0] for n in names[::2]]
+    assert names[1::2] == [f"{k}.json" for k in keys]
+    perm = sorted(
+        keys, key=lambda k: hashlib.md5(f"wds{int(k)}".encode()).hexdigest()
+    )
+    assert keys == perm
+
+
+def test_wds_overwrite_clears_stale_shards(spark, sf_dir, tmp_path):
+    media = _media(spark, sf_dir)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, 8, ext_col="ext")
+    n8 = len(_file_md5s(out))
+    write_wds_shards(media, out, 2, ext_col="ext")
+    files = _file_md5s(out)
+    assert len(files) <= 2 < n8  # no shard-00007.tar survivor
+    with pytest.raises(FileExistsError):
+        write_wds_shards(media, out, 2, ext_col="ext", mode="error")
+
+
+def test_wds_incremental_stability(spark, sf_dir, tmp_path):
+    """Content-keyed shards: adding rows rewrites only the shards whose
+    membership changed; untouched shards stay byte-identical (the
+    re-export-after-upstream-change story from the module docstring)."""
+    media = _media(spark, sf_dir, n=60).cache()
+    grown = _media(spark, sf_dir, n=61)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_wds_shards(media, a, N_SHARDS, ext_col="ext")
+    write_wds_shards(grown, b, N_SHARDS, ext_col="ext")
+    new_ids = {r["media_id"] for r in grown.select("media_id").collect()} - {
+        r["media_id"] for r in media.select("media_id").collect()
+    }
+    changed = {
+        r["s"]
+        for r in grown.filter(F.col("media_id").isin(list(new_ids)))
+        .select(shard_of("media_id", N_SHARDS, "wds").alias("s"))
+        .collect()
+    }
+    ma, mb = _file_md5s(a), _file_md5s(b)
+    for k in ma:
+        shard_no = int(k.split("-")[1].split(".")[0])
+        if shard_no in changed:
+            assert ma[k] != mb[k]
+        else:
+            assert ma[k] == mb[k]
+    media.unpersist()

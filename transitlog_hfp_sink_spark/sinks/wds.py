@@ -1,0 +1,258 @@
+"""Multimodal training-data export sink: deterministic WebDataset-style
+tar shards.
+
+Image/audio/video trainers consume tar shards whose members group by
+basename — ``{key}.jpg`` + ``{key}.json`` side by side — streamed
+sequentially (the WebDataset convention popularized for large-scale
+multimodal training). The reference (HSLdevcom/transitlog-hfp-sink)
+stops at its SQL sink; this extends the repo's training-export family
+(sinks/export.py JSONL for text) with the bytes+meta counterpart, same
+determinism contract:
+
+- shard assignment is CONTENT-keyed (``pack.shard_of`` — md5 of the
+  salted id), stable across runs, partitionings, and engines; a trainer
+  resumes per-shard and a re-export after an upstream change rewrites
+  only shards whose membership changed;
+- one Spark job: hash-repartition on the shard id, sort within each
+  partition by the same md5 permutation (deterministic member order),
+  then an Arrow-batched ``mapInPandas`` writer emits one tar per shard
+  — bytes never hit the driver, no driver-side iteration;
+- tar members are byte-reproducible: USTAR format, zeroed
+  mtime/uid/gid, fixed 0o644 mode — byte-identical inputs produce
+  byte-identical shard files (asserted by tests);
+- crash safety: each task writes ``.tmp`` then ``os.replace`` (atomic
+  on POSIX), and the driver stamps ``_SUCCESS`` + a ``_manifest.json``
+  (per-shard member/byte counts) only after every task committed.
+
+At cluster scale ``path`` must be storage every executor can reach —
+a mounted shared filesystem (NFS/FUSE bucket mount), the standard
+deployment for tar-shard writers, since tarfile needs a seekable local
+file handle; the Spark-side contract (content-keyed shards, one task
+per shard, deterministic bytes) is unchanged. Tests drive the sink on
+a local path.
+
+Spark can't express "write a tar container" with built-in writers, so
+the per-partition Python writer is the documented escape hatch (same
+tier as the repo's codec kernels in operators/multimodal.py); the
+shuffle/sort that feeds it stays declarative and JVM-side.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transitlog_hfp_sink_spark.operators.pack import shard_of
+
+#: key ordering inside a shard is the md5 permutation of the salted id —
+#: the same law as the JSONL exporter, so mixed text+media exports of
+#: one corpus visit rows in the same order.
+_MANIFEST = "_manifest.json"
+_SUCCESS = "_SUCCESS"
+
+
+def _member(tar: tarfile.TarFile, name: str, data: bytes) -> None:
+    info = tarfile.TarInfo(name=name)
+    info.size = len(data)
+    info.mtime = 0
+    info.uid = info.gid = 0
+    info.uname = info.gname = ""
+    info.mode = 0o644
+    tar.addfile(info, io.BytesIO(data))
+
+
+def write_wds_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    ext_col: str | None = None,
+    default_ext: str = "bin",
+    meta_cols: tuple[str, ...] = (),
+    salt: str = "wds",
+    mode: str = "overwrite",
+) -> dict:
+    """Write df as WebDataset-style tar shards; return the manifest dict.
+
+    Each row becomes two tar members named by the zero-padded id:
+    ``{key:020d}.{ext}`` (the raw ``content_col`` bytes; per-row
+    extension from ``ext_col`` when given, e.g. 'png'/'bmp'/'wav') and
+    ``{key:020d}.json`` (``meta_cols`` as one JSON object with sorted
+    keys). Shard K is ``shard-{K:05d}.tar``; rows land in shard
+    ``shard_of(id, n_shards, salt)`` regardless of input partitioning.
+    Empty shards write no file (WebDataset readers take a file list).
+    ``mode="overwrite"`` clears previous ``shard-*.tar`` first so stale
+    shards from a larger prior n_shards can't survive; "error" refuses
+    to write over an existing export.
+    """
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"mode must be 'overwrite' or 'error', got {mode!r}")
+    existing = (
+        [f for f in os.listdir(path) if f.startswith("shard-") or f.startswith(".shard-")]
+        if os.path.isdir(path)
+        else []
+    )
+    if existing and mode == "error":
+        raise FileExistsError(f"{path} already holds {len(existing)} shard files")
+    os.makedirs(path, exist_ok=True)
+    for f in existing + [
+        f for f in (_MANIFEST, _SUCCESS) if os.path.exists(os.path.join(path, f))
+    ]:
+        os.remove(os.path.join(path, f))
+
+    meta_cols = tuple(meta_cols)
+    sel = [F.col(id_col).cast("bigint").alias("__key"), F.col(content_col).alias("__data")]
+    sel.append(
+        (F.col(ext_col) if ext_col else F.lit(default_ext)).cast("string").alias("__ext")
+    )
+    sel += [F.col(c) for c in meta_cols]
+    keyed = (
+        df.select(*sel)
+        .withColumn("__shard", shard_of("__key", n_shards, salt))
+        .withColumn("__ord", F.md5(F.concat(F.lit(salt), F.col("__key").cast("string"))))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType(), False),
+            T.StructField("file", T.StringType(), False),
+            T.StructField("n_items", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+
+    def write_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive clustered by __shard (sortWithinPartitions leads
+        # with it) and ordered by the md5 permutation within each shard;
+        # a task may own several shards (hash collision of shard ids
+        # into one partition) but every shard is wholly owned by ONE
+        # task, so each tar is written exactly once.
+        state: dict = {"shard": None, "tar": None, "tmp": None, "n": 0}
+        done: list[tuple[int, str, int, int]] = []
+
+        def close_current() -> None:
+            if state["tar"] is None:
+                return
+            state["tar"].close()
+            final = os.path.join(path, f"shard-{state['shard']:05d}.tar")
+            os.replace(state["tmp"], final)
+            done.append(
+                (state["shard"], os.path.basename(final), state["n"], os.path.getsize(final))
+            )
+            state.update(shard=None, tar=None, tmp=None, n=0)
+
+        for pdf in it:
+            # itertuples mangles __-prefixed names; walk plain columns
+            metas = [pdf[c] for c in meta_cols]
+            for i, (shard, k, data, ext) in enumerate(
+                zip(pdf["__shard"], pdf["__key"], pdf["__data"], pdf["__ext"])
+            ):
+                shard = int(shard)
+                if shard != state["shard"]:
+                    close_current()
+                    tmp = os.path.join(path, f".shard-{shard:05d}.tar.tmp")
+                    state.update(
+                        shard=shard,
+                        tmp=tmp,
+                        tar=tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT),
+                        n=0,
+                    )
+                key = f"{int(k):020d}"
+                _member(
+                    state["tar"],
+                    f"{key}.{ext}",
+                    bytes(data) if data is not None else b"",
+                )
+                meta = {c: col.iloc[i] for c, col in zip(meta_cols, metas)}
+                meta_b = json.dumps(
+                    {
+                        k2: (v.item() if hasattr(v, "item") else v)
+                        for k2, v in meta.items()
+                    },
+                    sort_keys=True,
+                ).encode()
+                _member(state["tar"], f"{key}.json", meta_b)
+                state["n"] += 1
+        close_current()
+        yield pd.DataFrame(done, columns=["shard", "file", "n_items", "n_bytes"])
+
+    report = (
+        keyed.repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__ord", "__key")
+        .mapInPandas(write_partition, schema=out_schema)
+        .collect()  # bounded: one row per non-empty shard (<= n_shards)
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "shards": sorted(
+            (
+                {
+                    "shard": r["shard"],
+                    "file": r["file"],
+                    "n_items": r["n_items"],
+                    "n_bytes": r["n_bytes"],
+                }
+                for r in report
+            ),
+            key=lambda d: d["shard"],
+        ),
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    with open(os.path.join(path, _SUCCESS), "w") as f:
+        f.write("")
+    return manifest
+
+
+def read_wds_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read an exported shard set back as (shard, key, ext, data, meta).
+
+    binaryFile loads each tar whole (shards are sized for streaming —
+    the usual 100 MB–1 GB — so one tar per task is the intended grain),
+    and an Arrow-batched parser splits members back into rows; basename
+    grouping reassembles each sample's data + json meta pair.
+    """
+    files = spark.read.format("binaryFile").load(os.path.join(path, "shard-*.tar"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType(), False),
+            T.StructField("key", T.LongType(), False),
+            T.StructField("ext", T.StringType(), False),
+            T.StructField("data", T.BinaryType(), True),
+            T.StructField("meta", T.StringType(), True),
+        ]
+    )
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                shard = int(os.path.basename(fpath).split("-")[1].split(".")[0])
+                samples: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar:
+                        base, ext = m.name.rsplit(".", 1)
+                        slot = samples.setdefault(base, {})
+                        payload = tar.extractfile(m).read()
+                        if ext == "json":
+                            slot["meta"] = payload.decode()
+                        else:
+                            slot["ext"], slot["data"] = ext, payload
+                for base, slot in samples.items():
+                    rows.append(
+                        (shard, int(base), slot.get("ext", ""), slot.get("data"), slot.get("meta"))
+                    )
+            yield pd.DataFrame(rows, columns=["shard", "key", "ext", "data", "meta"])
+
+    return files.mapInPandas(parse, schema=out_schema)
