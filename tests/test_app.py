@@ -217,3 +217,52 @@ def test_app_backfill_subcommand_idempotent(spark, tmp_path):
             ["unique_vehicle_id", "tst", "event_type", "journey_type"]
         ).count() == n_expected
     assert n_expected >= n_initial
+
+
+def test_app_export_subcommand_both_formats(spark, tmp_path):
+    """export subcommand: JSONL and WDS training exports driven as real
+    subprocesses, each verified by reading the shards back."""
+    import json
+
+    from transitlog_hfp_sink_spark.operators.multimodal import synth_images
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    out_j = str(tmp_path / "jsonl")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "export",
+         "--input", src, "--output", out_j, "--format", "jsonl",
+         "--n-shards", "3"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["format"] == "jsonl"
+    assert spark.read.json(out_j).count() == 40
+
+    media = synth_images(docs)
+    msrc = str(tmp_path / "media")
+    media.write.parquet(msrc)
+    out_w = str(tmp_path / "wds")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "export",
+         "--input", msrc, "--output", out_w, "--format", "wds",
+         "--n-shards", "3", "--id-col", "media_id",
+         "--meta-cols", "media_type"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["format"] == "wds" and report["n_items"] == 40
+
+    from transitlog_hfp_sink_spark.sinks.wds import read_wds_shards
+
+    back = read_wds_shards(spark, out_w)
+    assert back.count() == 40
+    src_bytes = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for r in back.collect():
+        assert bytes(r["data"]) == src_bytes[r["key"]]

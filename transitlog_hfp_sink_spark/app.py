@@ -29,6 +29,17 @@ partitioned parquet store):
         --ts-col ts --value-col value --dims event_type \
         --start "2024-01-01 00:00:00" --end "2024-01-02 00:00:00"
 
+Training-data export (tail of the curation pipeline; content-keyed
+shards, so re-exports rewrite only changed shards):
+
+    python -m transitlog_hfp_sink_spark.app export \
+        --input /data/curated.parquet --output /data/shards \
+        --format jsonl --n-shards 64 --id-col doc_id
+    python -m transitlog_hfp_sink_spark.app export \
+        --input /data/media.parquet --output /data/wds \
+        --format wds --n-shards 64 --id-col media_id \
+        --content-col content --meta-cols media_type
+
 Each prints a one-line JSON report and exits 0 on success.
 """
 
@@ -246,10 +257,66 @@ def _backfill(argv: list[str]) -> int:
         spark.stop()
 
 
+def _export(argv: list[str]) -> int:
+    """Training-data export (the tail of the curation pipeline as an ops
+    command): deterministic sharded JSONL (sinks/export.py) or
+    WebDataset-style tar shards for bytes+meta (sinks/wds.py). Both are
+    content-keyed, so re-running after an upstream change rewrites only
+    the shards whose membership changed."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app export")
+    p.add_argument("--input", required=True, help="parquet path to export")
+    p.add_argument("--output", required=True, help="shard output dir")
+    p.add_argument("--format", default="jsonl", choices=["jsonl", "wds"])
+    p.add_argument("--n-shards", type=int, required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--salt", default="export")
+    p.add_argument("--content-col", default="content", help="wds: bytes column")
+    p.add_argument("--ext-col", default=None, help="wds: per-row extension column")
+    p.add_argument("--meta-cols", default="", help="wds: comma-separated meta columns")
+    args = p.parse_args(argv)
+    spark = build_session(app_name="hfp-export")
+    try:
+        df = spark.read.parquet(args.input)
+        if args.format == "jsonl":
+            from transitlog_hfp_sink_spark.sinks.export import write_jsonl_shards
+
+            write_jsonl_shards(
+                df, args.output, args.n_shards, id_col=args.id_col, salt=args.salt
+            )
+            print(json.dumps({
+                "job": "export", "format": "jsonl", "output": args.output,
+                "n_shards": args.n_shards,
+            }))
+        else:
+            from transitlog_hfp_sink_spark.sinks.wds import write_wds_shards
+
+            manifest = write_wds_shards(
+                df, args.output, args.n_shards, id_col=args.id_col,
+                content_col=args.content_col, ext_col=args.ext_col,
+                meta_cols=tuple(c for c in args.meta_cols.split(",") if c),
+                salt=args.salt,
+            )
+            print(json.dumps({
+                "job": "export", "format": "wds", "output": args.output,
+                "n_shards": args.n_shards,
+                "n_items": sum(s["n_items"] for s in manifest["shards"]),
+            }))
+        return 0
+    except Exception:
+        logger.exception("export failed")
+        return 1
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv[:1] == ["backfill"]:
         return _backfill(argv[1:])
+    if argv[:1] == ["export"]:
+        return _export(argv[1:])
     if argv[:1] == ["compact"]:
         return _maintain_compact(argv[1:])
     if argv[:1] == ["retention"]:
