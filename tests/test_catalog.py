@@ -206,3 +206,61 @@ def test_bunching_flags_planted_short_headway(spark):
     assert b[0]["leader_vehicle_id"] == "0001/00001"
     assert b[0]["headway_us"] == 60_000_000
     assert b[0]["med_headway_us"] == 600_000_000.0
+
+
+def test_otp_view_vs_duckdb(spark, sf_dir):
+    """vehicles_otp (round 5): per-journey start delay + punctuality
+    class, value-checked row-for-row against a DuckDB twin built with
+    the same integer arithmetic over the identical dedup'd rows."""
+    import duckdb
+
+    register_catalog(spark, sf_dir=sf_dir)
+    got = spark.sql(
+        "SELECT oday, route_id, direction_id, journey_start_time, "
+        "unique_vehicle_id, unix_micros(first_observed) AS obs_us, "
+        "start_delay_us, punctuality FROM vehicles_otp "
+        "ORDER BY 1, 2, 3 NULLS FIRST, 4, 5"
+    ).collect()
+    assert len(got) > 0
+    assert {r["punctuality"] for r in got} <= {"early", "on_time", "late"}
+    assert len({r["punctuality"] for r in got}) > 1  # fixture spans bands
+    base = spark.sql(
+        "SELECT oday, route_id, direction_id, journey_start_time, "
+        "unique_vehicle_id, unix_micros(tst) AS tst_us, is_ongoing "
+        "FROM vehicles_dedup"
+    ).toArrow()
+    con = duckdb.connect()
+    con.register("base", base)
+    want = con.execute(
+        """
+        WITH journeys AS (
+            SELECT oday, route_id, direction_id, journey_start_time,
+                   unique_vehicle_id, min(tst_us) AS obs_us
+            FROM base
+            WHERE is_ongoing AND oday IS NOT NULL
+              AND journey_start_time IS NOT NULL AND route_id IS NOT NULL
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        delays AS (
+            SELECT *,
+                   obs_us - (epoch(CAST(oday AS TIMESTAMP)) * 1000000
+                       + (CAST(split_part(journey_start_time, ':', 1) AS BIGINT) * 3600
+                          + CAST(split_part(journey_start_time, ':', 2) AS BIGINT) * 60)
+                         * 1000000) AS start_delay_us
+            FROM journeys
+        )
+        SELECT oday, route_id, direction_id, journey_start_time,
+               unique_vehicle_id, obs_us, start_delay_us,
+               CASE WHEN start_delay_us < -60000000 THEN 'early'
+                    WHEN start_delay_us <= 300000000 THEN 'on_time'
+                    ELSE 'late' END AS punctuality
+        FROM delays
+        ORDER BY 1, 2, 3 NULLS FIRST, 4, 5
+        """
+    ).fetchall()
+    assert [
+        (r["oday"], r["route_id"], r["direction_id"], r["journey_start_time"],
+         r["unique_vehicle_id"], r["obs_us"], r["start_delay_us"],
+         r["punctuality"])
+        for r in got
+    ] == [tuple(r) for r in want]

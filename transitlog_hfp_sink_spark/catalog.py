@@ -20,9 +20,11 @@ Registered surface:
 - ``vehicles_geo`` — vehicles plus the geohash-5 spatial bucketing
   column (functions/geo.py, pure expressions — a view, not a UDF);
 - ``vehicles_headways`` / ``vehicles_bunching`` — the transit-operations
-  headway metric family (per-stop consecutive-vehicle gaps and the
+  headway metric family (per-route consecutive-vehicle gaps and the
   under-half-median bunching flag) as pure SQL views over
   ``vehicles_dedup`` (round 5);
+- ``vehicles_otp`` — per-journey start delay + early/on_time/late
+  punctuality classification (round 5);
 - SQL functions: ``haversine_km`` (the lat/long distance workload Q4
   serves), ``geometric_mean`` (UDAF surface), and ``time_bucket``
   (TimescaleDB's most-used hypertable query function, run/init.sql:70-73
@@ -77,6 +79,8 @@ def register_catalog(
         registered.append("vehicles_geo")
         register_headway_views(spark)
         registered += ["vehicles_headways", "vehicles_bunching"]
+        register_otp_view(spark)
+        registered.append("vehicles_otp")
     register_udfs(spark)
     register_time_bucket(spark)
     return registered
@@ -145,6 +149,55 @@ def register_headway_views(spark: SparkSession) -> None:
         FROM h
         JOIN med USING (route_id, direction_id)
         WHERE h.headway_us < 0.5 * med.med_headway_us
+        """
+    )
+
+
+def register_otp_view(spark: SparkSession) -> None:
+    """On-time performance — the punctuality metric the Transitlog family
+    exists to answer ("was the 08:15 on route X on time?"), as one SQL
+    view over the sink.
+
+    Per journey (oday, route, direction, scheduled start, vehicle):
+    ``start_delay_us`` = first ongoing observation minus the scheduled
+    start instant. The scheduled instant is built ARITHMETICALLY —
+    ``oday`` midnight plus the "HH:mm" start split into integer
+    seconds — not via timestamp parsing, because the canonical TIME
+    string allows single-digit hours (SURVEY §1.2) and engines disagree
+    on lenient format parsing; integer math is bit-identical everywhere.
+    ``punctuality`` buckets the delay with the common transit-ops
+    convention: early < -60 s, on_time <= +300 s, late beyond
+    (thresholds documented here, not configurable — users needing other
+    bands can query start_delay_us directly).
+
+    Same scale shape as the headway views: one partial-agg-friendly
+    min() groupBy, then pure row-local expressions."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW vehicles_otp AS
+        WITH journeys AS (
+            SELECT oday, route_id, direction_id, journey_start_time,
+                   unique_vehicle_id,
+                   min(tst) AS first_observed
+            FROM vehicles_dedup
+            WHERE is_ongoing AND oday IS NOT NULL
+              AND journey_start_time IS NOT NULL AND route_id IS NOT NULL
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        delays AS (
+            SELECT *,
+                   unix_micros(first_observed)
+                     - (unix_micros(CAST(oday AS TIMESTAMP))
+                        + (CAST(split(journey_start_time, ':')[0] AS BIGINT) * 3600
+                           + CAST(split(journey_start_time, ':')[1] AS BIGINT) * 60)
+                          * 1000000) AS start_delay_us
+            FROM journeys
+        )
+        SELECT *,
+               CASE WHEN start_delay_us < -60000000 THEN 'early'
+                    WHEN start_delay_us <= 300000000 THEN 'on_time'
+                    ELSE 'late' END AS punctuality
+        FROM delays
         """
     )
 
