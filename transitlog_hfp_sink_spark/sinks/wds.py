@@ -159,7 +159,17 @@ def write_wds_shards(
                 shard = int(shard)
                 if shard != state["shard"]:
                     close_current()
-                    tmp = os.path.join(path, f".shard-{shard:05d}.tar.tmp")
+                    # attempt-unique tmp name: a speculative/retried task
+                    # attempt writing the same shard must not share a tmp
+                    # file with its twin; whichever attempt finishes last
+                    # wins the atomic replace with byte-identical content
+                    from pyspark import TaskContext
+
+                    tc = TaskContext.get()
+                    attempt = tc.taskAttemptId() if tc is not None else 0
+                    tmp = os.path.join(
+                        path, f".shard-{shard:05d}.tar.tmp-{attempt}"
+                    )
                     state.update(
                         shard=shard,
                         tmp=tmp,
