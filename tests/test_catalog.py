@@ -160,7 +160,8 @@ def test_headway_and_bunching_views_vs_duckdb(spark, sf_dir):
         )
         SELECT h.route_id, h.direction_id, h.unique_vehicle_id,
                h.headway_us, med.med_headway_us
-        FROM h JOIN med USING (route_id, direction_id)
+        FROM h JOIN med ON h.route_id = med.route_id
+                       AND h.direction_id IS NOT DISTINCT FROM med.direction_id
         WHERE h.headway_us IS NOT NULL
           AND h.headway_us < 0.5 * med.med_headway_us
         ORDER BY 1, 2 NULLS FIRST, 3, 4
@@ -190,22 +191,32 @@ def test_bunching_flags_planted_short_headway(spark):
 
     rows = [("1001", 1, f"0001/0000{i}", datetime(2024, 1, 1, 8, m), True)
             for i, m in enumerate([0, 10, 11, 30])]
+    # same schedule on a NULL-direction journey: the median join must be
+    # null-safe or these bunched rows silently vanish (round-5 review)
+    rows += [("1002", None, f"0002/0000{i}", datetime(2024, 1, 1, 9, m), True)
+             for i, m in enumerate([0, 10, 11, 30])]
     spark.createDataFrame(
         rows, "route_id string, direction_id int, unique_vehicle_id string, "
               "tst timestamp, is_ongoing boolean"
     ).createOrReplaceTempView("vehicles_dedup")
     register_headway_views(spark)
     h = spark.sql(
-        "SELECT headway_us FROM vehicles_headways ORDER BY arrival_tst"
+        "SELECT headway_us FROM vehicles_headways "
+        "WHERE route_id = '1001' ORDER BY arrival_tst"
     ).collect()
     assert [r["headway_us"] for r in h] == [None, 600_000_000, 60_000_000,
                                             1_140_000_000]
-    b = spark.sql("SELECT * FROM vehicles_bunching").collect()
-    assert len(b) == 1
+    b = sorted(
+        spark.sql("SELECT * FROM vehicles_bunching").collect(),
+        key=lambda r: r["route_id"],
+    )
+    assert len(b) == 2
     assert b[0]["unique_vehicle_id"] == "0001/00002"
     assert b[0]["leader_vehicle_id"] == "0001/00001"
     assert b[0]["headway_us"] == 60_000_000
     assert b[0]["med_headway_us"] == 600_000_000.0
+    assert b[1]["route_id"] == "1002" and b[1]["direction_id"] is None
+    assert b[1]["unique_vehicle_id"] == "0002/00002"
 
 
 def test_otp_view_vs_duckdb(spark, sf_dir):

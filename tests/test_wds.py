@@ -142,3 +142,37 @@ def test_wds_incremental_stability(spark, sf_dir, tmp_path):
         else:
             assert ma[k] == mb[k]
     media.unpersist()
+
+
+def test_wds_contract_errors_and_null_handling(spark, sf_dir, tmp_path):
+    """Round-5 review fixes: non-integral ids fail fast, duplicate ids
+    fail loudly (adjacent after the in-shard sort, zero extra passes),
+    NULL meta serializes as JSON null, NULL ext falls back to default."""
+    media = _media(spark, sf_dir, n=10)
+
+    with pytest.raises(TypeError, match="integral"):
+        write_wds_shards(
+            media.withColumn("sid", F.concat(F.lit("u-"), F.col("media_id"))),
+            str(tmp_path / "bad_id"), 2, id_col="sid",
+        )
+
+    dup = media.unionByName(media.limit(1))
+    with pytest.raises(Exception, match="duplicate id"):
+        write_wds_shards(dup, str(tmp_path / "dup"), 2)
+
+    out = str(tmp_path / "nulls")
+    nulled = media.withColumn(
+        "ext", F.when(F.col("media_id") % 2 == 0, F.lit(None)).otherwise(F.lit("png"))
+    ).withColumn(
+        "note", F.when(F.col("media_id") % 2 == 0, F.lit(None)).otherwise(F.lit("x"))
+    )
+    write_wds_shards(nulled, out, 2, ext_col="ext", default_ext="bin",
+                     meta_cols=("note",))
+    back = read_wds_shards(spark, out).collect()
+    assert len(back) == 10
+    for r in back:
+        meta = json.loads(r["meta"])  # must parse: no bare NaN
+        if r["key"] % 2 == 0:
+            assert r["ext"] == "bin" and meta["note"] is None
+        else:
+            assert r["ext"] == "png" and meta["note"] == "x"

@@ -117,8 +117,10 @@ def main() -> None:
         fp1 = fingerprint(fn(spark, s.DST))
         same = fp01 == fp1
         rows.append((name, fmt(fp01), fmt(fp1) if not same else "same", same))
-        if fp1["CartesianProduct"] or (
-            fp1["BroadcastNestedLoopJoin"] > fp01["BroadcastNestedLoopJoin"]
+        if (
+            fp01["CartesianProduct"]
+            or fp1["CartesianProduct"]
+            or fp1["BroadcastNestedLoopJoin"] > fp01["BroadcastNestedLoopJoin"]
         ):
             bad.append(name)
         print(name, "SAME" if same else f"DIFF {fmt(fp01)} -> {fmt(fp1)}", flush=True)

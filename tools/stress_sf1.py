@@ -29,14 +29,17 @@ DST = "/tmp/spark_graft_stress_sf1"
 COPIES = 10
 
 
-def _shifted_copies(df, key: str, n_copies: int):
+def _shifted_copies(df, key: str, n_copies: int, stride: int | None = None):
     """Union n key-shifted copies of df; stride = max(key)+1 so shifted
     keys never collide even when the key domain is sparse. Referential
     integrity is preserved by shifting the SAME key column in every table
-    that carries it (orders.o_orderkey and lineitem.l_orderkey move in
-    lockstep; dims are copied unchanged — a 10x fact-side growth with
-    fixed dims is the realistic scale-up shape)."""
-    stride = df.agg(F.max(key)).first()[0] + 1
+    that carries it with the SAME stride (pass the shared-domain stride
+    explicitly for orders/lineitem — a per-table max would silently
+    desynchronize the copies whenever one side's top keys are childless;
+    dims are copied unchanged — a 10x fact-side growth with fixed dims is
+    the realistic scale-up shape)."""
+    if stride is None:
+        stride = df.agg(F.max(key)).first()[0] + 1
     legs = [
         df.withColumn(key, (F.col(key) + F.lit(i * stride)).cast(dict(df.dtypes)[key]))
         for i in range(n_copies)
@@ -65,12 +68,23 @@ def build_input_relational(spark) -> None:
     _shifted_copies(ev, "event_id", COPIES).repartition(32).write.mode(
         "overwrite"
     ).parquet(f"{DST}/events.parquet")
-    _shifted_copies(
-        spark.read.parquet(f"{SRC}/orders.parquet"), "o_orderkey", COPIES
-    ).repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
-    _shifted_copies(
-        spark.read.parquet(f"{SRC}/lineitem.parquet"), "l_orderkey", COPIES
-    ).repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    # ONE stride over the shared orderkey domain: orders and lineitem
+    # must shift in true lockstep or copies 1..n-1 lose their joins
+    stride = (
+        max(
+            orders.agg(F.max("o_orderkey")).first()[0],
+            lineitem.agg(F.max("l_orderkey")).first()[0],
+        )
+        + 1
+    )
+    _shifted_copies(orders, "o_orderkey", COPIES, stride=stride).repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+    _shifted_copies(lineitem, "l_orderkey", COPIES, stride=stride).repartition(
+        32
+    ).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
     for dim in ("region", "nation", "customer", "supplier", "part"):
         spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{dim}.parquet"
@@ -141,9 +155,21 @@ def build_input(spark) -> None:
     eout.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 
 
+def _time_query(fn, spark, sf_dir) -> float:
+    materialize(fn(spark, sf_dir))  # warmup
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        best = min(best, time.time() - t0)
+    return best
+
+
 def run_relational(spark) -> None:
-    """Time the HFP/events/TPC-H headline set at sf1 and append the
-    second stress table to SCALING.md."""
+    """Time the HFP/events/TPC-H headline set at sf1 AND re-measure sf0.1
+    in the same harness (same machine state, warmup + min-of-2), then
+    append the load-comparable 4-column table to SCALING.md — the
+    published section is fully reproducible by this command."""
     build_input_relational(spark)
     from transitlog_hfp_sink_spark.queries import queries as all_queries
 
@@ -156,29 +182,31 @@ def run_relational(spark) -> None:
     rows = []
     for name in RELATIONAL_NAMES:
         fn = overrides.get(name) or qs[name]
-        materialize(fn(spark, DST))  # warmup
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            materialize(fn(spark, DST))
-            best = min(best, time.time() - t0)
-        rows.append((name, best))
-        print(name, round(best, 3), flush=True)
+        t1 = _time_query(fn, spark, DST)
+        t0 = _time_query(fn, spark, SRC)
+        rows.append((name, t0, t1))
+        print(name, round(t0, 3), "->", round(t1, 3), flush=True)
     lines = [
         "",
         "## sf1 stress — HFP / events / TPC-H families",
         "",
         "Fact tables at 10x the largest driver SF (events 1M, orders 1.5M,",
         "lineitem 6M key-shifted copies; dims unchanged — fact-side growth",
-        "with fixed dims). events keeps its timestamps, so per-hour density",
-        "grows 10x: the harder case for windows/sessions/rollups.",
+        "with fixed dims, the realistic scale-up shape). events keeps its",
+        "timestamps, so per-hour density grows 10x: the harder case for",
+        "windows/sessions/rollups than widening the time range. The sf0.1",
+        "column is re-measured in the same harness (warmup + min-of-2, same",
+        "machine state) so r is load-comparable. r<1 on scan-heavy rows is",
+        "structural, not noise: the driver's sf0.1 tables are SINGLE parquet",
+        "files (one row group = one input split = a one-thread scan stage)",
+        "while the synthesized sf1 input is 32 files and parallelizes.",
         "Regenerate: `python tools/stress_sf1.py relational`.",
         "",
-        "| query | sf1 (s) |",
-        "|---|---|",
+        "| query | sf0.1 (s) | sf1 (s) | r (per 10x) |",
+        "|---|---|---|---|",
     ]
-    for name, t in rows:
-        lines.append(f"| {name} | {t:.3f} |")
+    for name, t0, t1 in rows:
+        lines.append(f"| {name} | {t0:.3f} | {t1:.3f} | {t1 / t0:.2f} |")
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended relational sf1 table to SCALING.md")

@@ -147,7 +147,8 @@ def register_headway_views(spark: SparkSession) -> None:
         )
         SELECT h.*, med.med_headway_us
         FROM h
-        JOIN med USING (route_id, direction_id)
+        JOIN med ON h.route_id = med.route_id
+                AND h.direction_id <=> med.direction_id
         WHERE h.headway_us < 0.5 * med.med_headway_us
         """
     )
@@ -171,35 +172,41 @@ def register_otp_view(spark: SparkSession) -> None:
     bands can query start_delay_us directly).
 
     Same scale shape as the headway views: one partial-agg-friendly
-    min() groupBy, then pure row-local expressions."""
-    spark.sql(
-        """
-        CREATE OR REPLACE TEMPORARY VIEW vehicles_otp AS
-        WITH journeys AS (
-            SELECT oday, route_id, direction_id, journey_start_time,
-                   unique_vehicle_id,
-                   min(tst) AS first_observed
-            FROM vehicles_dedup
-            WHERE is_ongoing AND oday IS NOT NULL
-              AND journey_start_time IS NOT NULL AND route_id IS NOT NULL
-            GROUP BY 1, 2, 3, 4, 5
-        ),
-        delays AS (
-            SELECT *,
-                   unix_micros(first_observed)
-                     - (unix_micros(CAST(oday AS TIMESTAMP))
-                        + (CAST(split(journey_start_time, ':')[0] AS BIGINT) * 3600
-                           + CAST(split(journey_start_time, ':')[1] AS BIGINT) * 60)
-                          * 1000000) AS start_delay_us
-            FROM journeys
+    min() groupBy, then pure row-local expressions. Built in DataFrame
+    form (the vehicles_geo pattern) so the HH:mm->seconds law lives ONLY
+    in functions/timeparse.time_to_seconds — the SQL surface and the
+    Column API cannot drift apart."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.functions.timeparse import time_to_seconds
+
+    journeys = (
+        spark.table(DEDUP_VIEW)
+        .where(
+            F.col("is_ongoing")
+            & F.col("oday").isNotNull()
+            & F.col("journey_start_time").isNotNull()
+            & F.col("route_id").isNotNull()
         )
-        SELECT *,
-               CASE WHEN start_delay_us < -60000000 THEN 'early'
-                    WHEN start_delay_us <= 300000000 THEN 'on_time'
-                    ELSE 'late' END AS punctuality
-        FROM delays
-        """
+        .groupBy(
+            "oday", "route_id", "direction_id", "journey_start_time",
+            "unique_vehicle_id",
+        )
+        .agg(F.min("tst").alias("first_observed"))
     )
+    scheduled_us = (
+        F.unix_micros(F.col("oday").cast("timestamp"))
+        + time_to_seconds("journey_start_time").cast("bigint") * 1_000_000
+    )
+    delays = journeys.withColumn(
+        "start_delay_us", F.unix_micros("first_observed") - scheduled_us
+    )
+    delays.withColumn(
+        "punctuality",
+        F.when(F.col("start_delay_us") < -60_000_000, "early")
+        .when(F.col("start_delay_us") <= 300_000_000, "on_time")
+        .otherwise("late"),
+    ).createOrReplaceTempView("vehicles_otp")
 
 
 def register_time_bucket(spark: SparkSession) -> None:

@@ -59,6 +59,20 @@ _MANIFEST = "_manifest.json"
 _SUCCESS = "_SUCCESS"
 
 
+def _json_scalar(v):
+    """Spec-valid JSON for a pandas cell: numpy scalars unbox, and
+    NaN/NaT/None become null (json.dumps would otherwise emit bare NaN,
+    which strict WebDataset consumers reject)."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v.item() if hasattr(v, "item") else v
+
+
 def _member(tar: tarfile.TarFile, name: str, data: bytes) -> None:
     info = tarfile.TarInfo(name=name)
     info.size = len(data)
@@ -110,9 +124,24 @@ def write_wds_shards(
         os.remove(os.path.join(path, f))
 
     meta_cols = tuple(meta_cols)
+    # integer-id contract, checked up front: the fixed-width zero-padded
+    # member basenames (and read_wds_shards' int() parse) require an
+    # integral key — a silent cast would NULL out string/UUID ids and
+    # die mid-job with an obscure int(NaN) error instead
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"id_col {id_col!r} must be an integral column for WDS member "
+            f"naming, got {id_type!r}; derive a surrogate (e.g. "
+            "xxhash64(id)) or use the JSONL exporter for free-form ids"
+        )
     sel = [F.col(id_col).cast("bigint").alias("__key"), F.col(content_col).alias("__data")]
     sel.append(
-        (F.col(ext_col) if ext_col else F.lit(default_ext)).cast("string").alias("__ext")
+        (
+            F.coalesce(F.col(ext_col).cast("string"), F.lit(default_ext))
+            if ext_col
+            else F.lit(default_ext)
+        ).alias("__ext")
     )
     sel += [F.col(c) for c in meta_cols]
     keyed = (
@@ -136,7 +165,9 @@ def write_wds_shards(
         # a task may own several shards (hash collision of shard ids
         # into one partition) but every shard is wholly owned by ONE
         # task, so each tar is written exactly once.
-        state: dict = {"shard": None, "tar": None, "tmp": None, "n": 0}
+        state: dict = {
+            "shard": None, "tar": None, "tmp": None, "n": 0, "last_key": None
+        }
         done: list[tuple[int, str, int, int]] = []
 
         def close_current() -> None:
@@ -175,8 +206,20 @@ def write_wds_shards(
                         tmp=tmp,
                         tar=tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT),
                         n=0,
+                        last_key=None,
                     )
-                key = f"{int(k):020d}"
+                key = int(k)
+                # rows are sorted by (__shard, __ord, __key), so a
+                # duplicate id is ALWAYS adjacent — a zero-extra-pass
+                # check; dups would break byte-determinism (tie order)
+                # and silently lose rows on read-back (basename clash)
+                if key == state["last_key"]:
+                    raise ValueError(
+                        f"duplicate id {key} in WDS export: member "
+                        "basenames must be unique — dedup the frame first"
+                    )
+                state["last_key"] = key
+                key = f"{key:020d}"
                 _member(
                     state["tar"],
                     f"{key}.{ext}",
@@ -185,7 +228,7 @@ def write_wds_shards(
                 meta = {c: col.iloc[i] for c, col in zip(meta_cols, metas)}
                 meta_b = json.dumps(
                     {
-                        k2: (v.item() if hasattr(v, "item") else v)
+                        k2: _json_scalar(v)
                         for k2, v in meta.items()
                     },
                     sort_keys=True,
