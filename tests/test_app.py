@@ -266,3 +266,90 @@ def test_app_export_subcommand_both_formats(spark, tmp_path):
     src_bytes = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
     for r in back.collect():
         assert bytes(r["data"]) == src_bytes[r["key"]]
+
+
+def test_app_build_index_subcommand(spark, tmp_path):
+    """build-index subcommand: persisted BM25 postings (fresh +
+    incremental update) and IVF-flat index built as real subprocesses;
+    the persisted postings must score queries identically to the ad-hoc
+    search over the raw corpus."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_score_postings,
+        bm25_search,
+        search_tokens,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    head, tail = docs.limit(250), docs.subtract(docs.limit(250))
+    src_head, src_all = str(tmp_path / "head"), str(tmp_path / "tail")
+    head.write.parquet(src_head)
+    tail.write.parquet(src_all)
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+
+    idx1 = str(tmp_path / "idx1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "postings", "--input", src_head, "--output", idx1],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["docs"] == 250
+
+    # incremental: merge the tail batch without re-tokenizing history
+    idx2 = str(tmp_path / "idx2")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "postings", "--input", src_all, "--output", idx2,
+         "--update-from", idx1],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["docs"] == 300
+
+    # the persisted index serves the same results as ad-hoc search
+    queries = [(1, "data model"), (2, "stream processing")]
+    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
+    )
+    served = bm25_score_postings(
+        spark.read.parquet(f"{idx2}/postings"),
+        spark.read.parquet(f"{idx2}/doclens"),
+        qt, topk=5,
+    ).collect()
+    adhoc = bm25_search(docs, queries, topk=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in served]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in adhoc]
+    )
+
+    # IVF: assignment partitions the corpus; centroids artifact loads
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    esrc = str(tmp_path / "emb")
+    emb.write.parquet(esrc)
+    ivf_out = str(tmp_path / "ivf")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "ivf", "--input", esrc, "--output", ivf_out,
+         "--n-lists", "8"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    n_emb = emb.count()
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["vectors"] == n_emb
+    index = spark.read.parquet(f"{ivf_out}/ivf_assign")
+    assert index.count() == n_emb
+    assert index.select("vec_id").distinct().count() == n_emb
+    lists = {r["list_id"] for r in index.select("list_id").distinct().collect()}
+    assert lists <= set(range(8)) and len(lists) > 1
+    cents = json.load(open(f"{ivf_out}/centroids.json"))
+    assert len(cents["centroids"]) == 8

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 
 from transitlog_hfp_sink_spark.config import (
@@ -311,12 +312,104 @@ def _export(argv: list[str]) -> int:
         spark.stop()
 
 
+def _build_index(argv: list[str]) -> int:
+    """Build (or incrementally update) a persisted serving index — the
+    index-once/query-many ops step the serving-shape benchmarks assume:
+    a BM25 postings index (operators/search.py) or an IVF-flat ANN index
+    (operators/similarity.py: trained centroids + per-vector list
+    assignment). Updates write to a NEW --output (flip a pointer to
+    deploy) so a crash mid-write can never corrupt the live index."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app build-index")
+    p.add_argument("--kind", required=True, choices=["postings", "ivf"])
+    p.add_argument("--input", required=True, help="corpus parquet path")
+    p.add_argument("--output", required=True, help="index output dir")
+    p.add_argument("--id-col", default=None, help="default: doc_id / vec_id")
+    p.add_argument("--text-col", default="text", help="postings: text column")
+    p.add_argument("--update-from", default=None,
+                   help="postings: existing index dir to merge --input into "
+                   "(incremental; historical docs are never re-tokenized)")
+    p.add_argument("--vec-col", default="embedding", help="ivf: vector column")
+    p.add_argument("--n-lists", type=int, default=16, help="ivf: list count")
+    args = p.parse_args(argv)
+    spark = build_session(app_name="hfp-build-index")
+    try:
+        corpus = spark.read.parquet(args.input)
+        if args.kind == "postings":
+            from transitlog_hfp_sink_spark.operators.search import (
+                build_postings,
+                update_postings,
+            )
+
+            id_col = args.id_col or "doc_id"
+            if args.update_from:
+                if os.path.abspath(args.update_from) == os.path.abspath(args.output):
+                    raise ValueError(
+                        "--output must differ from --update-from: the merged "
+                        "index is written fresh and deployed by pointer flip"
+                    )
+                postings = spark.read.parquet(f"{args.update_from}/postings")
+                doclens = spark.read.parquet(f"{args.update_from}/doclens")
+                postings, doclens = update_postings(
+                    postings, doclens, corpus,
+                    text_col=args.text_col, id_col=id_col,
+                )
+            else:
+                postings, doclens = build_postings(
+                    corpus, text_col=args.text_col, id_col=id_col
+                )
+            postings.repartition("term").write.mode("overwrite").parquet(
+                f"{args.output}/postings"
+            )
+            doclens.write.mode("overwrite").parquet(f"{args.output}/doclens")
+            report = {
+                "postings_rows": spark.read.parquet(f"{args.output}/postings").count(),
+                "docs": spark.read.parquet(f"{args.output}/doclens").count(),
+            }
+        else:
+            from transitlog_hfp_sink_spark.operators.similarity import (
+                ivf_assign,
+                ivf_centroids,
+            )
+
+            id_col = args.id_col or "vec_id"
+            cents = ivf_centroids(
+                corpus, n_lists=args.n_lists, vec_col=args.vec_col
+            )
+            index = ivf_assign(
+                corpus, cents, id_col=id_col, vec_col=args.vec_col
+            )
+            index.repartition("list_id").write.mode("overwrite").parquet(
+                f"{args.output}/ivf_assign"
+            )
+            with open(os.path.join(args.output, "centroids.json"), "w") as f:
+                json.dump({"n_lists": args.n_lists, "vec_col": args.vec_col,
+                           "centroids": cents}, f)
+            report = {
+                "vectors": spark.read.parquet(f"{args.output}/ivf_assign").count(),
+                "n_lists": args.n_lists,
+            }
+        print(json.dumps({
+            "job": "build-index", "kind": args.kind, "output": args.output,
+            **report,
+        }))
+        return 0
+    except Exception:
+        logger.exception("build-index failed")
+        return 1
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv[:1] == ["backfill"]:
         return _backfill(argv[1:])
     if argv[:1] == ["export"]:
         return _export(argv[1:])
+    if argv[:1] == ["build-index"]:
+        return _build_index(argv[1:])
     if argv[:1] == ["compact"]:
         return _maintain_compact(argv[1:])
     if argv[:1] == ["retention"]:
