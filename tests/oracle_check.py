@@ -177,12 +177,16 @@ def main(only: list[str]) -> int:
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
+        sdf = None
         try:
             sdf = qs[name](spark, SF_DIR).persist()  # collected twice:
             # once exact (collect) + once through the pandas mirror
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
+            if sdf is not None:
+                sdf.unpersist()  # don't let a failing entry's cache
+                # occupy storage memory for the rest of the sweep
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue

@@ -353,3 +353,15 @@ def test_app_build_index_subcommand(spark, tmp_path):
     assert lists <= set(range(8)) and len(lists) > 1
     cents = json.load(open(f"{ivf_out}/centroids.json"))
     assert len(cents["centroids"]) == 8
+
+    # --update-from with --kind ivf must be rejected loudly: silently
+    # retraining from the new batch alone would drop every historical
+    # vector from the index (round-5 review fix)
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "ivf", "--input", esrc, "--output", str(tmp_path / "ivf2"),
+         "--update-from", ivf_out],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+    assert "only supported for --kind postings" in proc.stderr

@@ -336,3 +336,45 @@ def test_synth_videos_stats_match_closed_form(spark):
             assert r["px_sum"] == sum(rgb)
             assert r["px_wsum"] == sum((j + 1) * b for j, b in enumerate(rgb))
             assert r["px_md5"] == _hashlib.md5(rgb.hex().encode()).hexdigest()
+
+
+def test_stats_dead_letter_truncated_and_corrupt_payloads(spark):
+    """Malformed payloads dead-letter as NULL-stats rows instead of
+    failing the whole job: the pure-Python codecs raise struct.error /
+    zlib.error / IndexError on truncated or corrupt bytes, and the stats
+    kernels catch exactly that set (_DECODE_ERRORS, round-5 review fix —
+    previously only NotImplementedError/ValueError were caught, so one
+    truncated BMP aborted the Spark job)."""
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        audio_stats,
+        decode_stats,
+        encode_png,
+        video_stats,
+    )
+
+    # image: truncated BMP header (struct.error), truncated PNG chunk
+    # walk (zlib.error on the empty IDAT), valid-header PNG with corrupt
+    # IDAT bytes (zlib.error)
+    corrupt_png = bytearray(encode_png(3, 3, bytes(range(27))))
+    corrupt_png[40] ^= 0xFF  # inside IDAT
+    img_payloads = [
+        b"BM" + b"\x00" * 8,
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x64IDAT",
+        bytes(corrupt_png),
+    ]
+    rows = decode_stats(_media(spark, img_payloads)).collect()
+    assert len(rows) == 3
+    assert all(r["img_w"] is None and r["px_md5"] is None for r in rows)
+
+    # audio: RIFF/WAVE magic but truncated chunk table (struct.error)
+    wav_payloads = [b"RIFF\x24\x00\x00\x00WAVEfmt ", b"RIFF1234WAVE"]
+    rows = audio_stats(_media(spark, wav_payloads)).collect()
+    assert len(rows) == 2
+    assert all(r["n_samples"] is None for r in rows)
+
+    # video: RIFF/AVI magic but truncated header list (struct.error /
+    # IndexError in the chunk walk)
+    avi_payloads = [b"RIFF\x10\x00\x00\x00AVI LIST", b"RIFF1234AVI "]
+    rows = video_stats(_media(spark, avi_payloads)).collect()
+    assert len(rows) == 2
+    assert all(r["img_w"] is None for r in rows)

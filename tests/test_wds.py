@@ -176,3 +176,50 @@ def test_wds_contract_errors_and_null_handling(spark, sf_dir, tmp_path):
             assert r["ext"] == "bin" and meta["note"] is None
         else:
             assert r["ext"] == "png" and meta["note"] == "x"
+
+
+def test_wds_prewrite_validation_preserves_previous_export(spark, sf_dir, tmp_path):
+    """Round-5 review fixes: NULL ids and collision-prone extensions are
+    refused by a pre-write scan BEFORE anything is deleted, and a refused
+    (or failed) overwrite leaves the previous export's data shards AND
+    markers intact — overwrite only becomes destructive after the new
+    write has succeeded (stale shards are removed post-success)."""
+    media = _media(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, N_SHARDS, meta_cols=("n_bytes",))
+    before = _file_md5s(out)
+    assert before and os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # NULL id: refused up front, previous export untouched (incl. markers)
+    nulled = media.withColumn(
+        "media_id",
+        F.when(F.col("media_id") % 7 == 3, F.lit(None)).otherwise(F.col("media_id")),
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        write_wds_shards(nulled, out, N_SHARDS, meta_cols=("n_bytes",))
+    assert _file_md5s(out) == before
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # 'json' extension would collide with the meta member's basename and
+    # silently drop payloads on read-back; dotted extensions break the
+    # rsplit('.', 1) pairing — both refused before writing
+    for bad_ext in ("json", "tar.gz"):
+        with pytest.raises(ValueError, match="json|match"):
+            write_wds_shards(
+                media.withColumn("ext", F.lit(bad_ext)),
+                out, N_SHARDS, ext_col="ext", meta_cols=("n_bytes",),
+            )
+    assert _file_md5s(out) == before
+
+    # invalid default_ext is a driver-side config error (no scan, no I/O)
+    with pytest.raises(ValueError, match="default_ext"):
+        write_wds_shards(media, out, N_SHARDS, default_ext="json")
+
+    # a successful overwrite with FEWER shards removes the stale ones
+    # only after the write: the export converges to exactly the new set
+    write_wds_shards(media, out, 2, meta_cols=("n_bytes",))
+    files = sorted(f for f in os.listdir(out) if f.startswith("shard-"))
+    assert files == ["shard-00000.tar", "shard-00001.tar"]
+    assert {r["key"] for r in read_wds_shards(spark, out).collect()} == {
+        r["media_id"] for r in media.select("media_id").collect()
+    }

@@ -373,6 +373,14 @@ def _build_index(argv: list[str]) -> int:
                 ivf_centroids,
             )
 
+            if args.update_from:
+                # silently retraining from the new batch alone would drop
+                # every historical vector from the index; make the caller
+                # rebuild from the full corpus instead
+                raise ValueError(
+                    "--update-from is only supported for --kind postings; "
+                    "rebuild the IVF index from the full corpus"
+                )
             id_col = args.id_col or "vec_id"
             cents = ivf_centroids(
                 corpus, n_lists=args.n_lists, vec_col=args.vec_col

@@ -368,6 +368,23 @@ def decode_image(content: bytes) -> tuple[int, int, bytes]:
     )
 
 
+#: what a malformed/truncated payload can raise out of the pure-Python
+#: codecs above: struct.error (truncated headers), zlib.error (corrupt
+#: deflate), IndexError (byte indexing past the end), ValueError (field
+#: sanity raises), OverflowError (pathological size fields). The stats
+#: call sites catch exactly this set so ONE bad payload dead-letters as a
+#: NULL-stats row instead of failing the whole Spark job — catching bare
+#: Exception would also swallow real bugs (KeyError, TypeError) silently.
+_DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    struct.error,
+    zlib.error,
+    IndexError,
+    OverflowError,
+)
+
+
 def extract_bytes_meta(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Byte-level metadata via mapInPandas — the real (non-stub) leg of the
     multimodal path: size + content hash per payload, computed per Arrow
@@ -534,7 +551,7 @@ def decode_stats(
                 return (None,) * 5
             try:
                 w, h, rgb = decode_image(content)
-            except (NotImplementedError, ValueError):
+            except _DECODE_ERRORS:
                 return (None,) * 5
             px_sum = sum(rgb)
             px_wsum = sum((i + 1) * b for i, b in enumerate(rgb))
@@ -631,7 +648,7 @@ def video_stats(
                 return [(mid, None, None, None, None, None, None)]
             try:
                 w, h, frames = demux_avi(content)
-            except (NotImplementedError, ValueError):
+            except _DECODE_ERRORS:
                 return [(mid, None, None, None, None, None, None)]
             out = []
             for f in range(0, len(frames), every_n):
@@ -735,7 +752,7 @@ def audio_stats(
                 return (None,) * 5
             try:
                 rate, channels, samples = decode_wav(content)
-            except (NotImplementedError, ValueError):
+            except _DECODE_ERRORS:
                 return (None,) * 5
             n = len(samples)
             s = sum(samples)

@@ -42,6 +42,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import tarfile
 from collections.abc import Iterator
 
@@ -104,12 +105,26 @@ def write_wds_shards(
     keys). Shard K is ``shard-{K:05d}.tar``; rows land in shard
     ``shard_of(id, n_shards, salt)`` regardless of input partitioning.
     Empty shards write no file (WebDataset readers take a file list).
-    ``mode="overwrite"`` clears previous ``shard-*.tar`` first so stale
-    shards from a larger prior n_shards can't survive; "error" refuses
-    to write over an existing export.
+    ``mode="overwrite"`` replaces each rewritten shard atomically and
+    removes stale ``shard-*.tar`` (e.g. from a larger prior n_shards)
+    only AFTER the write job succeeds — a failed export never destroys
+    the previous one's data shards (only its ``_SUCCESS``/manifest
+    markers, dropped up front to mark the export in-flight); "error"
+    refuses to write over an existing export.
+
+    Extensions must be simple tokens (``[0-9A-Za-z_-]+`` and not
+    'json'): a dotted or 'json' extension would collide with the meta
+    member's basename parse and silently drop payloads on read-back.
+    Validated — together with id non-nullness — by one column-pruned
+    scan BEFORE anything is deleted or written.
     """
     if mode not in ("overwrite", "error"):
         raise ValueError(f"mode must be 'overwrite' or 'error', got {mode!r}")
+    if not re.fullmatch(r"[0-9A-Za-z_-]+", default_ext) or default_ext == "json":
+        raise ValueError(
+            f"default_ext {default_ext!r} invalid: extensions must match "
+            "[0-9A-Za-z_-]+ and not be 'json' (reserved for the meta member)"
+        )
     existing = (
         [f for f in os.listdir(path) if f.startswith("shard-") or f.startswith(".shard-")]
         if os.path.isdir(path)
@@ -117,11 +132,6 @@ def write_wds_shards(
     )
     if existing and mode == "error":
         raise FileExistsError(f"{path} already holds {len(existing)} shard files")
-    os.makedirs(path, exist_ok=True)
-    for f in existing + [
-        f for f in (_MANIFEST, _SUCCESS) if os.path.exists(os.path.join(path, f))
-    ]:
-        os.remove(os.path.join(path, f))
 
     meta_cols = tuple(meta_cols)
     # integer-id contract, checked up front: the fixed-width zero-padded
@@ -135,14 +145,40 @@ def write_wds_shards(
             f"naming, got {id_type!r}; derive a surrogate (e.g. "
             "xxhash64(id)) or use the JSONL exporter for free-form ids"
         )
-    sel = [F.col(id_col).cast("bigint").alias("__key"), F.col(content_col).alias("__data")]
-    sel.append(
-        (
-            F.coalesce(F.col(ext_col).cast("string"), F.lit(default_ext))
-            if ext_col
-            else F.lit(default_ext)
-        ).alias("__ext")
+    # fail-loudly-before-writing scan (one job, column-pruned to id [+ext],
+    # LIMIT 1 short-circuit): a NULL id would crash mid-write as int(NaN)
+    # after work was already done; a 'json'/dotted/empty extension would
+    # write a data member whose basename parse collides with the meta
+    # member and read back as a silent payload drop
+    ext_expr = (
+        F.coalesce(F.col(ext_col).cast("string"), F.lit(default_ext))
+        if ext_col
+        else F.lit(default_ext)
     )
+    bad_cond = F.col(id_col).isNull()
+    if ext_col:
+        bad_cond = bad_cond | ~ext_expr.rlike("^[0-9A-Za-z_-]+$") | (
+            ext_expr == "json"
+        )
+    bad = df.where(bad_cond).select(F.col(id_col).alias("id"), ext_expr.alias("ext")).head(1)
+    if bad:
+        raise ValueError(
+            f"WDS export refused before writing: row (id={bad[0]['id']!r}, "
+            f"ext={bad[0]['ext']!r}) — ids must be non-NULL and extensions "
+            "must match [0-9A-Za-z_-]+ and not be 'json' (reserved for the "
+            "meta member)"
+        )
+    os.makedirs(path, exist_ok=True)
+    # input validated — mark the export in-flight: drop success/manifest
+    # markers and any orphaned tmp files now, but keep previous DATA
+    # shards until the new write has succeeded (each rewritten shard is
+    # an atomic replace; stale ones are removed post-success)
+    for f in [f for f in existing if f.startswith(".shard-")] + [
+        f for f in (_MANIFEST, _SUCCESS) if os.path.exists(os.path.join(path, f))
+    ]:
+        os.remove(os.path.join(path, f))
+    sel = [F.col(id_col).cast("bigint").alias("__key"), F.col(content_col).alias("__data")]
+    sel.append(ext_expr.alias("__ext"))
     sel += [F.col(c) for c in meta_cols]
     keyed = (
         df.select(*sel)
@@ -244,6 +280,14 @@ def write_wds_shards(
         .mapInPandas(write_partition, schema=out_schema)
         .collect()  # bounded: one row per non-empty shard (<= n_shards)
     )
+    # the write succeeded: NOW remove stale data shards from a previous
+    # export (e.g. a larger prior n_shards) and any orphaned tmp files
+    # from failed/speculative attempts
+    written = {r["file"] for r in report}
+    for f in os.listdir(path):
+        stale_data = f.startswith("shard-") and f.endswith(".tar") and f not in written
+        if stale_data or f.startswith(".shard-"):
+            os.remove(os.path.join(path, f))
     manifest = {
         "n_shards": n_shards,
         "salt": salt,

@@ -318,7 +318,11 @@ class ContinuousRollupSink:
             .withColumn("bucket_hour", F.hour("bucket"))
             .withColumn("last_batch_id", F.lit(stamp))
         )
-        n_buckets = out.select("bucket").distinct().count()
+        # the ranged base scan + aggregation feeds BOTH the bucket count
+        # and the append below — persist so the repair path pays for the
+        # (dominant) base-table recompute once, not twice (same reasoning
+        # as sinks/merge.py's fresh.persist())
+        out.persist()
         # drop every store partition inside the range first: dynamic
         # overwrite only replaces partitions present in the output, so a
         # bucket that lost ALL its base rows would otherwise survive stale
@@ -352,10 +356,14 @@ class ContinuousRollupSink:
                     f"refresh aborted: could not clear partitions "
                     f"{report['failed']}"
                 )
-        # plain append: the range's partitions were cleared above (the
-        # delete is the replace step — partitionOverwriteMode only
-        # affects mode("overwrite") and has no business here)
-        out.write.mode("append").partitionBy(*self._part_cols()).parquet(
-            self.path
-        )
+        try:
+            n_buckets = out.select("bucket").distinct().count()
+            # plain append: the range's partitions were cleared above (the
+            # delete is the replace step — partitionOverwriteMode only
+            # affects mode("overwrite") and has no business here)
+            out.write.mode("append").partitionBy(*self._part_cols()).parquet(
+                self.path
+            )
+        finally:
+            out.unpersist()
         return {"refreshed_buckets": n_buckets, "start": start, "end": end}
