@@ -1,0 +1,97 @@
+"""time_bucket_gapfill / locf / interpolate parity (operators/gapfill.py).
+
+Closed-form fills on a hand-built sparse series, edge semantics
+(no-extrapolation NULLs), multi-series isolation, and the plan shape
+(one window exchange, no cartesian)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.operators.gapfill import gapfill_buckets
+
+
+def _bucketed(spark):
+    # series 'a': observations at hours 0, 3, 5 (values 10, 40, 60);
+    # series 'b': single observation (no interpolation possible)
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), 1, 10.0),
+        ("a", datetime.datetime(2024, 1, 1, 3), 2, 40.0),
+        ("a", datetime.datetime(2024, 1, 1, 5), 3, 60.0),
+        ("b", datetime.datetime(2024, 1, 1, 2), 7, 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "series string, bucket timestamp, n bigint, v double"
+    )
+
+
+def test_gapfill_policies_closed_form(spark):
+    out = gapfill_buckets(
+        _bucketed(spark).withColumn("v2", F.col("v")).withColumn("v3", F.col("v")),
+        bucket_col="bucket",
+        width_s=3600,
+        series_cols=["series"],
+        fill={"n": "zero", "v": "locf", "v2": "interpolate", "v3": "null"},
+    )
+    got = {(r["series"], r["bucket"].hour): r for r in out.collect()}
+
+    # series 'a' densified to hours 0..5; series 'b' stays a single row
+    assert {k[1] for k in got if k[0] == "a"} == {0, 1, 2, 3, 4, 5}
+    assert {k[1] for k in got if k[0] == "b"} == {2}
+
+    # zero fill: observed counts kept, gaps -> 0
+    assert [got[("a", h)]["n"] for h in range(6)] == [1, 0, 0, 2, 0, 3]
+    # locf: carry last observation forward
+    assert [got[("a", h)]["v"] for h in range(6)] == [10.0, 10.0, 10.0, 40.0, 40.0, 60.0]
+    # interpolate: linear between surrounding observations
+    assert [got[("a", h)]["v2"] for h in range(6)] == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    # null policy: gaps stay NULL
+    assert [got[("a", h)]["v3"] for h in range(6)] == [10.0, None, None, 40.0, None, 60.0]
+    # single-observation series: all policies return the observation
+    assert (got[("b", 2)]["n"], got[("b", 2)]["v"], got[("b", 2)]["v2"]) == (7, 5.0, 5.0)
+
+
+def test_gapfill_edges_do_not_extrapolate(spark):
+    # leading/trailing gaps exist only if the span is trimmed per series,
+    # so build a series whose FIRST value column observation is later
+    # than its first bucket (n observed everywhere, v observed late)
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), None),
+        ("a", datetime.datetime(2024, 1, 1, 1), 10.0),
+        ("a", datetime.datetime(2024, 1, 1, 3), None),
+    ]
+    df = spark.createDataFrame(rows, "series string, bucket timestamp, v double")
+    out = gapfill_buckets(
+        df.withColumn("v2", F.col("v")),
+        bucket_col="bucket", width_s=3600, series_cols=["series"],
+        fill={"v": "locf", "v2": "interpolate"},
+    )
+    got = {r["bucket"].hour: r for r in out.collect()}
+    assert got[0]["v"] is None  # locf: nothing to carry yet
+    assert got[1]["v"] == 10.0 and got[2]["v"] == 10.0 and got[3]["v"] == 10.0
+    # interpolate: NULL outside the observed [first, last] value span
+    assert got[0]["v2"] is None
+    assert got[1]["v2"] == 10.0
+    assert got[2]["v2"] is None and got[3]["v2"] is None
+
+
+def test_gapfill_rejects_unknown_policy(spark):
+    with pytest.raises(ValueError, match="must be one of"):
+        gapfill_buckets(
+            _bucketed(spark), "bucket", 3600, ["series"], fill={"v": "extrapolate"}
+        )
+
+
+def test_gapfill_plan_one_window_exchange_no_cartesian(spark):
+    out = gapfill_buckets(
+        _bucketed(spark).withColumn("v2", F.col("v")),
+        bucket_col="bucket", width_s=3600, series_cols=["series"],
+        fill={"n": "zero", "v": "locf", "v2": "interpolate"},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # locf + both interpolate bounds partition identically -> the window
+    # stage reuses ONE sort order; no per-policy exchange stacking
+    n_window_ops = plan.count("Window")
+    assert n_window_ops <= 3, plan

@@ -31,6 +31,7 @@ PICKS = {
     "pack_bpe_compose": "tokenize->pack: subword widths feed the same one-shuffle per-shard window cumsum",
     "trajectory_similarity": "trajectory search: one hash-agg builds signatures, broadcast queries, map-only distance scan, tiny top-k window",
     "corpus_profile": "data card: exact-distinct costs a second (group,fingerprint) exchange; approx mode collapses to one group-key shuffle",
+    "gapfill_rollup": "time_bucket_gapfill: map-only spine explode, per-series left join, all fills in ONE window exchange — no cartesian, no UDF",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):
@@ -38,8 +39,14 @@ def main(sf_dir="/root/testdata/sf0.01"):
     qs = queries()
     # events_hourly_rollup's registry entry executes its streaming +
     # incremental legs on construction; snapshot the batch leg's plan
-    from transitlog_hfp_sink_spark.queries.timeseries import q_hourly_rollup
+    # (and the round-5 gapfill arm separately — its window/join shape is
+    # the interesting part)
+    from transitlog_hfp_sink_spark.queries.timeseries import (
+        q_gapfill_rollup,
+        q_hourly_rollup,
+    )
     qs["events_hourly_rollup"] = q_hourly_rollup
+    qs["gapfill_rollup"] = q_gapfill_rollup
     # the TPC-H tail lives behind tpch_power_run; snapshot members directly
     from transitlog_hfp_sink_spark.queries import tpch_extra
     qs.update(tpch_extra.QUERIES)

@@ -42,14 +42,96 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill`` + ``locf`` + ``interpolate``
+    parity (operators/gapfill.py) over a deliberately SPARSE subset of
+    events (event_id % 53 == 0 — ~95% of hour buckets are gaps at
+    sf0.01), the chart-ready rollup shape Timescale users run over the
+    hypertable: every hour bucket present per series, counts zero-filled,
+    the sum carried forward (locf), the average linearly interpolated
+    between observed buckets. All fills are pure window expressions; the
+    oracle replays the identical window+arithmetic in DuckDB."""
+    from transitlog_hfp_sink_spark.operators.gapfill import gapfill_buckets
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("event_id") % 53 == 0)
+    bucketed = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "avg_value"
+        ),
+    )
+    return gapfill_buckets(
+        bucketed,
+        bucket_col="bucket",
+        width_s=3600,
+        series_cols=["event_type"],
+        fill={"n": "zero", "sum_value": "locf", "avg_value": "interpolate"},
+        round_interpolated=6,
+    ).select("bucket", "event_type", "n", "sum_value", "avg_value")
+
+
+ORACLE_GAPFILL = """
+WITH src AS (SELECT * FROM events WHERE event_id % 53 = 0),
+agg AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value,
+    CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS avg_value
+  FROM src GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+    unnest(generate_series(min(bucket), max(bucket), INTERVAL 3600 SECONDS))
+      AS bucket
+  FROM agg GROUP BY event_type
+),
+g AS (
+  SELECT s.event_type, s.bucket, a.n, a.sum_value, a.avg_value,
+         epoch_us(s.bucket) AS t
+  FROM spine s LEFT JOIN agg a
+    ON a.event_type = s.event_type AND a.bucket = s.bucket
+),
+f AS (
+  SELECT event_type, bucket, coalesce(n, 0) AS n,
+    last_value(sum_value IGNORE NULLS) OVER w_prev AS sum_locf,
+    avg_value,
+    last_value(avg_value IGNORE NULLS) OVER w_prev AS pv,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN t END IGNORE NULLS)
+      OVER w_prev AS pt,
+    first_value(avg_value IGNORE NULLS) OVER w_next AS nv,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN t END IGNORE NULLS)
+      OVER w_next AS nt,
+    t
+  FROM g
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT bucket, event_type, n, sum_locf AS sum_value,
+  round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+        ELSE CAST(pv AS DOUBLE)
+             + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+             * (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
+             / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END, 6) AS avg_value
+FROM f
+"""
+
+
 def q_hourly_rollup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hourly rollup through THREE engines in one entry (registry
-    consolidation, round 2): plain batch, a real Structured Streaming run
-    (availableNow file stream -> windowed agg -> memory sink), and the
-    incremental ContinuousRollupSink (TimescaleDB continuous-aggregate
-    parity), tagged by ``engine``. All three converge to the same rows, so
-    the oracle is the batch rollup repeated with tags — any divergence in
-    the streaming/incremental machinery flips the entry red."""
+    """The hourly rollup through FOUR engines/shapes in one entry
+    (registry consolidation, round 2; gapfill arm round 5): plain batch,
+    a real Structured Streaming run (availableNow file stream -> windowed
+    agg -> memory sink), the incremental ContinuousRollupSink (TimescaleDB
+    continuous-aggregate parity), and the time_bucket_gapfill + locf +
+    interpolate chart shape over a sparse subset, tagged by ``engine``.
+    The first three converge to the same rows, so their oracle is the
+    batch rollup repeated with tags — any divergence in the streaming/
+    incremental machinery flips the entry red; the gapfill arm has its
+    own window-replay oracle."""
     batch = q_hourly_rollup(spark, sf_dir).select(
         F.lit("batch").alias("engine"), "bucket", "event_type", "n",
         "sum_value", "avg_value",
@@ -64,12 +146,21 @@ def q_hourly_rollup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("continuous").alias("engine"), "bucket", "event_type", "n",
         "sum_value", "avg_value",
     )
-    return batch.unionByName(streamed).unionByName(continuous)
+    gapfilled = q_gapfill_rollup(spark, sf_dir).select(
+        F.lit("gapfill").alias("engine"), "bucket", "event_type", "n",
+        "sum_value", "avg_value",
+    )
+    return (
+        batch.unionByName(streamed).unionByName(continuous).unionByName(gapfilled)
+    )
 
 
 ORACLE_HOURLY_ALL = "\nUNION ALL\n".join(
-    f"SELECT '{tag}' AS engine, * FROM ({ORACLE_HOURLY}) AS t_{tag}"
-    for tag in ("batch", "streaming", "continuous")
+    [
+        f"SELECT '{tag}' AS engine, * FROM ({ORACLE_HOURLY}) AS t_{tag}"
+        for tag in ("batch", "streaming", "continuous")
+    ]
+    + [f"SELECT 'gapfill' AS engine, * FROM ({ORACLE_GAPFILL}) AS t_gapfill"]
 )
 
 
