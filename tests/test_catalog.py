@@ -275,3 +275,73 @@ def test_otp_view_vs_duckdb(spark, sf_dir):
          r["punctuality"])
         for r in got
     ] == [tuple(r) for r in want]
+
+
+def test_latest_and_histogram_views_vs_duckdb(spark, sf_dir):
+    """vehicles_latest (TimescaleDB last()/max_by live-map query) and
+    vehicles_speed_histogram (histogram() parity) — both value-checked
+    against independently derived DuckDB twins. The latest twin uses
+    row_number, NOT arg_max: DuckDB's arg_max skips NULL values while
+    Spark's max_by is row-faithful (measured, round 5), and row-faithful
+    is the semantics the view promises."""
+    import collections
+
+    import duckdb
+
+    register_catalog(spark, sf_dir=sf_dir)
+    got = spark.sql(
+        "SELECT unique_vehicle_id, unix_micros(tst) AS tst_us, event_type, "
+        "route_id, lat, long, spd, odo FROM vehicles_latest ORDER BY 1"
+    ).collect()
+    n_veh = spark.sql(
+        "SELECT count(DISTINCT unique_vehicle_id) AS n "
+        "FROM vehicles_dedup WHERE is_ongoing"
+    ).first()["n"]
+    assert len(got) == n_veh > 0
+
+    base = spark.sql(
+        "SELECT unique_vehicle_id, unix_micros(tst) AS tst_us, event_type, "
+        "route_id, lat, long, spd, odo, is_ongoing FROM vehicles_dedup"
+    ).toArrow()  # Arrow keeps nullable ints integral
+    con = duckdb.connect()
+    con.register("base", base)
+    want = con.execute(
+        """
+        SELECT unique_vehicle_id, tst_us, event_type, route_id,
+               lat, "long", spd, odo
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY unique_vehicle_id
+            ORDER BY tst_us DESC, event_type DESC) AS rn
+          FROM base WHERE is_ongoing)
+        WHERE rn = 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # histogram: arithmetic twin (floor(spd/2)+1 with under/overflow
+    # buckets), independent of Spark's width_bucket
+    got_h = {
+        r["route_id"]: (list(r["histogram"]), r["n_obs"])
+        for r in spark.sql(
+            "SELECT route_id, histogram, n_obs FROM vehicles_speed_histogram"
+        ).collect()
+    }
+    rows = con.execute(
+        """
+        SELECT route_id,
+               CASE WHEN spd < 0 THEN 0 WHEN spd >= 30 THEN 16
+                    ELSE 1 + CAST(floor(spd / 2.0) AS INT) END AS bucket,
+               count(*) AS n
+        FROM base
+        WHERE is_ongoing AND spd IS NOT NULL AND route_id IS NOT NULL
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    exp: dict = collections.defaultdict(lambda: [0] * 17)
+    for route, bucket, n in rows:
+        exp[route][bucket] = n
+    assert set(got_h) == set(exp) and len(exp) > 0
+    for route, (hist, n_obs) in got_h.items():
+        assert hist == exp[route], route
+        assert n_obs == sum(exp[route])

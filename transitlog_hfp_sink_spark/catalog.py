@@ -25,6 +25,13 @@ Registered surface:
   ``vehicles_dedup`` (round 5);
 - ``vehicles_otp`` — per-journey start delay + early/on_time/late
   punctuality classification (round 5);
+- ``vehicles_latest`` — last-known position per vehicle (TimescaleDB
+  ``last(col, tst)`` parity via ``max_by``, one mergeable hash-agg — the
+  live-map query; round 5);
+- ``vehicles_speed_histogram`` — per-route speed distribution
+  (TimescaleDB ``histogram()`` parity: width_bucket counts assembled to
+  one array per group, Timescale's under/overflow bucket layout;
+  round 5);
 - SQL functions: ``haversine_km`` (the lat/long distance workload Q4
   serves), ``geometric_mean`` (UDAF surface), and ``time_bucket``
   (TimescaleDB's most-used hypertable query function, run/init.sql:70-73
@@ -81,6 +88,10 @@ def register_catalog(
         registered += ["vehicles_headways", "vehicles_bunching"]
         register_otp_view(spark)
         registered.append("vehicles_otp")
+        register_latest_view(spark)
+        registered.append("vehicles_latest")
+        register_histogram_view(spark)
+        registered.append("vehicles_speed_histogram")
     register_udfs(spark)
     register_time_bucket(spark)
     return registered
@@ -150,6 +161,87 @@ def register_headway_views(spark: SparkSession) -> None:
         JOIN med ON h.route_id = med.route_id
                 AND h.direction_id <=> med.direction_id
         WHERE h.headway_us < 0.5 * med.med_headway_us
+        """
+    )
+
+
+def register_latest_view(spark: SparkSession) -> None:
+    """``vehicles_latest`` — last-known position per vehicle, the live-map
+    query every Transitlog consumer runs first (TimescaleDB idiom:
+    ``last(lat, tst), last(long, tst), ...`` over the hypertable;
+    run/init.sql's table serves it from the (unique_vehicle_id, tst)
+    index). Spark's ordered-aggregate twins are ``max_by(col, tst)`` —
+    JVM-side, partial-agg mergeable (each partition keeps one candidate
+    per vehicle, the merge keeps the later), so the query is ONE
+    hash-agg pass at any scale, never a window sort.
+
+    Ties on tst (the natural-key dedup view cannot hold two rows for the
+    same vehicle at the same tst with different payloads, but two event
+    TYPES may share a tst) break deterministically by event-time ordinal
+    ``(tst, event_type)`` packed into the max_by ordering key so both
+    engines pick the same row.
+
+    NULL semantics (measured, round 5): Spark's ``max_by`` is
+    ROW-faithful — it returns the chosen row's value even when NULL —
+    while DuckDB's ``arg_max`` skips NULL values (it would return a
+    stale non-null lat from an older row). Row-faithful is the correct
+    live-map semantics (a DOO event with no GPS fix is still the
+    latest state); the test twin therefore derives via row_number, not
+    arg_max."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW vehicles_latest AS
+        SELECT unique_vehicle_id,
+               max(tst) AS tst,
+               max_by(event_type, struct(tst, event_type)) AS event_type,
+               max_by(route_id,   struct(tst, event_type)) AS route_id,
+               max_by(lat,        struct(tst, event_type)) AS lat,
+               max_by(long,       struct(tst, event_type)) AS long,
+               max_by(spd,        struct(tst, event_type)) AS spd,
+               max_by(odo,        struct(tst, event_type)) AS odo
+        FROM vehicles_dedup
+        WHERE is_ongoing
+        GROUP BY unique_vehicle_id
+        """
+    )
+
+
+def register_histogram_view(spark: SparkSession) -> None:
+    """``vehicles_speed_histogram`` — TimescaleDB ``histogram(spd, lo,
+    hi, nbuckets)`` parity: per route, the speed distribution as
+    ``width_bucket`` counts assembled into one array per group
+    (bucket 0 = below lo, bucket nbuckets+1 = at/above hi, exactly
+    Timescale's layout). Two hash-aggs — (route, bucket) counts, then
+    per-route array assembly via sorted collect of (bucket, n) structs
+    densified against a static bucket spine — both partial-agg
+    mergeable; the array is nbuckets+2 elements, so state per group is
+    O(nbuckets) regardless of row count. Bounds fixed at [0, 30) m/s x
+    15 buckets (2 m/s per bucket — the transit speed range); other
+    bounds are a WHERE + width_bucket away."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW vehicles_speed_histogram AS
+        WITH b AS (
+            SELECT route_id,
+                   CAST(width_bucket(spd, 0.0, 30.0, 15) AS INT) AS bucket
+            FROM vehicles_dedup
+            WHERE is_ongoing AND spd IS NOT NULL AND route_id IS NOT NULL
+        ),
+        counts AS (
+            SELECT route_id, bucket, count(*) AS n FROM b GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT r.route_id, s.bucket, coalesce(c.n, 0) AS n
+            FROM (SELECT DISTINCT route_id FROM counts) r
+            CROSS JOIN (SELECT explode(sequence(0, 16)) AS bucket) s
+            LEFT JOIN counts c
+              ON c.route_id = r.route_id AND c.bucket = s.bucket
+        )
+        SELECT route_id,
+               transform(array_sort(collect_list(struct(bucket, n))),
+                         x -> x.n) AS histogram,
+               sum(n) AS n_obs
+        FROM dense GROUP BY route_id
         """
     )
 
