@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "trajectory_similarity",
     "embedding_topk_ivf_served",
     "multimodal_features",
+    "gapfill_rollup",
 ]
 
 
@@ -182,6 +183,7 @@ def bench_overrides():
     from transitlog_hfp_sink_spark.operators import similarity as sim
     from transitlog_hfp_sink_spark.operators.sessionize import session_stats
     from transitlog_hfp_sink_spark.queries.timeseries import (
+        q_gapfill_rollup,
         q_hourly_rollup,
         q_running_total,
     )
@@ -542,6 +544,9 @@ def bench_overrides():
 
     return {
         "events_hourly_rollup": q_hourly_rollup,
+        # round-5 gapfill arm timed standalone (the registry entry also
+        # runs the streaming + continuous legs on construction)
+        "gapfill_rollup": q_gapfill_rollup,
         "window_running_total": q_running_total,
         "embedding_topk_ivf": q_embedding_ivf_topk,
         "text_quality": _text_quality_classic,

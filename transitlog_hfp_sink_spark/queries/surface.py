@@ -127,7 +127,17 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                       token-length percentiles, exact-duplicate /
                       quality-pass / empty-doc rates over the documents
                       table (grp = source) — every statistic replayed
-                      in the DuckDB twin."""
+                      in the DuckDB twin;
+    part='regr'     — TimescaleDB Toolkit ``stats_agg``/PostgreSQL
+                      ``regr_*`` parity (round 5): per returnflag the
+                      OLS of extendedprice on quantity — slope,
+                      intercept, r², corr — computed from EXACT decimal
+                      moment sums (n, Σx, Σy, Σxy, Σx², Σy²; one
+                      map-side-combinable hash-agg) with a single
+                      double cast at the end, so the values are
+                      bit-identical cross-engine where the engines' own
+                      regr_slope/corr (order-dependent float partials)
+                      would not be (grp = l_returnflag)."""
     orders = read_table(spark, sf_dir, "orders")
     pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
     nb = F.lit(None).cast("bigint")
@@ -166,6 +176,36 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_tokens", "dup_doc_rate", "mean_quality",
         "quality_pass_rate", "empty_doc_rate",
     )
+    li = read_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,6)")
+    dy = F.col("l_extendedprice").cast("decimal(18,6)")
+    mom = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("mn"),
+        F.sum(dx).alias("msx"),
+        F.sum(dy).alias("msy"),
+        F.sum(dx * dy).alias("msxy"),
+        F.sum(dx * dx).alias("msxx"),
+        F.sum(dy * dy).alias("msyy"),
+    )
+    n_, sx, sy = (F.col(c).cast("double") for c in ("mn", "msx", "msy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("msxy", "msxx", "msyy"))
+    cov = n_ * sxy - sx * sy
+    slope = cov / (n_ * sxx - sx * sx)
+    corr = cov / F.sqrt((n_ * sxx - sx * sx) * (n_ * syy - sy * sy))
+    regr_leg = mom.select(
+        F.lit("regr").alias("part"), "grp",
+        nd.alias("p25"), nd.alias("p50"), nd.alias("p75"), nd.alias("p90"),
+        nb.alias("n_users"), nb.alias("n_events"),
+        nt.alias("first_ts"), nt.alias("last_ts"),
+        F.lit(None).cast("boolean").alias("approx_within_5pct"),
+        nb.alias("n_docs"), nb.alias("n_tokens"),
+        nd.alias("dup_doc_rate"), nd.alias("mean_quality"),
+        nd.alias("quality_pass_rate"), nd.alias("empty_doc_rate"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n_, 6).alias("intercept"),
+        F.round(corr * corr, 6).alias("r2"),
+        F.round(corr, 6).alias("corr"),
+    )
     pad = [
         F.lit(None).cast("bigint").alias("n_docs"),
         F.lit(None).cast("bigint").alias("n_tokens"),
@@ -174,10 +214,15 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("quality_pass_rate"),
         F.lit(None).cast("double").alias("empty_doc_rate"),
     ]
+    rpad = [
+        F.lit(None).cast("double").alias(c)
+        for c in ("slope", "intercept", "r2", "corr")
+    ]
     return (
-        pctl_leg.select("*", *pad)
-        .unionByName(distinct_leg.select("*", *pad))
-        .unionByName(profile_leg)
+        pctl_leg.select("*", *pad, *rpad)
+        .unionByName(distinct_leg.select("*", *pad, *rpad))
+        .unionByName(profile_leg.select("*", *rpad))
+        .unionByName(regr_leg)
     )
 
 
@@ -198,6 +243,9 @@ def _oracle_percentiles_sql() -> str:
   CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens,
   CAST(NULL AS DOUBLE) AS dup_doc_rate, CAST(NULL AS DOUBLE) AS mean_quality,
   CAST(NULL AS DOUBLE) AS quality_pass_rate, CAST(NULL AS DOUBLE) AS empty_doc_rate"""
+    rpad = """
+  CAST(NULL AS DOUBLE) AS slope, CAST(NULL AS DOUBLE) AS intercept,
+  CAST(NULL AS DOUBLE) AS r2, CAST(NULL AS DOUBLE) AS corr"""
     return f"""
 WITH pdoc AS (
   SELECT source,
@@ -222,7 +270,7 @@ SELECT 'pctl' AS part, o_orderpriority AS grp,
   round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
   CAST(NULL AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS n_events,
   CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts,
-  CAST(NULL AS BOOLEAN) AS approx_within_5pct,{pad}
+  CAST(NULL AS BOOLEAN) AS approx_within_5pct,{pad},{rpad}
 FROM orders GROUP BY o_orderpriority
 UNION ALL
 SELECT 'distinct' AS part, event_type AS grp,
@@ -230,7 +278,7 @@ SELECT 'distinct' AS part, event_type AS grp,
   CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS p90,
   count(DISTINCT user_id) AS n_users, count(*) AS n_events,
   min(ts) AS first_ts, max(ts) AS last_ts,
-  TRUE AS approx_within_5pct,{pad}
+  TRUE AS approx_within_5pct,{pad},{rpad}
 FROM events GROUP BY event_type
 UNION ALL
 SELECT 'profile' AS part, source AS grp,
@@ -246,8 +294,40 @@ SELECT 'profile' AS part, source AS grp,
   round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_doc_rate,
   round(CAST(sum(CAST(q AS DECIMAL(20,4))) / count(*) AS DOUBLE), 4) AS mean_quality,
   round(CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS quality_pass_rate,
-  round(CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS empty_doc_rate
+  round(CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS empty_doc_rate,{rpad}
 FROM pq GROUP BY source
+UNION ALL
+SELECT 'regr' AS part, grp,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS p90,
+  CAST(NULL AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS n_events,
+  CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts,
+  CAST(NULL AS BOOLEAN) AS approx_within_5pct,{pad},
+  round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) AS slope,
+  round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd, 6)
+    AS intercept,
+  round(((nd * sxy - sx * sy)
+         / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)))
+        * ((nd * sxy - sx * sy)
+           / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))), 6) AS r2,
+  round((nd * sxy - sx * sy)
+        / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr
+FROM (
+  -- DECIMAL(19,6) forces DuckDB's int128 storage class (a (18,6)
+  -- operand pair multiplies in int64 and overflows); the VALUES are
+  -- identical to Spark's (18,6) sums, and (19,6)x(19,6) -> (38,12)
+  -- stays exact in-range
+  SELECT l_returnflag AS grp, CAST(count(*) AS DOUBLE) AS nd,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+             * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6))
+             * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1
+) m
 """
 
 
