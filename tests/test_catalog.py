@@ -301,10 +301,14 @@ def test_latest_and_histogram_views_vs_duckdb(spark, sf_dir):
 
     base = spark.sql(
         "SELECT unique_vehicle_id, unix_micros(tst) AS tst_us, event_type, "
-        "route_id, lat, long, spd, odo, is_ongoing FROM vehicles_dedup"
+        "journey_type, route_id, lat, long, spd, odo, is_ongoing "
+        "FROM vehicles_dedup"
     ).toArrow()  # Arrow keeps nullable ints integral
     con = duckdb.connect()
     con.register("base", base)
+    # tie-break mirrors the view's full remaining natural key
+    # (tst, event_type, journey_type) — a vehicle may hold several rows
+    # at one tst (different event type / journey vs deadrun)
     want = con.execute(
         """
         SELECT unique_vehicle_id, tst_us, event_type, route_id,
@@ -312,7 +316,7 @@ def test_latest_and_histogram_views_vs_duckdb(spark, sf_dir):
         FROM (
           SELECT *, row_number() OVER (
             PARTITION BY unique_vehicle_id
-            ORDER BY tst_us DESC, event_type DESC) AS rn
+            ORDER BY tst_us DESC, event_type DESC, journey_type DESC) AS rn
           FROM base WHERE is_ongoing)
         WHERE rn = 1 ORDER BY 1
         """
@@ -334,7 +338,8 @@ def test_latest_and_histogram_views_vs_duckdb(spark, sf_dir):
                     ELSE 1 + CAST(floor(spd / 2.0) AS INT) END AS bucket,
                count(*) AS n
         FROM base
-        WHERE is_ongoing AND spd IS NOT NULL AND route_id IS NOT NULL
+        WHERE is_ongoing AND spd IS NOT NULL AND NOT isnan(spd)
+          AND route_id IS NOT NULL
         GROUP BY 1, 2
         """
     ).fetchall()

@@ -95,3 +95,28 @@ def test_gapfill_plan_one_window_exchange_no_cartesian(spark):
     # stage reuses ONE sort order; no per-policy exchange stacking
     n_window_ops = plan.count("Window")
     assert n_window_ops <= 3, plan
+
+
+def test_gapfill_null_series_key_rejoins_its_observations(spark):
+    """Round-5 review fix: a NULL series key is a real group (groupBy
+    keeps it), and the spine join must be NULL-SAFE — a plain equi-join
+    would never rejoin the NULL series' observed rows, silently
+    zero-filling over real data."""
+    import datetime
+
+    rows = [
+        (None, datetime.datetime(2024, 1, 1, 0), 3, 30.0),
+        (None, datetime.datetime(2024, 1, 1, 2), 5, 50.0),
+        ("a", datetime.datetime(2024, 1, 1, 1), 1, 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, bucket timestamp, n bigint, v double"
+    )
+    out = gapfill_buckets(
+        df, "bucket", 3600, ["series"], fill={"n": "zero", "v": "locf"}
+    )
+    got = {(r["series"], r["bucket"].hour): (r["n"], r["v"]) for r in out.collect()}
+    assert got[(None, 0)] == (3, 30.0)   # observed rows survive the join
+    assert got[(None, 1)] == (0, 30.0)   # gap: zero count, locf value
+    assert got[(None, 2)] == (5, 50.0)
+    assert got[("a", 1)] == (1, 10.0)

@@ -175,11 +175,12 @@ def register_latest_view(spark: SparkSession) -> None:
     per vehicle, the merge keeps the later), so the query is ONE
     hash-agg pass at any scale, never a window sort.
 
-    Ties on tst (the natural-key dedup view cannot hold two rows for the
-    same vehicle at the same tst with different payloads, but two event
-    TYPES may share a tst) break deterministically by event-time ordinal
-    ``(tst, event_type)`` packed into the max_by ordering key so both
-    engines pick the same row.
+    Ties on tst: the dedup view's natural key is (unique_vehicle_id,
+    tst, event_type, journey_type) — transform.py:dedup_vehicles — so a
+    vehicle may legally hold several rows at one tst (different event
+    type, or journey vs deadrun). The max_by ordering key packs the FULL
+    remaining natural key, ``struct(tst, event_type, journey_type)``, so
+    the pick is deterministic and both engines choose the same row.
 
     NULL semantics (measured, round 5): Spark's ``max_by`` is
     ROW-faithful — it returns the chosen row's value even when NULL —
@@ -193,12 +194,12 @@ def register_latest_view(spark: SparkSession) -> None:
         CREATE OR REPLACE TEMPORARY VIEW vehicles_latest AS
         SELECT unique_vehicle_id,
                max(tst) AS tst,
-               max_by(event_type, struct(tst, event_type)) AS event_type,
-               max_by(route_id,   struct(tst, event_type)) AS route_id,
-               max_by(lat,        struct(tst, event_type)) AS lat,
-               max_by(long,       struct(tst, event_type)) AS long,
-               max_by(spd,        struct(tst, event_type)) AS spd,
-               max_by(odo,        struct(tst, event_type)) AS odo
+               max_by(event_type, struct(tst, event_type, journey_type)) AS event_type,
+               max_by(route_id,   struct(tst, event_type, journey_type)) AS route_id,
+               max_by(lat,        struct(tst, event_type, journey_type)) AS lat,
+               max_by(long,       struct(tst, event_type, journey_type)) AS long,
+               max_by(spd,        struct(tst, event_type, journey_type)) AS spd,
+               max_by(odo,        struct(tst, event_type, journey_type)) AS odo
         FROM vehicles_dedup
         WHERE is_ongoing
         GROUP BY unique_vehicle_id
@@ -225,7 +226,8 @@ def register_histogram_view(spark: SparkSession) -> None:
             SELECT route_id,
                    CAST(width_bucket(spd, 0.0, 30.0, 15) AS INT) AS bucket
             FROM vehicles_dedup
-            WHERE is_ongoing AND spd IS NOT NULL AND route_id IS NOT NULL
+            WHERE is_ongoing AND spd IS NOT NULL AND NOT isnan(spd)
+              AND route_id IS NOT NULL
         ),
         counts AS (
             SELECT route_id, bucket, count(*) AS n FROM b GROUP BY 1, 2

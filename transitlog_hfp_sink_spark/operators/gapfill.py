@@ -72,6 +72,13 @@ def gapfill_buckets(
     series_cols = list(series_cols)
     b = F.col(bucket_col)
 
+    # two consumers read `bucketed` (the spine's min/max agg and the join
+    # probe) and Catalyst does not share the subtree across the differing
+    # partitionings — persist so the caller's aggregation runs ONCE. The
+    # cache is bounded by the RESULT size (series x observed buckets),
+    # never the raw input, so this is safe at any input scale.
+    bucketed = bucketed.persist()
+
     spine = (
         bucketed.groupBy(*series_cols)
         .agg(F.min(b).alias("__mn"), F.max(b).alias("__mx"))
@@ -82,7 +89,20 @@ def gapfill_buckets(
             ).alias(bucket_col),
         )
     )
-    g = spine.join(bucketed, on=series_cols + [bucket_col], how="left")
+    # NULL-SAFE series equality: groupBy keeps a NULL series as a real
+    # group, but a plain equi-join would never rejoin its observed rows —
+    # the NULL series would come back all-gaps (zero-filled counts over
+    # real data). Buckets themselves are non-null (min/max/sequence).
+    right = bucketed.select(
+        *[F.col(c).alias(f"__r_{c}") for c in series_cols + [bucket_col]],
+        *[F.col(c) for c in fill],
+    )
+    cond = F.col(bucket_col) == F.col(f"__r_{bucket_col}")
+    for c in series_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+    g = spine.join(right, on=cond, how="left").drop(
+        *[f"__r_{c}" for c in series_cols + [bucket_col]]
+    )
 
     w_prev = (
         Window.partitionBy(*series_cols)

@@ -91,7 +91,8 @@ g AS (
   SELECT s.event_type, s.bucket, a.n, a.sum_value, a.avg_value,
          epoch_us(s.bucket) AS t
   FROM spine s LEFT JOIN agg a
-    ON a.event_type = s.event_type AND a.bucket = s.bucket
+    ON a.event_type IS NOT DISTINCT FROM s.event_type
+   AND a.bucket = s.bucket
 ),
 f AS (
   SELECT event_type, bucket, coalesce(n, 0) AS n,
