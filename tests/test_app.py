@@ -354,14 +354,25 @@ def test_app_build_index_subcommand(spark, tmp_path):
     cents = json.load(open(f"{ivf_out}/centroids.json"))
     assert len(cents["centroids"]) == 8
 
-    # --update-from with --kind ivf must be rejected loudly: silently
-    # retraining from the new batch alone would drop every historical
-    # vector from the index (round-5 review fix)
+    # incremental IVF append: new vectors (ids shifted past the corpus)
+    # are assigned with the OLD index's trained centroids and upserted —
+    # historical assignments survive byte-identically, centroids unchanged
+    fresh = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    fsrc = str(tmp_path / "emb_fresh")
+    fresh.limit(40).write.parquet(fsrc)
+    ivf2 = str(tmp_path / "ivf2")
     proc = subprocess.run(
         [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
-         "--kind", "ivf", "--input", esrc, "--output", str(tmp_path / "ivf2"),
+         "--kind", "ivf", "--input", fsrc, "--output", ivf2,
          "--update-from", ivf_out],
         capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
     )
-    assert proc.returncode == 1
-    assert "only supported for --kind postings" in proc.stderr
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.strip().splitlines()[-1])["vectors"] == n_emb + 40
+    assert json.load(open(f"{ivf2}/centroids.json")) == cents  # reused, not retrained
+    merged = spark.read.parquet(f"{ivf2}/ivf_assign")
+    old_assign = {r["vec_id"]: r["list_id"] for r in index.collect()}
+    new_assign = {r["vec_id"]: r["list_id"] for r in merged.collect()}
+    assert len(new_assign) == n_emb + 40
+    for vid, lid in old_assign.items():
+        assert new_assign[vid] == lid  # history untouched

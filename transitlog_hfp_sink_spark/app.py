@@ -328,8 +328,10 @@ def _build_index(argv: list[str]) -> int:
     p.add_argument("--id-col", default=None, help="default: doc_id / vec_id")
     p.add_argument("--text-col", default="text", help="postings: text column")
     p.add_argument("--update-from", default=None,
-                   help="postings: existing index dir to merge --input into "
-                   "(incremental; historical docs are never re-tokenized)")
+                   help="existing index dir to merge --input into "
+                   "(incremental: postings never re-tokenize history; ivf "
+                   "reuses the trained centroids and upserts only the new "
+                   "batch's assignments)")
     p.add_argument("--vec-col", default="embedding", help="ivf: vector column")
     p.add_argument("--n-lists", type=int, default=16, help="ivf: list count")
     args = p.parse_args(argv)
@@ -373,30 +375,53 @@ def _build_index(argv: list[str]) -> int:
                 ivf_centroids,
             )
 
-            if args.update_from:
-                # silently retraining from the new batch alone would drop
-                # every historical vector from the index; make the caller
-                # rebuild from the full corpus instead
-                raise ValueError(
-                    "--update-from is only supported for --kind postings; "
-                    "rebuild the IVF index from the full corpus"
-                )
             id_col = args.id_col or "vec_id"
-            cents = ivf_centroids(
-                corpus, n_lists=args.n_lists, vec_col=args.vec_col
-            )
-            index = ivf_assign(
-                corpus, cents, id_col=id_col, vec_col=args.vec_col
-            )
+            if args.update_from:
+                # incremental append: REUSE the old index's trained
+                # centroids (retraining from the new batch alone would
+                # shift every list boundary and orphan the historical
+                # assignments), assign ONLY the new batch map-side, and
+                # upsert it into the assignment table — a re-sent id's
+                # NEW vector wins via anti-join, same last-write-wins
+                # contract as update_postings
+                if os.path.abspath(args.update_from) == os.path.abspath(args.output):
+                    raise ValueError(
+                        "--output must differ from --update-from: the merged "
+                        "index is written fresh and deployed by pointer flip"
+                    )
+                with open(os.path.join(args.update_from, "centroids.json")) as f:
+                    meta = json.load(f)
+                if meta["vec_col"] != args.vec_col:
+                    raise ValueError(
+                        f"index was built on vec_col={meta['vec_col']!r}, "
+                        f"got --vec-col {args.vec_col!r}"
+                    )
+                cents = meta["centroids"]
+                n_lists = meta["n_lists"]
+                fresh = ivf_assign(
+                    corpus, cents, id_col=id_col, vec_col=args.vec_col
+                )
+                old = spark.read.parquet(f"{args.update_from}/ivf_assign")
+                index = old.join(
+                    fresh.select(id_col), on=id_col, how="left_anti"
+                ).unionByName(fresh)
+            else:
+                cents = ivf_centroids(
+                    corpus, n_lists=args.n_lists, vec_col=args.vec_col
+                )
+                n_lists = args.n_lists
+                index = ivf_assign(
+                    corpus, cents, id_col=id_col, vec_col=args.vec_col
+                )
             index.repartition("list_id").write.mode("overwrite").parquet(
                 f"{args.output}/ivf_assign"
             )
             with open(os.path.join(args.output, "centroids.json"), "w") as f:
-                json.dump({"n_lists": args.n_lists, "vec_col": args.vec_col,
+                json.dump({"n_lists": n_lists, "vec_col": args.vec_col,
                            "centroids": cents}, f)
             report = {
                 "vectors": spark.read.parquet(f"{args.output}/ivf_assign").count(),
-                "n_lists": args.n_lists,
+                "n_lists": n_lists,
             }
         print(json.dumps({
             "job": "build-index", "kind": args.kind, "output": args.output,
