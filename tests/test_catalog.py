@@ -350,3 +350,67 @@ def test_latest_and_histogram_views_vs_duckdb(spark, sf_dir):
     for route, (hist, n_obs) in got_h.items():
         assert hist == exp[route], route
         assert n_obs == sum(exp[route])
+
+
+def test_counter_view_vs_duckdb_and_planted_reset(spark, sf_dir):
+    """vehicles_odo_delta (TimescaleDB Toolkit counter_agg/rate parity):
+    reset-aware odometer distance. Checked two ways — row-for-row vs an
+    independent DuckDB twin on the fixture, and closed-form on a planted
+    counter reset (where naive max-min under-counts)."""
+    import duckdb
+
+    register_catalog(spark, sf_dir=sf_dir)
+    got = spark.sql(
+        "SELECT unique_vehicle_id, oday, n_obs, round(odo_delta, 6) AS d, "
+        "n_resets FROM vehicles_odo_delta ORDER BY 1, 2"
+    ).collect()
+    assert len(got) > 0
+    base = spark.sql(
+        "SELECT unique_vehicle_id, oday, unix_micros(tst) AS tst_us, "
+        "event_type, journey_type, odo, is_ongoing FROM vehicles_dedup"
+    ).toArrow()
+    con = duckdb.connect()
+    con.register("base", base)
+    want = con.execute(
+        """
+        WITH steps AS (
+            SELECT unique_vehicle_id, oday,
+                   odo - lag(odo) OVER w AS step, odo
+            FROM base
+            WHERE is_ongoing AND odo IS NOT NULL AND oday IS NOT NULL
+            WINDOW w AS (PARTITION BY unique_vehicle_id, oday
+                         ORDER BY tst_us, event_type, journey_type)
+        )
+        SELECT unique_vehicle_id, oday, count(*) AS n_obs,
+               round(CAST(sum(CASE WHEN step IS NULL THEN CAST(0 AS DECIMAL(30,12))
+                             WHEN step >= 0 THEN CAST(step AS DECIMAL(30,12))
+                             ELSE CAST(odo AS DECIMAL(30,12)) END) AS DOUBLE), 6)
+                 AS d,
+               sum(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS n_resets
+        FROM steps GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # planted reset: odo runs 100->150->20->45; true distance = 50 + 45
+    # (reset restarts near zero), naive max-min would say 50
+    import datetime
+
+    seq = [(8, 100.0), (9, 150.0), (10, 20.0), (11, 45.0)]
+    rows = [
+        ("v1", datetime.date(2024, 1, 1),
+         datetime.datetime(2024, 1, 1, h, 0), "VP", "journey", odo, True)
+        for h, odo in seq
+    ]
+    planted = spark.createDataFrame(
+        rows,
+        "unique_vehicle_id string, oday date, tst timestamp, "
+        "event_type string, journey_type string, odo double, is_ongoing boolean",
+    )
+    planted.createOrReplaceTempView("vehicles_dedup")
+    from transitlog_hfp_sink_spark.catalog import register_counter_view
+
+    register_counter_view(spark)
+    r = spark.sql("SELECT * FROM vehicles_odo_delta").collect()
+    assert len(r) == 1
+    assert (r[0]["n_obs"], r[0]["odo_delta"], r[0]["n_resets"]) == (4, 95.0, 1)

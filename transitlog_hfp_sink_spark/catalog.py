@@ -32,6 +32,9 @@ Registered surface:
   (TimescaleDB ``histogram()`` parity: width_bucket counts assembled to
   one array per group, Timescale's under/overflow bucket layout;
   round 5);
+- ``vehicles_odo_delta`` — reset-aware odometer distance per vehicle/day
+  (TimescaleDB Toolkit ``counter_agg``/``rate`` parity: negative steps
+  are counter resets; decimal-exact delta sums; round 5);
 - SQL functions: ``haversine_km`` (the lat/long distance workload Q4
   serves), ``geometric_mean`` (UDAF surface), and ``time_bucket``
   (TimescaleDB's most-used hypertable query function, run/init.sql:70-73
@@ -92,6 +95,8 @@ def register_catalog(
         registered.append("vehicles_latest")
         register_histogram_view(spark)
         registered.append("vehicles_speed_histogram")
+        register_counter_view(spark)
+        registered.append("vehicles_odo_delta")
     register_udfs(spark)
     register_time_bucket(spark)
     return registered
@@ -203,6 +208,46 @@ def register_latest_view(spark: SparkSession) -> None:
         FROM vehicles_dedup
         WHERE is_ongoing
         GROUP BY unique_vehicle_id
+        """
+    )
+
+
+def register_counter_view(spark: SparkSession) -> None:
+    """``vehicles_odo_delta`` — TimescaleDB Toolkit ``counter_agg``/
+    ``rate`` parity over the odometer: per (vehicle, oday) the distance
+    actually travelled, RESET-AWARE. The odometer is a monotonically
+    increasing counter that restarts near zero when the device resets;
+    naive ``max(odo) - min(odo)`` under-counts across a reset. The
+    counter_agg rule per consecutive pair: a non-negative step counts as
+    the step, a negative step is a reset and counts the new value (the
+    counter restarted from ~0).
+
+    One lag window per (vehicle, oday) ordered by the full natural key,
+    then a hash-agg; deltas sum as DECIMAL so both engines agree exactly
+    (double group-sums are partial-merge order-dependent in Spark). At
+    scale this partitions by vehicle+day — high cardinality, bounded
+    per-key state."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW vehicles_odo_delta AS
+        WITH steps AS (
+            SELECT unique_vehicle_id, oday,
+                   odo - lag(odo) OVER w AS step,
+                   odo
+            FROM vehicles_dedup
+            WHERE is_ongoing AND odo IS NOT NULL AND oday IS NOT NULL
+            WINDOW w AS (PARTITION BY unique_vehicle_id, oday
+                         ORDER BY tst, event_type, journey_type)
+        )
+        SELECT unique_vehicle_id, oday,
+               count(*) AS n_obs,
+               CAST(sum(CASE WHEN step IS NULL THEN CAST(0 AS DECIMAL(30,12))
+                             WHEN step >= 0 THEN CAST(step AS DECIMAL(30,12))
+                             ELSE CAST(odo AS DECIMAL(30,12)) END)
+                    AS DOUBLE) AS odo_delta,
+               sum(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS n_resets
+        FROM steps
+        GROUP BY unique_vehicle_id, oday
         """
     )
 
