@@ -102,6 +102,7 @@ RELATIONAL_NAMES = [
     "hfp_odometer_progress",
     "hfp_geo_bbox",
     "events_hourly_rollup",
+    "gapfill_rollup",
     "sessionize_events",
     "window_frames",
     "window_top3_per_type",
