@@ -131,3 +131,45 @@ def test_train_val_split_disjoint_stable_salted(spark, sf_dir):
         .collect()
     }
     assert a == b and a != c
+
+
+def test_weighted_take_without_replacement(spark):
+    """Efraimidis–Spirakis weighted sampling (round 5): deterministic
+    across runs, caps per stratum, and weight-proportional — rows with
+    overwhelming weight are (for this fixed salt) always selected, and
+    raising a row's weight can only improve its rank."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.sampling import weighted_take
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        # ten marked rows per stratum carry a 1e9x weight
+        F.when(F.col("id") < 20, F.lit(1_000_000_000.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    pick = lambda: {
+        r["doc_id"]
+        for r in weighted_take(docs, ["lang"], "doc_id", "w", 25, salt="t").collect()
+    }
+    sel = pick()
+    assert sel == pick()  # deterministic
+    rows = weighted_take(docs, ["lang"], "doc_id", "w", 25, salt="t").groupBy(
+        "lang"
+    ).count().collect()
+    assert {r["count"] for r in rows} == {25}  # per-stratum cap
+    assert set(range(20)) <= sel  # 1e9x weight dominates (P(miss) ~ 1e-9 per pair)
+
+    # without replacement: no duplicates even under extreme weight
+    all_rows = weighted_take(docs, ["lang"], "doc_id", "w", 25, salt="t").collect()
+    assert len(all_rows) == len({r["doc_id"] for r in all_rows})
+
+    # monotonicity: flipping one light row to heavy can only add it
+    docs2 = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 333, F.lit(1e12)).otherwise(F.col("w"))
+    )
+    sel2 = {
+        r["doc_id"]
+        for r in weighted_take(docs2, ["lang"], "doc_id", "w", 25, salt="t").collect()
+    }
+    assert 333 in sel2

@@ -109,3 +109,45 @@ def stratified_take(
         .where(F.col("__rank") <= n_per_stratum)
         .drop("__rank")
     )
+
+
+def weighted_take(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    weight_col: str | Column,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    each row draws a uniform u and gets key ln(u)/w; the top-n keys per
+    stratum are a weight-proportional sample without replacement. This
+    is the quality-weighted subsampling step of a curation pipeline
+    ("keep 10k docs per language, preferring higher-quality ones,
+    without hard-cutting the tail").
+
+    u is derived from the md5 permutation, not a PRNG (the house rule:
+    re-runs, resumed jobs, and the DuckDB oracle select the SAME rows):
+    u = (int(md5[:8 hex]) + 1) / (2^32 + 1), strictly in (0, 1), so
+    ln(u) is finite. Weights must be > 0 (caller maps their quality
+    score; a NULL or non-positive weight would make the row's key NULL
+    and it silently loses every comparison — filter first).
+
+    One window shuffle on the strata (same shape as stratified_take);
+    everything is closed-form double arithmetic, identical cross-engine.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(sample_key(key_col, salt), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    es_key = F.log(u) / wcol.cast("double")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        es_key.desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
+    )

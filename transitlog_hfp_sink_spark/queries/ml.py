@@ -1890,12 +1890,20 @@ def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    pre-training corpus; literal CASE thresholds,
                    shuffle-free;
     part='split' — deterministic 10% train/val assignment in the
-                   `split` column (stable, disjoint, engine-independent)."""
+                   `split` column (stable, disjoint, engine-independent);
+    part='weighted' — Efraimidis–Spirakis weighted sampling WITHOUT
+                   replacement (round 5): 25 docs per language,
+                   weight = n_chars + 1 (longer docs preferred
+                   proportionally, tail never hard-cut) via the
+                   deterministic md5-uniform ln(u)/w key — the
+                   quality-weighted subsampling step of a curation
+                   pipeline, one window shuffle."""
     from transitlog_hfp_sink_spark.operators.sampling import (
         hash_sample,
         mixture_sample,
         stratified_take,
         train_val_split,
+        weighted_take,
     )
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
@@ -1926,7 +1934,19 @@ def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_chars"),
         "split",
     )
-    return hash_leg.unionByName(strat_leg).unionByName(mix_leg).unionByName(split_leg)
+    weighted_leg = weighted_take(
+        docs, ["lang"], "doc_id", F.col("n_chars") + F.lit(1),
+        n_per_stratum=25, salt="es",
+    ).select(
+        F.lit("weighted").alias("part"), "doc_id", "lang", "source",
+        "n_chars", nosplit,
+    )
+    return (
+        hash_leg.unionByName(strat_leg)
+        .unionByName(mix_leg)
+        .unionByName(split_leg)
+        .unionByName(weighted_leg)
+    )
 
 
 ORACLE_SAMPLE = """
@@ -1958,6 +1978,22 @@ SELECT 'split' AS part, doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars,
        CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
             THEN 'val' ELSE 'train' END AS split
 FROM documents
+UNION ALL
+SELECT 'weighted' AS part, doc_id, lang, source, n_chars,
+       CAST(NULL AS VARCHAR) AS split
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT AS DOUBLE) + 1.0)
+                  / 4294967297.0)
+               / CAST(n_chars + 1 AS DOUBLE) DESC,
+               doc_id
+    ) AS rn
+  FROM documents
+)
+WHERE rn <= 25
 """
 
 
