@@ -376,3 +376,28 @@ def test_app_build_index_subcommand(spark, tmp_path):
     assert len(new_assign) == n_emb + 40
     for vid, lid in old_assign.items():
         assert new_assign[vid] == lid  # history untouched
+
+    # dimension guard: a batch whose vectors don't match the trained
+    # centroid dim must fail LOUDLY before writing (a silent mismatch
+    # would NULL every distance and dump all vectors into list 0)
+    bsrc = str(tmp_path / "emb_badly_sized")
+    fresh.limit(5).withColumn("embedding", F.slice("embedding", 1, 3)).write.parquet(bsrc)
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "ivf", "--input", bsrc, "--output", str(tmp_path / "ivf3"),
+         "--update-from", ivf_out],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 1
+    assert "dim mismatch" in proc.stderr
+    assert not os.path.exists(str(tmp_path / "ivf3" / "centroids.json"))
+
+    # --n-lists + --update-from is a config error (inherited list count)
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "ivf", "--input", fsrc, "--output", str(tmp_path / "ivf4"),
+         "--update-from", ivf_out, "--n-lists", "32"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 2  # argparse error, pre-session
+    assert "cannot be combined" in proc.stderr

@@ -333,8 +333,19 @@ def _build_index(argv: list[str]) -> int:
                    "reuses the trained centroids and upserts only the new "
                    "batch's assignments)")
     p.add_argument("--vec-col", default="embedding", help="ivf: vector column")
-    p.add_argument("--n-lists", type=int, default=16, help="ivf: list count")
+    p.add_argument("--n-lists", type=int, default=None,
+                   help="ivf: list count (default 16; NOT combinable with "
+                   "--update-from, which inherits the old index's lists)")
     args = p.parse_args(argv)
+    if args.update_from and os.path.abspath(args.update_from) == os.path.abspath(
+        args.output
+    ):
+        p.error("--output must differ from --update-from: the merged index "
+                "is written fresh and deployed by pointer flip")
+    if args.update_from and args.n_lists is not None:
+        p.error("--n-lists cannot be combined with --update-from: an "
+                "incremental update inherits the old index's list count "
+                "(re-listing requires a full rebuild)")
     spark = build_session(app_name="hfp-build-index")
     try:
         corpus = spark.read.parquet(args.input)
@@ -346,11 +357,6 @@ def _build_index(argv: list[str]) -> int:
 
             id_col = args.id_col or "doc_id"
             if args.update_from:
-                if os.path.abspath(args.update_from) == os.path.abspath(args.output):
-                    raise ValueError(
-                        "--output must differ from --update-from: the merged "
-                        "index is written fresh and deployed by pointer flip"
-                    )
                 postings = spark.read.parquet(f"{args.update_from}/postings")
                 doclens = spark.read.parquet(f"{args.update_from}/doclens")
                 postings, doclens = update_postings(
@@ -384,11 +390,6 @@ def _build_index(argv: list[str]) -> int:
                 # upsert it into the assignment table — a re-sent id's
                 # NEW vector wins via anti-join, same last-write-wins
                 # contract as update_postings
-                if os.path.abspath(args.update_from) == os.path.abspath(args.output):
-                    raise ValueError(
-                        "--output must differ from --update-from: the merged "
-                        "index is written fresh and deployed by pointer flip"
-                    )
                 with open(os.path.join(args.update_from, "centroids.json")) as f:
                     meta = json.load(f)
                 if meta["vec_col"] != args.vec_col:
@@ -398,18 +399,39 @@ def _build_index(argv: list[str]) -> int:
                     )
                 cents = meta["centroids"]
                 n_lists = meta["n_lists"]
+                # dimension guard, BEFORE assigning: a batch whose vectors
+                # don't match the trained centroid dim would NULL every
+                # zip_with distance and silently dump all vectors into
+                # list 0 (column-pruned LIMIT-1 scan, fail-loud instead)
+                dim = len(cents[0])
+                from pyspark.sql import functions as F
+
+                bad = corpus.where(
+                    F.col(args.vec_col).isNull()
+                    | (F.size(args.vec_col) != dim)
+                ).select(F.col(id_col), F.size(args.vec_col).alias("dim")).head(1)
+                if bad:
+                    raise ValueError(
+                        f"vector dim mismatch vs trained centroids: row "
+                        f"(id={bad[0][id_col]!r}, dim={bad[0]['dim']}) != "
+                        f"index dim {dim}"
+                    )
                 fresh = ivf_assign(
                     corpus, cents, id_col=id_col, vec_col=args.vec_col
                 )
                 old = spark.read.parquet(f"{args.update_from}/ivf_assign")
+                # broadcast the batch-id scrub so the (large) historical
+                # index is never shuffled — same shape as update_postings;
+                # the ids side column-prunes to a plain id scan
                 index = old.join(
-                    fresh.select(id_col), on=id_col, how="left_anti"
+                    F.broadcast(fresh.select(id_col).distinct()),
+                    on=id_col, how="left_anti",
                 ).unionByName(fresh)
             else:
+                n_lists = args.n_lists if args.n_lists is not None else 16
                 cents = ivf_centroids(
-                    corpus, n_lists=args.n_lists, vec_col=args.vec_col
+                    corpus, n_lists=n_lists, vec_col=args.vec_col
                 )
-                n_lists = args.n_lists
                 index = ivf_assign(
                     corpus, cents, id_col=id_col, vec_col=args.vec_col
                 )

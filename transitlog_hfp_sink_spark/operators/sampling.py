@@ -136,6 +136,16 @@ def weighted_take(
 
     One window shuffle on the strata (same shape as stratified_take);
     everything is closed-form double arithmetic, identical cross-engine.
+
+    Cross-engine note: unlike the other samplers here (which order by raw
+    md5 hex precisely to avoid float functions), the ES key needs ln().
+    JVM Math.log (fdlibm) and DuckDB's libm ln may differ in the last
+    ulp at some arguments; a selection flip additionally requires two
+    keys within ~1 ulp of each other straddling the rank-n boundary —
+    with thousands of keys spread over a ~10-wide range the combined
+    probability is ~1e-15 per run, so the oracle comparison is stable in
+    practice. If a one-row weighted-leg divergence ever appears, this is
+    the first suspect.
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = (
