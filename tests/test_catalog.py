@@ -414,3 +414,59 @@ def test_counter_view_vs_duckdb_and_planted_reset(spark, sf_dir):
     r = spark.sql("SELECT * FROM vehicles_odo_delta").collect()
     assert len(r) == 1
     assert (r[0]["n_obs"], r[0]["odo_delta"], r[0]["n_resets"]) == (4, 95.0, 1)
+
+
+def test_gapfill_view_vs_duckdb(spark, sf_dir):
+    """vehicles_hourly_gapfill (time_bucket_gapfill + locf for SQL users):
+    per-route dense hourly spine, zero-filled counts, speed carried
+    forward — row-for-row vs an independent DuckDB twin (IGNORE NULLS
+    window over a generate_series spine)."""
+    import duckdb
+
+    register_catalog(spark, sf_dir=sf_dir)
+    got = spark.sql(
+        "SELECT route_id, unix_micros(bucket) AS b_us, n_events, avg_spd "
+        "FROM vehicles_hourly_gapfill ORDER BY 1, 2"
+    ).collect()
+    assert len(got) > 0
+    # gaps must exist and be filled: some zero-count rows carry a speed
+    assert any(r["n_events"] == 0 for r in got)
+    assert any(r["n_events"] == 0 and r["avg_spd"] is not None for r in got)
+
+    base = spark.sql(
+        "SELECT route_id, unix_micros(tst) AS tst_us, spd, is_ongoing "
+        "FROM vehicles_dedup WHERE route_id IS NOT NULL"
+    ).toArrow()
+    con = duckdb.connect()
+    con.register("base", base)
+    want = con.execute(
+        """
+        WITH agg AS (
+          SELECT route_id,
+                 to_timestamp((tst_us // 3600000000) * 3600)::TIMESTAMP AS bucket,
+                 count(*) AS n_events,
+                 CASE WHEN count(spd) > 0
+                      THEN round(CAST(sum(CAST(spd AS DECIMAL(30,12)))
+                                      AS DOUBLE) / count(spd), 6) END AS avg_spd
+          FROM base WHERE is_ongoing GROUP BY 1, 2
+        ),
+        spine AS (
+          SELECT route_id,
+            unnest(generate_series(min(bucket), max(bucket),
+                                   INTERVAL 3600 SECONDS)) AS bucket
+          FROM agg GROUP BY route_id
+        ),
+        g AS (
+          SELECT s.route_id, s.bucket, a.n_events, a.avg_spd
+          FROM spine s LEFT JOIN agg a
+            ON a.route_id = s.route_id AND a.bucket = s.bucket
+        )
+        SELECT route_id, epoch_us(bucket) AS b_us,
+               coalesce(n_events, 0) AS n_events,
+               last_value(avg_spd IGNORE NULLS) OVER (
+                 PARTITION BY route_id ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_spd
+        FROM g ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -35,6 +35,10 @@ Registered surface:
 - ``vehicles_odo_delta`` — reset-aware odometer distance per vehicle/day
   (TimescaleDB Toolkit ``counter_agg``/``rate`` parity: negative steps
   are counter resets; decimal-exact delta sums; round 5);
+- ``vehicles_hourly_gapfill`` — dense hourly rollup per route
+  (``time_bucket_gapfill`` + ``locf`` for SQL users: counts
+  zero-filled, mean speed carried through gap hours; backed by
+  operators/gapfill.py; round 5);
 - SQL functions: ``haversine_km`` (the lat/long distance workload Q4
   serves), ``geometric_mean`` (UDAF surface), and ``time_bucket``
   (TimescaleDB's most-used hypertable query function, run/init.sql:70-73
@@ -97,6 +101,8 @@ def register_catalog(
         registered.append("vehicles_speed_histogram")
         register_counter_view(spark)
         registered.append("vehicles_odo_delta")
+        register_gapfill_view(spark)
+        registered.append("vehicles_hourly_gapfill")
     register_udfs(spark)
     register_time_bucket(spark)
     return registered
@@ -210,6 +216,49 @@ def register_latest_view(spark: SparkSession) -> None:
         GROUP BY unique_vehicle_id
         """
     )
+
+
+def register_gapfill_view(spark: SparkSession) -> None:
+    """``vehicles_hourly_gapfill`` — the chart-ready hourly rollup with no
+    missing buckets, for SQL users (TimescaleDB
+    ``time_bucket_gapfill('1 hour', tst) ... locf(avg(spd))`` parity;
+    the DataFrame operator is operators/gapfill.py, registered here so
+    ``spark.sql`` reaches it): per route, every hour between the route's
+    first and last ongoing observation, event counts zero-filled and
+    mean speed carried forward through gap hours. The mean is
+    decimal-exact before the final double cast (house idiom), rounded
+    to 6 so engines agree bit-for-bit; lazy view — nothing materializes
+    until queried."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.gapfill import gapfill_buckets
+
+    base = spark.table(DEDUP_VIEW).where(
+        F.col("is_ongoing") & F.col("route_id").isNotNull()
+    )
+    bucketed = base.groupBy(
+        F.col("route_id"), F.date_trunc("hour", "tst").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        # guarded: a bucket whose every spd is NULL yields NULL (not a
+        # divide-by-zero Infinity), and locf then carries the previous
+        # hour's speed straight through it
+        F.when(
+            F.count(F.col("spd")) > 0,
+            F.round(
+                F.sum(F.col("spd").cast("decimal(30,12)")).cast("double")
+                / F.count(F.col("spd")),
+                6,
+            ),
+        ).alias("avg_spd"),
+    )
+    gapfill_buckets(
+        bucketed,
+        bucket_col="bucket",
+        width_s=3600,
+        series_cols=["route_id"],
+        fill={"n_events": "zero", "avg_spd": "locf"},
+    ).createOrReplaceTempView("vehicles_hourly_gapfill")
 
 
 def register_counter_view(spark: SparkSession) -> None:
