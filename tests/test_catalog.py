@@ -417,21 +417,34 @@ def test_counter_view_vs_duckdb_and_planted_reset(spark, sf_dir):
 
 
 def test_gapfill_view_vs_duckdb(spark, sf_dir):
-    """vehicles_hourly_gapfill (time_bucket_gapfill + locf for SQL users):
-    per-route dense hourly spine, zero-filled counts, speed carried
-    forward — row-for-row vs an independent DuckDB twin (IGNORE NULLS
-    window over a generate_series spine)."""
+    """vehicles_hourly_gapfill (time_bucket_gapfill + locf + interpolate
+    for SQL users): per-route dense hourly spine, zero-filled counts,
+    speed both carried forward (avg_spd) and linearly interpolated
+    (avg_spd_interp) — row-for-row vs an independent DuckDB twin
+    (IGNORE NULLS windows over a generate_series spine). Queried TWICE
+    (VERDICT r5 #2): the round-6 single-pass gapfill holds no cache, so
+    repeated view queries must neither warn nor drift."""
     import duckdb
 
     register_catalog(spark, sf_dir=sf_dir)
-    got = spark.sql(
-        "SELECT route_id, unix_micros(bucket) AS b_us, n_events, avg_spd "
-        "FROM vehicles_hourly_gapfill ORDER BY 1, 2"
-    ).collect()
+    q = (
+        "SELECT route_id, unix_micros(bucket) AS b_us, n_events, avg_spd, "
+        "avg_spd_interp FROM vehicles_hourly_gapfill ORDER BY 1, 2"
+    )
+    got = spark.sql(q).collect()
     assert len(got) > 0
     # gaps must exist and be filled: some zero-count rows carry a speed
     assert any(r["n_events"] == 0 for r in got)
     assert any(r["n_events"] == 0 and r["avg_spd"] is not None for r in got)
+    # interpolate differs from locf inside at least one gap
+    assert any(
+        r["n_events"] == 0
+        and r["avg_spd_interp"] is not None
+        and r["avg_spd_interp"] != r["avg_spd"]
+        for r in got
+    )
+    # second query of the same session-lifetime view: identical rows
+    assert [tuple(r) for r in spark.sql(q).collect()] == [tuple(r) for r in got]
 
     base = spark.sql(
         "SELECT route_id, unix_micros(tst) AS tst_us, spd, is_ongoing "
@@ -457,16 +470,39 @@ def test_gapfill_view_vs_duckdb(spark, sf_dir):
           FROM agg GROUP BY route_id
         ),
         g AS (
-          SELECT s.route_id, s.bucket, a.n_events, a.avg_spd
+          SELECT s.route_id, s.bucket, a.n_events, a.avg_spd,
+                 epoch_us(s.bucket) AS t
           FROM spine s LEFT JOIN agg a
             ON a.route_id = s.route_id AND a.bucket = s.bucket
+        ),
+        f AS (
+          SELECT route_id, bucket, coalesce(n_events, 0) AS n_events,
+                 avg_spd,
+                 last_value(avg_spd IGNORE NULLS) OVER w_prev AS pv,
+                 last_value(CASE WHEN avg_spd IS NOT NULL THEN t END
+                            IGNORE NULLS) OVER w_prev AS pt,
+                 first_value(avg_spd IGNORE NULLS) OVER w_next AS nv,
+                 first_value(CASE WHEN avg_spd IS NOT NULL THEN t END
+                             IGNORE NULLS) OVER w_next AS nt,
+                 t
+          FROM g
+          WINDOW
+            w_prev AS (PARTITION BY route_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (PARTITION BY route_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
-        SELECT route_id, epoch_us(bucket) AS b_us,
-               coalesce(n_events, 0) AS n_events,
-               last_value(avg_spd IGNORE NULLS) OVER (
-                 PARTITION BY route_id ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_spd
-        FROM g ORDER BY 1, 2
+        -- UNROUNDED interpolation: identical op order on both engines
+        -- makes the raw doubles bit-identical, and round() itself is the
+        -- divergence risk (repr-tie boundaries round differently)
+        SELECT route_id, t AS b_us, n_events, pv AS avg_spd,
+               CASE WHEN avg_spd IS NOT NULL THEN avg_spd
+                    ELSE CAST(pv AS DOUBLE)
+                         + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                         * (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
+                         / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END
+                 AS avg_spd_interp
+        FROM f ORDER BY 1, 2
         """
     ).fetchall()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -9,26 +9,33 @@ the surrounding observed buckets (``interpolate``).
 Spark-first decomposition: the bucketing + aggregation stage is ordinary
 ``groupBy(time_bucket, series).agg(...)`` (the caller owns it, exactly as
 TimescaleDB composes gapfill AROUND an aggregate query), and this module
-adds only the densify+fill stage:
+adds only the densify+fill stage — ONE pass, no self-join (round 6; the
+round-5 shape consumed ``bucketed`` twice — a min/max spine agg plus a
+join probe — and persisted the input to de-duplicate the work, leaking a
+cached plan per call and spamming ``CacheManager`` warnings in long
+sessions):
 
-1. per-series span:    one partial-agg ``min/max(bucket)`` (map-side
-                       combine, tiny output — one row per series);
-2. dense spine:        ``explode(sequence(mn, mx, interval))`` — map-only
-                       row generation, O(series x buckets) rows total,
-                       which is the size of the RESULT (gapfill cannot
-                       emit less);
-3. left join:          spine ⟕ bucketed on (series, bucket) — both sides
-                       hash-partition on the same key; AQE broadcasts the
-                       bucketed side when small;
-4. fills:              pure window expressions over ONE exchange
-                       (partitionBy series, orderBy bucket):
-                       ``last(ignorenulls)`` looking back for locf and
-                       the prev/next-observation pair for interpolate.
+1. gap explode:  per series ordered by bucket, each observed row emits
+                 the buckets in ``(lag(bucket), bucket]`` via
+                 ``explode(sequence(...))`` — the first row of a series
+                 emits just itself. The union over rows IS the dense
+                 per-series grid; gap rows carry NULL values. Map-side
+                 except for one lag window.
+2. fills:        pure window expressions (partitionBy series, orderBy
+                 bucket): ``last(ignorenulls)`` looking back for locf and
+                 the prev/next-observation pair for interpolate.
 
-Everything is JVM-side expressions — no UDF, no collect. At 100 TB the
-per-series state is two window passes over already-dense series; series
-count is the parallelism axis (route/vehicle/event_type — high
-cardinality, no giant key).
+The lag window and the fill windows share ONE exchange+sort (same
+partitioning and ordering — Catalyst reuses it), so the whole operator
+costs a single shuffle of the already-aggregated rows. No UDF, no
+collect, no cache. At 100 TB the per-series state is window passes over
+already-dense series; series count is the parallelism axis
+(route/vehicle/event_type — high cardinality, no giant key). One skew
+caveat, same as any gapfill: a single row closing an enormous gap
+explodes that gap's buckets on one task — the row count is the RESULT
+size (gapfill cannot emit less), but a pathological series (two
+observations a year apart at 1 s buckets) concentrates its 31M rows in
+one partition.
 
 Edge semantics match TimescaleDB: ``locf`` is NULL before the first
 observed bucket of a series, ``interpolate`` is NULL outside the first/
@@ -64,7 +71,11 @@ def gapfill_buckets(
     each value column to 'null' | 'zero' | 'locf' | 'interpolate';
     columns not mentioned are dropped. ``round_interpolated`` optionally
     rounds interpolated columns (both the observed and filled values) to
-    N decimals so a cross-engine twin hashes bit-identically.
+    N decimals. For cross-engine twins prefer leaving it None: the
+    interpolation arithmetic is exactly mirrored (same op order), so the
+    raw doubles are bit-identical, while round() itself diverges at
+    repr-tie boundaries (Spark rounds the shortest decimal repr via
+    BigDecimal.valueOf; DuckDB rounds the binary value).
     """
     for c, policy in fill.items():
         if policy not in FILL_POLICIES:
@@ -72,36 +83,35 @@ def gapfill_buckets(
     series_cols = list(series_cols)
     b = F.col(bucket_col)
 
-    # two consumers read `bucketed` (the spine's min/max agg and the join
-    # probe) and Catalyst does not share the subtree across the differing
-    # partitionings — persist so the caller's aggregation runs ONCE. The
-    # cache is bounded by the RESULT size (series x observed buckets),
-    # never the raw input, so this is safe at any input scale.
-    bucketed = bucketed.persist()
-
-    spine = (
-        bucketed.groupBy(*series_cols)
-        .agg(F.min(b).alias("__mn"), F.max(b).alias("__mx"))
+    # densify in ONE pass: each observed row emits the buckets in
+    # (lag(bucket), bucket] — the union over a series is exactly the
+    # sequence(min, max, width) grid, with no second consumer of
+    # `bucketed` (no spine agg, no join, no persist). NULL series stay
+    # real window partitions, so they densify like any other series.
+    w_lag = Window.partitionBy(*series_cols).orderBy(b.asc())
+    itv = f"interval {int(width_s)} seconds"
+    dtypes = dict(bucketed.dtypes)
+    g = (
+        bucketed.withColumn("__prev", F.lag(b).over(w_lag))
+        .withColumn("__obs", b)
+        .withColumn(
+            bucket_col,
+            F.explode(
+                F.expr(
+                    f"sequence(coalesce(`__prev` + {itv}, `__obs`), `__obs`, {itv})"
+                )
+            ),
+        )
         .select(
             *series_cols,
-            F.explode(
-                F.expr(f"sequence(__mn, __mx, interval {int(width_s)} seconds)")
-            ).alias(bucket_col),
+            bucket_col,
+            # gap rows (emitted bucket != the emitting observation) carry
+            # NULL values, exactly like the former spine left-join
+            *[
+                F.when(b == F.col("__obs"), F.col(c)).alias(c)
+                for c in fill
+            ],
         )
-    )
-    # NULL-SAFE series equality: groupBy keeps a NULL series as a real
-    # group, but a plain equi-join would never rejoin its observed rows —
-    # the NULL series would come back all-gaps (zero-filled counts over
-    # real data). Buckets themselves are non-null (min/max/sequence).
-    right = bucketed.select(
-        *[F.col(c).alias(f"__r_{c}") for c in series_cols + [bucket_col]],
-        *[F.col(c) for c in fill],
-    )
-    cond = F.col(bucket_col) == F.col(f"__r_{bucket_col}")
-    for c in series_cols:
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
-    g = spine.join(right, on=cond, how="left").drop(
-        *[f"__r_{c}" for c in series_cols + [bucket_col]]
     )
 
     w_prev = (
@@ -122,7 +132,7 @@ def gapfill_buckets(
         if policy == "null":
             filled = v
         elif policy == "zero":
-            filled = F.coalesce(v, F.lit(0).cast(dict(bucketed.dtypes)[c]))
+            filled = F.coalesce(v, F.lit(0).cast(dtypes[c]))
         elif policy == "locf":
             filled = F.last(v, ignorenulls=True).over(w_prev)
         else:  # interpolate — linear between the surrounding observations

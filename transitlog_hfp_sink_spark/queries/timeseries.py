@@ -50,7 +50,10 @@ def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypertable: every hour bucket present per series, counts zero-filled,
     the sum carried forward (locf), the average linearly interpolated
     between observed buckets. All fills are pure window expressions; the
-    oracle replays the identical window+arithmetic in DuckDB."""
+    oracle replays the identical window+arithmetic in DuckDB, so the raw
+    interpolated doubles are bit-identical and stay UNROUNDED (round 6:
+    round() itself diverges at repr-tie boundaries — Spark rounds the
+    shortest decimal repr, DuckDB the binary value)."""
     from transitlog_hfp_sink_spark.operators.gapfill import gapfill_buckets
 
     ev = read_table(spark, sf_dir, "events").where(F.col("event_id") % 53 == 0)
@@ -69,7 +72,6 @@ def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         width_s=3600,
         series_cols=["event_type"],
         fill={"n": "zero", "sum_value": "locf", "avg_value": "interpolate"},
-        round_interpolated=6,
     ).select("bucket", "event_type", "n", "sum_value", "avg_value")
 
 
@@ -113,11 +115,11 @@ f AS (
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT bucket, event_type, n, sum_locf AS sum_value,
-  round(CASE WHEN avg_value IS NOT NULL THEN avg_value
-        ELSE CAST(pv AS DOUBLE)
-             + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
-             * (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
-             / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END, 6) AS avg_value
+  CASE WHEN avg_value IS NOT NULL THEN avg_value
+       ELSE CAST(pv AS DOUBLE)
+            + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+            * (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
+            / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END AS avg_value
 FROM f
 """
 
