@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "embedding_topk_ivf_served",
     "multimodal_features",
     "gapfill_rollup",
+    "transit_analytics",
 ]
 
 
@@ -613,16 +614,25 @@ def main() -> None:
     # JIT/codegen warmup: the first run is ~4x slower AND the next two
     # still carry C2 compilation (~15% — the r2 "regression" was exactly
     # this ramp: measured runs 2-3 sit at ~1.2s, steady state is ~1.0s),
-    # so warm until the ramp is consumed before timing
+    # so warm until the ramp is consumed before timing. min-of-5 + the
+    # session band recorded (VERDICT r5 #3: the throughput legs get the
+    # same stability discipline the per-query timings got in round 5, so
+    # a round-over-round drift is attributable to ambient load iff it
+    # sits inside the band)
     for _ in range(3):
         materialize(hfp_transform(batch))
-    dt = float("inf")
-    for _ in range(3):
+    t_dts: list[float] = []
+    for _ in range(5):
         t0 = time.time()
         materialize(hfp_transform(batch))
-        dt = min(dt, time.time() - t0)
+        t_dts.append(time.time() - t0)
+    dt = min(t_dts)
     timings["hfp_throughput_2m_rows"] = round(dt, 3)
     rows_per_s = THROUGHPUT_ROWS / dt
+    transform_band = [
+        int(THROUGHPUT_ROWS / max(t_dts)),
+        int(THROUGHPUT_ROWS / min(t_dts)),
+    ]
 
     # sustained STREAMING rate: rate source -> full pipeline (split +
     # transform) across real trigger cycles; avg of the engine's own
@@ -654,9 +664,11 @@ def main() -> None:
     ]
     sq.stop()
     # steady state = after JIT/codegen ramp (first 3 batches); MEDIAN so a
-    # single GC-hit batch doesn't swing the round-over-round comparison
+    # single GC-hit batch doesn't swing the round-over-round comparison;
+    # the [min, max] band over steady batches is recorded alongside
     steady = sorted(rates[3:]) if len(rates) > 3 else sorted(rates)
     streaming_rate = int(steady[len(steady) // 2]) if steady else 0
+    streaming_band = [int(steady[0]), int(steady[-1])] if steady else [0, 0]
 
     # steady-state measurement: warm the page cache for every input table
     # once (a cold first read dominated early queries by ~2x in cold-cache
@@ -688,11 +700,13 @@ def main() -> None:
     # queries/tpch_extra.py; the 17 tail shapes live behind the
     # tpch_power_run registry entry) back-to-back at this SF, timed
     # PER QUERY so regressions are attributable across rounds
-    from transitlog_hfp_sink_spark.queries import relational, tpch_extra
+    from transitlog_hfp_sink_spark.queries import power, relational
 
+    # q4 lives in power.POWER_QUERIES since round 6 (registry fold);
+    # POWER_QUERIES = the 17 tail shapes + q4 + top_brands (name-filtered)
     tpch_fns = {
         n: f
-        for n, f in {**relational.QUERIES, **tpch_extra.QUERIES}.items()
+        for n, f in {**relational.QUERIES, **power.POWER_QUERIES}.items()
         if n.startswith("q") and n[1].isdigit()
     }
     tpch_timings: dict[str, float] = {}
@@ -719,7 +733,9 @@ def main() -> None:
         "headline_query_count": len(timings),
         "sf": sf,
         "hfp_transform_rows_per_s": int(rows_per_s),
+        "hfp_transform_rows_per_s_band": transform_band,
         "hfp_streaming_pipeline_rows_per_s": streaming_rate,
+        "hfp_streaming_rows_per_s_band": streaming_band,
         "tpch_22_shapes_total_s": tpch_total,
         "tpch_22_shapes_count": len(tpch_fns),
         "tpch_queries": tpch_timings,

@@ -459,8 +459,8 @@ def test_gapfill_view_vs_duckdb(spark, sf_dir):
                  to_timestamp((tst_us // 3600000000) * 3600)::TIMESTAMP AS bucket,
                  count(*) AS n_events,
                  CASE WHEN count(spd) > 0
-                      THEN round(CAST(sum(CAST(spd AS DECIMAL(30,12)))
-                                      AS DOUBLE) / count(spd), 6) END AS avg_spd
+                      THEN CAST(sum(CAST(spd AS DECIMAL(30,12)))
+                                AS DOUBLE) / count(spd) END AS avg_spd
           FROM base WHERE is_ongoing GROUP BY 1, 2
         ),
         spine AS (

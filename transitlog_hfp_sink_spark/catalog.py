@@ -38,8 +38,10 @@ Registered surface:
 - ``vehicles_hourly_gapfill`` — dense hourly rollup per route
   (``time_bucket_gapfill`` + ``locf`` + ``interpolate`` for SQL users:
   counts zero-filled, mean speed carried through gap hours and, as
-  ``avg_spd_interp``, linearly interpolated; backed by
-  operators/gapfill.py; rounds 5-6);
+  ``avg_spd_interp``, linearly interpolated — both UNROUNDED, since the
+  decimal-sum/count division is bit-identical cross-engine and round()
+  itself is the divergence risk; backed by operators/gapfill.py;
+  rounds 5-6);
 - SQL functions: ``haversine_km`` (the lat/long distance workload Q4
   serves), ``geometric_mean`` (UDAF surface), and ``time_bucket``
   (TimescaleDB's most-used hypertable query function, run/init.sql:70-73
@@ -231,8 +233,10 @@ def register_gapfill_view(spark: SparkSession) -> None:
     (``avg_spd_interp`` — TimescaleDB's ``interpolate()``; round 6,
     VERDICT r5 #5 surfaced the already-tested operator policy to SQL).
     The mean is decimal-exact before the final double cast (house
-    idiom), rounded to 6 so engines agree bit-for-bit; lazy view —
-    nothing materializes until queried."""
+    idiom) and stays UNROUNDED: the division and the interpolation are
+    evaluated in the identical op order on both engines, so the raw
+    doubles are bit-identical, while round() itself diverges at repr-tie
+    boundaries; lazy view — nothing materializes until queried."""
     from pyspark.sql import functions as F
 
     from transitlog_hfp_sink_spark.operators.gapfill import gapfill_buckets
@@ -249,11 +253,8 @@ def register_gapfill_view(spark: SparkSession) -> None:
         # hour's speed straight through it
         F.when(
             F.count(F.col("spd")) > 0,
-            F.round(
-                F.sum(F.col("spd").cast("decimal(30,12)")).cast("double")
-                / F.count(F.col("spd")),
-                6,
-            ),
+            F.sum(F.col("spd").cast("decimal(30,12)")).cast("double")
+            / F.count(F.col("spd")),
         ).alias("avg_spd"),
     # same observed mean twice: one copy per fill policy (the operator
     # maps column -> policy, so exposing locf AND interpolate over the

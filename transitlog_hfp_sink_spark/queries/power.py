@@ -1,10 +1,13 @@
-"""TPC-H power run — all 17 tail shapes (q2, q6-q22) as ONE registered,
-fully hash-checked query.
+"""TPC-H power run — 19 shapes (q2, q4, q6-q22 + the broadcast top-k
+brands query) as ONE registered, fully hash-checked query.
 
 Why: the driver's correctness gate evaluates a bounded number of registry
 entries; 17 individual rows crowded out the LLM-pipeline operators in
-round 1. Consolidating the tail into one entry keeps EVERY query
-hash-verified (not rows-only) while freeing 16 registry slots:
+round 1, and round 6 folded q4_order_priority + top_brands_revenue in as
+well (they add no plan shape the power run's EXISTS semi-join and
+broadcast-dim top-k legs don't already digest) to fund the
+transit_analytics slot under the 50-entry cap. Consolidating keeps EVERY
+query hash-verified (not rows-only) while freeing registry slots:
 
 - Spark side: run each tpch_extra query, reduce every result row to a
   canonical md5 digest (columns sorted by name, types canonicalized),
@@ -38,9 +41,24 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.queries import tpch_extra
+from transitlog_hfp_sink_spark.queries import relational, tpch_extra
 
 NULL_SENTINEL = "<NULL>"
+
+#: every query the power run digests: the 17 tpch_extra tail shapes plus
+#: the two relational headliners folded in round 6 (their callables and
+#: oracle SQL stay in relational.py for bench/tests; only the registry
+#: slot moved here)
+POWER_QUERIES = {
+    **tpch_extra.QUERIES,
+    "q4_order_priority": relational.q_order_priority,
+    "top_brands_revenue": relational.q_top_brands,
+}
+POWER_ORACLES = {
+    **tpch_extra.ORACLES,
+    "q4_order_priority": relational.ORACLE_PRIORITY,
+    "top_brands_revenue": relational.ORACLE_TOP_BRANDS,
+}
 
 # Static (name -> [(column, spark_dtype)]) so oracle_sql() can be built
 # without a SparkSession; tests/test_power.py asserts these match the
@@ -63,6 +81,8 @@ POWER_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "q19_disjunctive": [("revenue", "double")],
     "q21_waiting_supplier": [("s_name", "string"), ("numwait", "bigint")],
     "q22_idle_customers": [("c_mktsegment", "string"), ("numcust", "bigint"), ("totacctbal", "double")],
+    "q4_order_priority": [("o_orderpriority", "string"), ("n_orders", "bigint")],
+    "top_brands_revenue": [("p_brand", "string"), ("revenue", "double"), ("n_items", "bigint")],
 }
 
 
@@ -106,17 +126,17 @@ def digest_sql(oracle: str, schema: list[tuple[str, str]], qname: str) -> str:
 
 
 def tpch_power_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 17 TPC-H tail shapes, digested and unioned (see module doc)."""
+    """All 19 TPC-H shapes, digested and unioned (see module doc)."""
     parts = [
         digest_spark(fn(spark, sf_dir), POWER_SCHEMAS[name], name)
-        for name, fn in tpch_extra.QUERIES.items()
+        for name, fn in POWER_QUERIES.items()
     ]
     return reduce(DataFrame.unionByName, parts)
 
 
 ORACLE_POWER = "\nUNION ALL\n".join(
-    digest_sql(tpch_extra.ORACLES[name], POWER_SCHEMAS[name], name)
-    for name in tpch_extra.QUERIES
+    digest_sql(POWER_ORACLES[name], POWER_SCHEMAS[name], name)
+    for name in POWER_QUERIES
 )
 
 QUERIES = {"tpch_power_run": tpch_power_run}

@@ -328,13 +328,15 @@ WHERE NOT EXISTS (
 """
 
 
+# q4_order_priority and top_brands_revenue moved into the power-run
+# digest in round 6 (power.POWER_QUERIES) to fund the transit_analytics
+# registry slot; their callables + oracle SQL above stay importable for
+# bench.py and tests.
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
     "q5_region_revenue": q_region_revenue,
-    "q4_order_priority": q_order_priority,
     "q13_customer_distribution": q_customer_distribution,
-    "top_brands_revenue": q_top_brands,
     "rollup_cube_grouping": q_rollup_cube,
     "set_ops_customers": q_set_ops,
 }
@@ -343,9 +345,7 @@ ORACLES = {
     "q1_pricing_summary": ORACLE_PRICING,
     "q3_shipping_priority": ORACLE_SHIPPING,
     "q5_region_revenue": ORACLE_REGION,
-    "q4_order_priority": ORACLE_PRIORITY,
     "q13_customer_distribution": ORACLE_CUSTDIST,
-    "top_brands_revenue": ORACLE_TOP_BRANDS,
     "rollup_cube_grouping": _oracle_rollup_cube(),
     "set_ops_customers": ORACLE_SET_OPS,
 }

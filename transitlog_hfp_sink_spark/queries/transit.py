@@ -1,0 +1,356 @@
+"""transit_analytics — the TimescaleDB-parity analytics family as ONE
+driver-visible, fully hash-checked registry entry (round 6, VERDICT r5
+#1: the round-5 catalog views were only locally twinned; this puts
+``operators/gapfill.py`` + every ``catalog.py`` analytics view under the
+driver's oracle gate).
+
+Seven tagged legs over the catalog views (each view registered by the
+REAL ``register_catalog`` so the entry exercises the SQL surface users
+query, not a parallel reimplementation), harmonized to
+``(leg, k1, k2, ts, n, v1, v2)``:
+
+- ``gapfill``     vehicles_hourly_gapfill: per-route dense hourly spine,
+                  zero-filled counts, locf mean speed (v1) + linearly
+                  interpolated mean speed (v2) — time_bucket_gapfill /
+                  locf / interpolate parity (run/init.sql's hypertable is
+                  exactly what Timescale users chart this way);
+- ``headway``     vehicles_headways: per-(route, direction) consecutive
+                  first-arrival gaps in exact integer microseconds (v1);
+- ``bunching``    vehicles_bunching: headways under half the per-group
+                  MEDIAN (v2 carries the median — checks the exact-median
+                  path cross-engine);
+- ``otp``         vehicles_otp: per-journey start delay vs the scheduled
+                  instant built arithmetically from oday + "HH:mm"
+                  (v1 = delay in exact integer micros; the punctuality
+                  band rides in k2 so the classification is hash-checked);
+- ``odo``         vehicles_odo_delta: counter_agg/rate parity — reset-
+                  aware odometer distance (v1, decimal-exact) and reset
+                  count (v2);
+- ``latest_kin``/``latest_pos``  vehicles_latest: last-known state per
+                  vehicle via row-faithful ``max_by`` over the packed
+                  natural-key struct (DuckDB twin derives via row_number
+                  with Spark's NULL ordering — arg_max skips NULLs);
+- ``hist``        vehicles_speed_histogram: width_bucket counts exploded
+                  to (route, bucket-index, count) rows — Timescale
+                  ``histogram()`` layout incl. under/overflow buckets.
+
+Determinism: every numeric output is either an exact integer (counts,
+integer-microsecond deltas), a decimal-exact sum cast to double, or a
+double expression evaluated in the IDENTICAL op order on both engines
+(bit-identical raws; deliberately UNROUNDED — round() itself diverges at
+repr-tie boundaries). ``vehicles_dedup`` is identity on this fixture
+(verified: zero duplicate natural keys at sf0.001/0.01), so the oracle
+derives straight from the synthesized hfp_vehicles CTE.
+
+Scale notes (100 TB): every leg is one partial-agg groupBy and/or one
+window partitioned by a high-cardinality key (route/vehicle/journey);
+the gapfill leg is the single-shuffle lag+explode operator; the
+histogram leg's state is O(nbuckets) per group. No UDFs, no collects,
+no cartesians.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transitlog_hfp_sink_spark.queries.hfp import hfp_cte
+
+NULL_K = "∅"
+
+
+def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transitlog_hfp_sink_spark.catalog import register_catalog
+
+    register_catalog(spark, sf_dir=sf_dir)
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    nt = F.lit(None).cast("timestamp")
+
+    def k(col):  # NULL-explicit composite-key component
+        return F.coalesce(F.col(col).cast("string"), F.lit(NULL_K))
+
+    gap = spark.table("vehicles_hourly_gapfill").select(
+        F.lit("gapfill").alias("leg"),
+        F.col("route_id").alias("k1"),
+        ns.alias("k2"),
+        F.col("bucket").alias("ts"),
+        F.col("n_events").alias("n"),
+        F.col("avg_spd").alias("v1"),
+        F.col("avg_spd_interp").alias("v2"),
+    )
+    hw = spark.table("vehicles_headways").select(
+        F.lit("headway").alias("leg"),
+        F.col("route_id").alias("k1"),
+        F.concat_ws(
+            "|", k("direction_id"), k("unique_vehicle_id"), k("leader_vehicle_id")
+        ).alias("k2"),
+        F.col("arrival_tst").alias("ts"),
+        nb.alias("n"),
+        F.col("headway_us").cast("double").alias("v1"),
+        nd.alias("v2"),
+    )
+    bunch = spark.table("vehicles_bunching").select(
+        F.lit("bunching").alias("leg"),
+        F.col("route_id").alias("k1"),
+        F.concat_ws("|", k("direction_id"), k("unique_vehicle_id")).alias("k2"),
+        F.col("arrival_tst").alias("ts"),
+        nb.alias("n"),
+        F.col("headway_us").cast("double").alias("v1"),
+        F.col("med_headway_us").cast("double").alias("v2"),
+    )
+    otp = spark.table("vehicles_otp").select(
+        F.lit("otp").alias("leg"),
+        F.col("route_id").alias("k1"),
+        F.concat_ws(
+            "|",
+            k("oday"),
+            k("journey_start_time"),
+            k("direction_id"),
+            k("unique_vehicle_id"),
+            F.col("punctuality"),
+        ).alias("k2"),
+        F.col("first_observed").alias("ts"),
+        nb.alias("n"),
+        F.col("start_delay_us").cast("double").alias("v1"),
+        nd.alias("v2"),
+    )
+    odo = spark.table("vehicles_odo_delta").select(
+        F.lit("odo").alias("leg"),
+        F.col("unique_vehicle_id").alias("k1"),
+        F.col("oday").cast("string").alias("k2"),
+        nt.alias("ts"),
+        F.col("n_obs").alias("n"),
+        F.col("odo_delta").alias("v1"),
+        F.col("n_resets").cast("double").alias("v2"),
+    )
+    latest = spark.table("vehicles_latest")
+    latest_kin = latest.select(
+        F.lit("latest_kin").alias("leg"),
+        F.col("unique_vehicle_id").alias("k1"),
+        F.concat_ws("|", k("event_type"), k("route_id")).alias("k2"),
+        F.col("tst").alias("ts"),
+        nb.alias("n"),
+        F.col("spd").alias("v1"),
+        F.col("odo").alias("v2"),
+    )
+    latest_pos = latest.select(
+        F.lit("latest_pos").alias("leg"),
+        F.col("unique_vehicle_id").alias("k1"),
+        ns.alias("k2"),
+        F.col("tst").alias("ts"),
+        nb.alias("n"),
+        F.col("lat").alias("v1"),
+        F.col("long").alias("v2"),
+    )
+    hist = (
+        spark.table("vehicles_speed_histogram")
+        .select("route_id", F.posexplode("histogram").alias("pos", "cnt"))
+        .select(
+            F.lit("hist").alias("leg"),
+            F.col("route_id").alias("k1"),
+            F.col("pos").cast("string").alias("k2"),
+            nt.alias("ts"),
+            F.col("cnt").alias("n"),
+            nd.alias("v1"),
+            nd.alias("v2"),
+        )
+    )
+    out = gap
+    for leg in (hw, bunch, otp, odo, latest_kin, latest_pos, hist):
+        out = out.unionByName(leg)
+    return out
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle — every leg re-derived independently from the hfp CTE
+# (vehicles_dedup is identity on this fixture: no duplicate natural keys).
+# --------------------------------------------------------------------------
+
+ORACLE_TRANSIT = f"""
+WITH {hfp_cte()},
+-- gapfill ------------------------------------------------------------
+gf_agg AS (
+  SELECT route_id, date_trunc('hour', tst) AS bucket, count(*) AS n_events,
+         CASE WHEN count(spd) > 0
+              THEN CAST(sum(CAST(spd AS DECIMAL(30,12))) AS DOUBLE)
+                   / count(spd) END AS avg_spd
+  FROM hfp_vehicles
+  WHERE is_ongoing AND route_id IS NOT NULL
+  GROUP BY 1, 2
+),
+gf_spine AS (
+  SELECT route_id,
+         unnest(generate_series(min(bucket), max(bucket),
+                                INTERVAL 3600 SECONDS)) AS bucket
+  FROM gf_agg GROUP BY route_id
+),
+gf_g AS (
+  SELECT s.route_id, s.bucket, a.n_events, a.avg_spd,
+         epoch_us(s.bucket) AS t
+  FROM gf_spine s LEFT JOIN gf_agg a
+    ON a.route_id = s.route_id AND a.bucket = s.bucket
+),
+gf_f AS (
+  SELECT route_id, bucket, coalesce(n_events, 0) AS n_events, avg_spd,
+         last_value(avg_spd IGNORE NULLS) OVER w_prev AS pv,
+         last_value(CASE WHEN avg_spd IS NOT NULL THEN t END IGNORE NULLS)
+           OVER w_prev AS pt,
+         first_value(avg_spd IGNORE NULLS) OVER w_next AS nv,
+         first_value(CASE WHEN avg_spd IS NOT NULL THEN t END IGNORE NULLS)
+           OVER w_next AS nt,
+         t
+  FROM gf_g
+  WINDOW
+    w_prev AS (PARTITION BY route_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY route_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+-- headways / bunching --------------------------------------------------
+arr AS (
+  SELECT route_id, direction_id, unique_vehicle_id, min(tst) AS arrival_tst
+  FROM hfp_vehicles
+  WHERE is_ongoing AND route_id IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+hw AS (
+  SELECT route_id, direction_id, unique_vehicle_id, arrival_tst,
+         epoch_us(arrival_tst) - epoch_us(lag(arrival_tst) OVER w)
+           AS headway_us,
+         lag(unique_vehicle_id) OVER w AS leader_vehicle_id
+  FROM arr
+  WINDOW w AS (PARTITION BY route_id, direction_id
+               ORDER BY arrival_tst, unique_vehicle_id)
+),
+med AS (
+  SELECT route_id, direction_id, median(headway_us) AS med_headway_us
+  FROM hw WHERE headway_us IS NOT NULL GROUP BY 1, 2
+),
+-- on-time performance ---------------------------------------------------
+otp_j AS (
+  SELECT oday, route_id, direction_id, journey_start_time,
+         unique_vehicle_id, min(tst) AS first_observed
+  FROM hfp_vehicles
+  WHERE is_ongoing AND oday IS NOT NULL
+    AND journey_start_time IS NOT NULL AND route_id IS NOT NULL
+  GROUP BY 1, 2, 3, 4, 5
+),
+otp_d AS (
+  SELECT *,
+         epoch_us(first_observed)
+           - (epoch(CAST(oday AS TIMESTAMP)) * 1000000
+              + (CAST(split_part(journey_start_time, ':', 1) AS BIGINT) * 3600
+                 + CAST(split_part(journey_start_time, ':', 2) AS BIGINT) * 60)
+                * 1000000) AS start_delay_us
+  FROM otp_j
+),
+-- reset-aware odometer delta (counter_agg parity) ------------------------
+odo_steps AS (
+  SELECT unique_vehicle_id, oday, odo - lag(odo) OVER w AS step, odo
+  FROM hfp_vehicles
+  WHERE is_ongoing AND odo IS NOT NULL AND oday IS NOT NULL
+  WINDOW w AS (PARTITION BY unique_vehicle_id, oday
+               ORDER BY tst, event_type, journey_type)
+),
+odo_agg AS (
+  SELECT unique_vehicle_id, oday, count(*) AS n_obs,
+         CAST(sum(CASE WHEN step IS NULL THEN CAST(0 AS DECIMAL(30,12))
+                       WHEN step >= 0 THEN CAST(step AS DECIMAL(30,12))
+                       ELSE CAST(odo AS DECIMAL(30,12)) END) AS DOUBLE)
+           AS odo_delta,
+         sum(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS n_resets
+  FROM odo_steps GROUP BY 1, 2
+),
+-- last-known state: row_number twin of Spark's row-faithful max_by;
+-- DESC NULLS LAST mirrors Spark's struct ordering (NULL smallest)
+latest AS (
+  SELECT * FROM (
+    SELECT unique_vehicle_id, tst, event_type, route_id,
+           lat, "long", spd, odo,
+           row_number() OVER (
+             PARTITION BY unique_vehicle_id
+             ORDER BY tst DESC, event_type DESC NULLS LAST,
+                      journey_type DESC NULLS LAST) AS rn
+    FROM hfp_vehicles WHERE is_ongoing
+  ) WHERE rn = 1
+),
+-- speed histogram: arithmetic twin of width_bucket(spd, 0, 30, 15)
+hist_counts AS (
+  SELECT route_id,
+         CASE WHEN spd < 0 THEN 0 WHEN spd >= 30 THEN 16
+              ELSE 1 + CAST(floor(spd / 2.0) AS INT) END AS bucket,
+         count(*) AS n
+  FROM hfp_vehicles
+  WHERE is_ongoing AND spd IS NOT NULL AND NOT isnan(spd)
+    AND route_id IS NOT NULL
+  GROUP BY 1, 2
+),
+hist_dense AS (
+  SELECT r.route_id, s.bucket, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT route_id FROM hist_counts) r
+  CROSS JOIN (SELECT unnest(range(0, 17)) AS bucket) s
+  LEFT JOIN hist_counts c
+    ON c.route_id = r.route_id AND c.bucket = s.bucket
+)
+SELECT 'gapfill' AS leg, route_id AS k1, CAST(NULL AS VARCHAR) AS k2,
+       bucket AS ts, n_events AS n, pv AS v1,
+       CASE WHEN avg_spd IS NOT NULL THEN avg_spd
+            ELSE CAST(pv AS DOUBLE)
+                 + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                 * (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE))
+                 / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END AS v2
+FROM gf_f
+UNION ALL
+SELECT 'headway', route_id,
+       coalesce(CAST(direction_id AS VARCHAR), '{NULL_K}') || '|'
+         || unique_vehicle_id || '|'
+         || coalesce(leader_vehicle_id, '{NULL_K}'),
+       arrival_tst, CAST(NULL AS BIGINT),
+       CAST(headway_us AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM hw
+UNION ALL
+SELECT 'bunching', h.route_id,
+       coalesce(CAST(h.direction_id AS VARCHAR), '{NULL_K}') || '|'
+         || h.unique_vehicle_id,
+       h.arrival_tst, CAST(NULL AS BIGINT),
+       CAST(h.headway_us AS DOUBLE), CAST(m.med_headway_us AS DOUBLE)
+FROM hw h JOIN med m
+  ON h.route_id = m.route_id
+ AND h.direction_id IS NOT DISTINCT FROM m.direction_id
+WHERE h.headway_us IS NOT NULL
+  AND h.headway_us < 0.5 * m.med_headway_us
+UNION ALL
+SELECT 'otp', route_id,
+       CAST(oday AS VARCHAR) || '|' || journey_start_time || '|'
+         || coalesce(CAST(direction_id AS VARCHAR), '{NULL_K}') || '|'
+         || unique_vehicle_id || '|'
+         || (CASE WHEN start_delay_us < -60000000 THEN 'early'
+                  WHEN start_delay_us <= 300000000 THEN 'on_time'
+                  ELSE 'late' END),
+       first_observed, CAST(NULL AS BIGINT),
+       CAST(start_delay_us AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM otp_d
+UNION ALL
+SELECT 'odo', unique_vehicle_id, CAST(oday AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), n_obs, odo_delta, CAST(n_resets AS DOUBLE)
+FROM odo_agg
+UNION ALL
+SELECT 'latest_kin', unique_vehicle_id,
+       coalesce(event_type, '{NULL_K}') || '|'
+         || coalesce(route_id, '{NULL_K}'),
+       tst, CAST(NULL AS BIGINT), spd, odo
+FROM latest
+UNION ALL
+SELECT 'latest_pos', unique_vehicle_id, CAST(NULL AS VARCHAR),
+       tst, CAST(NULL AS BIGINT), lat, "long"
+FROM latest
+UNION ALL
+SELECT 'hist', route_id, CAST(bucket AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), n, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM hist_dense
+"""
+
+QUERIES = {"transit_analytics": q_transit_analytics}
+ORACLES = {"transit_analytics": ORACLE_TRANSIT}
