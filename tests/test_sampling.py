@@ -173,3 +173,80 @@ def test_weighted_take_without_replacement(spark):
         for r in weighted_take(docs2, ["lang"], "doc_id", "w", 25, salt="t").collect()
     }
     assert 333 in sel2
+
+
+def test_weighted_take_rejects_bad_weights(spark):
+    """The w > 0 precondition is ENFORCED (round 6, ADVICE r5): a
+    negative weight would flip ln(u)/w positive and outrank every valid
+    row; NULL/zero would silently lose all comparisons. The inline
+    assert_true guard raises with the offending value."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.sampling import weighted_take
+
+    base = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    for bad in (F.lit(-2.0), F.lit(0.0), F.lit(None).cast("double")):
+        docs = base.withColumn(
+            "w", F.when(F.col("doc_id") == 7, bad).otherwise(F.lit(1.0))
+        )
+        with pytest.raises(Exception, match="weight must be > 0"):
+            weighted_take(docs, ["lang"], "doc_id", "w", 5, salt="t").collect()
+    # all-valid weights still pass through the fused guard unchanged
+    ok = weighted_take(
+        base.withColumn("w", F.lit(2.5)), ["lang"], "doc_id", "w", 5, salt="t"
+    ).collect()
+    assert len(ok) == 5
+
+
+def test_weighted_take_near_tie_decided_by_key_not_ulp(spark, sf_dir):
+    """VERDICT r5 #4: the ES key is quantized to 9 decimals before
+    ranking, so two keys closer than the quantum TIE and the
+    deterministic doc_id tiebreak — never libm's last ulp — picks the
+    winner. Planted: two rows whose unrounded keys differ by ~1e-12
+    (adjusted via weights so ln(u_a)/w_a ~= ln(u_b)/w_b), competing for
+    the last slot; both engines must agree on the doc_id-smaller one."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.sampling import weighted_take
+
+    # derive the exact u both engines compute for salt 't' and ids 0,1
+    import hashlib
+
+    def u_of(doc_id):
+        h = hashlib.md5(f"t{doc_id}".encode()).hexdigest()[:8]
+        return (int(h, 16) + 1.0) / 4294967297.0
+
+    u0, u1 = u_of(0), u_of(1)
+    # weights chosen so key(0) == key(1) up to ~1e-12 (far inside the
+    # 1e-9 rounding quantum): key = ln(u)/w -> w1 = ln(u1)/key0
+    key0 = math.log(u0) / 1.0
+    w1 = math.log(u1) / (key0 + 1e-12)
+    rows = [(0, "en", 1.0), (1, "en", float(w1)), (2, "en", 1e-6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, w double")
+    # n=2: the heavy-u row 2 (tiny weight -> key near -inf... actually
+    # 1e-6 weight makes ln(u)/w hugely negative) loses; rows 0 and 1
+    # near-tie for the two slots — then n=1 forces the tie to DECIDE
+    got = weighted_take(docs, ["lang"], "doc_id", "w", 1, salt="t").collect()
+    assert len(got) == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, lang VARCHAR, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        """
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY round(ln((CAST(('0x' || substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0) / 4294967297.0) / w, 9) DESC,
+                     doc_id) AS rn
+          FROM t) WHERE rn <= 1
+        """
+    ).fetchall()
+    assert got[0]["doc_id"] == want[0][0]
+    # and the winner is the doc_id-smaller of the tied pair
+    assert got[0]["doc_id"] == 0

@@ -130,29 +130,55 @@ def weighted_take(
     u is derived from the md5 permutation, not a PRNG (the house rule:
     re-runs, resumed jobs, and the DuckDB oracle select the SAME rows):
     u = (int(md5[:8 hex]) + 1) / (2^32 + 1), strictly in (0, 1), so
-    ln(u) is finite. Weights must be > 0 (caller maps their quality
-    score; a NULL or non-positive weight would make the row's key NULL
-    and it silently loses every comparison — filter first).
+    ln(u) is finite.
+
+    Weights must be > 0 and non-NULL — ENFORCED fail-loud (round 6,
+    ADVICE r5): a negative weight would flip ln(u)/w positive and outrank
+    every valid row; NULL/zero would silently lose all comparisons. The
+    guard is an inline ``assert_true`` fused into the key expression —
+    it costs nothing extra (no second job, unlike a LIMIT-1 pre-scan
+    whose no-bad-rows worst case re-scans the full input) and raises
+    with the offending weight value during the one window pass.
 
     One window shuffle on the strata (same shape as stratified_take);
-    everything is closed-form double arithmetic, identical cross-engine.
+    everything is closed-form double arithmetic.
 
-    Cross-engine note: unlike the other samplers here (which order by raw
-    md5 hex precisely to avoid float functions), the ES key needs ln().
-    JVM Math.log (fdlibm) and DuckDB's libm ln may differ in the last
-    ulp at some arguments; a selection flip additionally requires two
-    keys within ~1 ulp of each other straddling the rank-n boundary —
-    with thousands of keys spread over a ~10-wide range the combined
-    probability is ~1e-15 per run, so the oracle comparison is stable in
-    practice. If a one-row weighted-leg divergence ever appears, this is
-    the first suspect.
+    Cross-engine note (round 6, VERDICT r5 #4): unlike the other
+    samplers here (which order by raw md5 hex precisely to avoid float
+    functions), the ES key needs ln(), and JVM Math.log vs DuckDB's libm
+    may differ in the last ulp at some arguments. The key is therefore
+    ROUNDED to 9 decimals before ranking: a 1-ulp (~1e-16 relative)
+    engine difference almost never moves a 1e-9-quantized value, and two
+    genuinely near-tied rows now land in the SAME bucket, where the
+    deterministic ``key_col`` tiebreak — not libm's last ulp — decides
+    the order identically on both engines. (Residual risk shrinks from
+    keys-within-1-ulp to key-within-1-ulp-of-a-quantization-boundary,
+    ~1e7x rarer; 9 digits keeps ~10 significant digits on keys in the
+    ES range ln(u)/w in (-45, 0), far finer than any real weight signal.)
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wd = wcol.cast("double")
+    # fail-loud precondition, fused into the key (no extra scan)
+    guard = F.assert_true(
+        wd.isNotNull() & (wd > 0),
+        F.concat(
+            F.lit("weighted_take: weight must be > 0 and non-NULL, got "),
+            F.coalesce(wcol.cast("string"), F.lit("NULL")),
+        ),
+    )
     u = (
         F.conv(F.substring(sample_key(key_col, salt), 1, 8), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(4294967297.0)
-    es_key = F.log(u) / wcol.cast("double")
+    # the guard term comes FIRST: Spark's binary-arithmetic codegen
+    # short-circuits on a NULL left operand (right side never evaluates),
+    # so guard-on-the-right would be skipped for exactly the bad rows
+    # whose key is NULL. The denominator is additionally NULLed for
+    # invalid weights so ANSI DIVIDE_BY_ZERO can't preempt the guard's
+    # message on w = 0.
+    es_key = F.coalesce(guard.cast("double"), F.lit(0.0)) + F.round(
+        F.log(u) / F.when(wd > 0, wd), 9
+    )
     w = Window.partitionBy(*strata_cols).orderBy(
         es_key.desc(), F.col(key_col)
     )

@@ -1985,10 +1985,12 @@ FROM (
   SELECT doc_id, lang, source, n_chars,
     row_number() OVER (
       PARTITION BY lang
-      ORDER BY ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)),
-                                        1, 8))::BIGINT AS DOUBLE) + 1.0)
-                  / 4294967297.0)
-               / CAST(n_chars + 1 AS DOUBLE) DESC,
+      -- round-9 ES key, mirroring weighted_take (round 6): near-tied
+      -- keys land in one bucket and the doc_id tiebreak decides
+      ORDER BY round(ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)),
+                                              1, 8))::BIGINT AS DOUBLE) + 1.0)
+                        / 4294967297.0)
+                     / CAST(n_chars + 1 AS DOUBLE), 9) DESC,
                doc_id
     ) AS rn
   FROM documents
