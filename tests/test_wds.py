@@ -223,3 +223,49 @@ def test_wds_prewrite_validation_preserves_previous_export(spark, sf_dir, tmp_pa
     assert {r["key"] for r in read_wds_shards(spark, out).collect()} == {
         r["media_id"] for r in media.select("media_id").collect()
     }
+
+
+def test_wds_midjob_failure_keeps_previous_data_shards(spark, sf_dir, tmp_path):
+    """Round-6 staged-promote contract (ADVICE r5): a write job that dies
+    MID-WRITE (after real shard work has happened) must leave every
+    previous data shard byte-identical — tasks only stage hidden files;
+    nothing replaces a live shard-K.tar until the driver has seen the
+    whole job succeed. The failure is planted in the writer itself (a
+    bytes-typed meta column json.dumps cannot serialize), past all
+    pre-write validation."""
+    media = _media(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, N_SHARDS, meta_cols=("n_bytes",))
+    before = _file_md5s(out)
+    assert before
+
+    poisoned = media.withColumn("bad_meta", F.col("content"))
+    with pytest.raises(Exception):
+        write_wds_shards(poisoned, out, N_SHARDS, meta_cols=("bad_meta",))
+    # data shards byte-intact; only the in-flight markers were dropped
+    assert _file_md5s(out) == before
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # the next successful overwrite restores markers and cleans any
+    # staged litter the failed job left behind
+    write_wds_shards(media, out, N_SHARDS, meta_cols=("n_bytes",))
+    assert _file_md5s(out) == before
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.startswith(".shard-")]
+
+
+def test_wds_duplicate_ids_refused_before_any_write(spark, sf_dir, tmp_path):
+    """Round 6 (ADVICE r5): the duplicate-id check moved into the
+    pre-write validation — a dup frame is refused before anything is
+    staged or deleted, so a previous export survives untouched."""
+    media = _media(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, N_SHARDS, meta_cols=("n_bytes",))
+    before = _file_md5s(out)
+
+    dup = media.unionByName(media.limit(1))
+    with pytest.raises(ValueError, match="duplicate id"):
+        write_wds_shards(dup, out, N_SHARDS, meta_cols=("n_bytes",))
+    assert _file_md5s(out) == before
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.startswith(".shard-")]

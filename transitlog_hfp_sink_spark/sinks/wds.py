@@ -20,9 +20,16 @@ determinism contract:
 - tar members are byte-reproducible: USTAR format, zeroed
   mtime/uid/gid, fixed 0o644 mode — byte-identical inputs produce
   byte-identical shard files (asserted by tests);
-- crash safety: each task writes ``.tmp`` then ``os.replace`` (atomic
-  on POSIX), and the driver stamps ``_SUCCESS`` + a ``_manifest.json``
-  (per-shard member/byte counts) only after every task committed.
+- crash safety (round 6, ADVICE r5): tasks write attempt-unique STAGED
+  files (``.shard-K…``, hidden names); nothing replaces a live
+  ``shard-K.tar`` until the WHOLE job has succeeded, at which point the
+  driver promotes every staged file with atomic ``os.replace`` and only
+  then stamps ``_SUCCESS`` + ``_manifest.json``. A mid-job failure
+  therefore leaves the previous export's data shards byte-intact (its
+  ``_SUCCESS``/manifest are dropped up front to mark the export
+  in-flight — consumers gate on ``_SUCCESS``). The only remaining
+  non-atomic window is the driver's promotion loop itself (a few
+  renames), still signalled by the missing ``_SUCCESS``.
 
 At cluster scale ``path`` must be storage every executor can reach —
 a mounted shared filesystem (NFS/FUSE bucket mount), the standard
@@ -105,12 +112,14 @@ def write_wds_shards(
     keys). Shard K is ``shard-{K:05d}.tar``; rows land in shard
     ``shard_of(id, n_shards, salt)`` regardless of input partitioning.
     Empty shards write no file (WebDataset readers take a file list).
-    ``mode="overwrite"`` replaces each rewritten shard atomically and
-    removes stale ``shard-*.tar`` (e.g. from a larger prior n_shards)
-    only AFTER the write job succeeds — a failed export never destroys
-    the previous one's data shards (only its ``_SUCCESS``/manifest
-    markers, dropped up front to mark the export in-flight); "error"
-    refuses to write over an existing export.
+    ``mode="overwrite"`` stages every new shard under a hidden
+    attempt-unique name and PROMOTES them all (atomic per-file
+    ``os.replace``) in the driver only after the write job succeeded;
+    stale ``shard-*.tar`` (e.g. from a larger prior n_shards) are
+    removed after promotion — a failed export leaves the previous one's
+    data shards byte-intact (only its ``_SUCCESS``/manifest markers are
+    dropped up front to mark the export in-flight); "error" refuses to
+    write over an existing export.
 
     Extensions must be simple tokens (``[0-9A-Za-z_-]+`` and not
     'json'): a dotted or 'json' extension would collide with the meta
@@ -168,6 +177,16 @@ def write_wds_shards(
             "must match [0-9A-Za-z_-]+ and not be 'json' (reserved for the "
             "meta member)"
         )
+    # duplicate ids break byte-determinism (tie order) and silently lose
+    # rows on read-back (basename clash) — refused BEFORE any work is
+    # staged (round 6, ADVICE r5: previously only caught mid-write). One
+    # column-pruned map-side-combine agg; cheap next to writing the tars.
+    dup = df.groupBy(F.col(id_col)).count().where(F.col("count") > 1).head(1)
+    if dup:
+        raise ValueError(
+            f"duplicate id {dup[0][0]!r} in WDS export: member basenames "
+            "must be unique — dedup the frame first"
+        )
     os.makedirs(path, exist_ok=True)
     # input validated — mark the export in-flight: drop success/manifest
     # markers and any orphaned tmp files now, but keep previous DATA
@@ -190,6 +209,7 @@ def write_wds_shards(
         [
             T.StructField("shard", T.IntegerType(), False),
             T.StructField("file", T.StringType(), False),
+            T.StructField("staged", T.StringType(), False),
             T.StructField("n_items", T.LongType(), False),
             T.StructField("n_bytes", T.LongType(), False),
         ]
@@ -204,16 +224,24 @@ def write_wds_shards(
         state: dict = {
             "shard": None, "tar": None, "tmp": None, "n": 0, "last_key": None
         }
-        done: list[tuple[int, str, int, int]] = []
+        done: list[tuple[int, str, str, int, int]] = []
 
         def close_current() -> None:
+            # the completed shard STAYS under its hidden attempt-unique
+            # staged name; the driver promotes all staged files together
+            # after the whole job succeeds (never a mixed old/new set)
             if state["tar"] is None:
                 return
             state["tar"].close()
-            final = os.path.join(path, f"shard-{state['shard']:05d}.tar")
-            os.replace(state["tmp"], final)
+            final = f"shard-{state['shard']:05d}.tar"
             done.append(
-                (state["shard"], os.path.basename(final), state["n"], os.path.getsize(final))
+                (
+                    state["shard"],
+                    final,
+                    os.path.basename(state["tmp"]),
+                    state["n"],
+                    os.path.getsize(state["tmp"]),
+                )
             )
             state.update(shard=None, tar=None, tmp=None, n=0)
 
@@ -226,10 +254,10 @@ def write_wds_shards(
                 shard = int(shard)
                 if shard != state["shard"]:
                     close_current()
-                    # attempt-unique tmp name: a speculative/retried task
-                    # attempt writing the same shard must not share a tmp
-                    # file with its twin; whichever attempt finishes last
-                    # wins the atomic replace with byte-identical content
+                    # attempt-unique staged name: a speculative/retried
+                    # task attempt writing the same shard must not share
+                    # a file with its twin; only the WINNING attempt's
+                    # report row gets promoted by the driver
                     from pyspark import TaskContext
 
                     tc = TaskContext.get()
@@ -245,10 +273,9 @@ def write_wds_shards(
                         last_key=None,
                     )
                 key = int(k)
-                # rows are sorted by (__shard, __ord, __key), so a
-                # duplicate id is ALWAYS adjacent — a zero-extra-pass
-                # check; dups would break byte-determinism (tie order)
-                # and silently lose rows on read-back (basename clash)
+                # defense-in-depth invariant (the pre-write agg already
+                # refused dup ids): rows are sorted by (__shard, __ord,
+                # __key), so a duplicate is ALWAYS adjacent — zero-cost
                 if key == state["last_key"]:
                     raise ValueError(
                         f"duplicate id {key} in WDS export: member "
@@ -272,7 +299,9 @@ def write_wds_shards(
                 _member(state["tar"], f"{key}.json", meta_b)
                 state["n"] += 1
         close_current()
-        yield pd.DataFrame(done, columns=["shard", "file", "n_items", "n_bytes"])
+        yield pd.DataFrame(
+            done, columns=["shard", "file", "staged", "n_items", "n_bytes"]
+        )
 
     report = (
         keyed.repartition(n_shards, "__shard")
@@ -280,9 +309,13 @@ def write_wds_shards(
         .mapInPandas(write_partition, schema=out_schema)
         .collect()  # bounded: one row per non-empty shard (<= n_shards)
     )
-    # the write succeeded: NOW remove stale data shards from a previous
-    # export (e.g. a larger prior n_shards) and any orphaned tmp files
-    # from failed/speculative attempts
+    # the whole job succeeded: PROMOTE every staged shard (atomic per-file
+    # rename; report rows come only from winning task attempts, so a
+    # speculative loser's staged file is never promoted), then remove
+    # stale data shards from a previous export (e.g. a larger prior
+    # n_shards) and any leftover staged/tmp files
+    for r in report:
+        os.replace(os.path.join(path, r["staged"]), os.path.join(path, r["file"]))
     written = {r["file"] for r in report}
     for f in os.listdir(path):
         stale_data = f.startswith("shard-") and f.endswith(".tar") and f not in written
