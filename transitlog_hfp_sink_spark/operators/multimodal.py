@@ -7,14 +7,15 @@ Python cost is per-BATCH, not per-row, and the bytes never round-trip
 through the driver. Partitioning: repartition by a content-hash prefix so
 batch sizes stay even when payload sizes skew.
 
-Codec status (round 5): REAL dependency-free codecs for the three
+Codec status (rounds 5-6): REAL dependency-free codecs for the three
 modalities — images (uncompressed 24-bit BMP; 8-bit RGB PNG via stdlib
-zlib + all five scanline filters), audio (RIFF/WAVE PCM16), and video
-(RIFF/AVI with DIB frames, demux + frame sampling). Each has an
-encode/decode pair, a closed-form synthesized corpus, and an
-oracle-checked registry leg (multimodal_pipeline decode/audio/video).
-Only JPEG-class compressed formats still need Pillow/opencv (absent in
-this container) and stay env-gated behind decode_image's else branch.
+zlib + all five scanline filters; baseline JFIF JPEG via the pure-Python
+Huffman + IDCT codec in operators/jpegcodec.py — round 6 closed the last
+env gate), audio (RIFF/WAVE PCM16), and video (RIFF/AVI with DIB frames,
+demux + frame sampling). Each has an encode/decode pair, a closed-form
+synthesized corpus, and an oracle-checked registry leg
+(multimodal_pipeline decode/audio/video/jpeg). Only progressive/
+arithmetic JPEG and WebP-class formats still need Pillow/opencv.
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ BYTES_META_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 # Real, dependency-free image codecs (round 5, VERDICT r4 #5): uncompressed
 # 24-bit BMP and 8-bit RGB PNG (stdlib zlib inflate + all five scanline
-# filters). JPEG-class codecs stay env-gated in decode_image's else branch.
+# filters). Baseline JPEG lives in operators/jpegcodec.py (round 6).
 # Formats per the public specs: BITMAPINFOHEADER (bottom-up BGR rows padded
 # to 4 bytes) and RFC 2083 (IHDR/IDAT/IEND chunks, filter types 0-4).
 # ---------------------------------------------------------------------------
@@ -353,18 +354,24 @@ def demux_avi(content: bytes) -> tuple[int, int, list[bytes]]:
 def decode_image(content: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload -> (w, h, row-major top-down RGB bytes).
 
-    REAL for uncompressed 24-bit BMP and 8-bit RGB PNG (pure-Python +
-    stdlib zlib — no external codec needed). Other formats (JPEG/WebP/...)
-    still need Pillow/opencv, absent in this container: they raise, and
-    the call sites isolate that behind the batch boundary so wiring a
-    binary codec in touches nothing else."""
+    REAL for uncompressed 24-bit BMP, 8-bit RGB PNG (pure-Python +
+    stdlib zlib), and — round 6 — baseline JFIF JPEG (pure-Python
+    Huffman + IDCT, operators/jpegcodec.py; the repo's last env gate
+    closed). Progressive/arithmetic JPEG and WebP-class formats raise
+    NotImplementedError; a production deployment swaps Pillow or
+    libjpeg-turbo in behind this same seam without touching any Spark
+    plumbing."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from transitlog_hfp_sink_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "only BMP/PNG decode in this environment (JPEG-class codecs need "
-        "Pillow/opencv)"
+        "unsupported image container (BMP/PNG/baseline-JPEG decode here; "
+        "WebP-class codecs need Pillow/opencv)"
     )
 
 
@@ -571,6 +578,101 @@ def decode_stats(
             )
 
     return df.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+JPEG_DC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("img_w", T.IntegerType(), True),
+        T.StructField("img_h", T.IntegerType(), True),
+        T.StructField("n_px", T.IntegerType(), True),
+        T.StructField("n_distinct_px", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("px_wsum", T.LongType(), True),
+        T.StructField("rgb_md5", T.StringType(), True),
+    ]
+)
+
+
+def synth_dc_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads keyed by id: DC-only
+    8x8 3-component files from operators/jpegcodec.synth_dc_jpeg, whose
+    decoded (flat) pixel is a closed-form function of the id — the
+    oracle-friendly synthesis for the jpeg decode leg (round 6; the same
+    pattern as synth_images' analytic BMP/PNG pixel law, adapted to a
+    lossy codec by planting the quantized coefficients directly).
+    Arrow-batched mapInPandas; bytes never hit the driver."""
+    from transitlog_hfp_sink_spark.operators.jpegcodec import synth_dc_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image",
+                    "content": ids.map(lambda i: synth_dc_jpeg(int(i))),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema=schema)
+
+
+def jpeg_dc_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL JPEG decode -> per-image stats for the DC-only oracle leg
+    (round 6): decode through the decode_image seam (format sniffing +
+    the baseline JPEG path), then emit dims, pixel count, DISTINCT pixel
+    count (a correct DC-only decode is flat: exactly 1), the pixel-byte
+    sum / order-sensitive weighted sum (same invariants as the BMP/PNG
+    leg), and md5 over the canonical "r,g,b" string of pixel 0 (a string
+    digest, not raw bytes — md5(BLOB) is not cross-engine portable for
+    non-ASCII bytes). Undecodable payloads dead-letter as NULL stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stats(content: bytes):
+            if content is None:
+                return (None,) * 7
+            try:
+                w, h, rgb = decode_image(content)
+            except _DECODE_ERRORS:
+                return (None,) * 7
+            px = [tuple(rgb[3 * k : 3 * k + 3]) for k in range(w * h)]
+            r, g, b = px[0]
+            return (
+                w,
+                h,
+                w * h,
+                len(set(px)),
+                sum(rgb),
+                sum((i + 1) * v for i, v in enumerate(rgb)),
+                hashlib.md5(f"{r},{g},{b}".encode()).hexdigest(),
+            )
+
+        for pdf in it:
+            cols = list(zip(*pdf[content_col].map(stats)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "img_w": pd.array(cols[0], dtype="Int32") if cols else [],
+                    "img_h": pd.array(cols[1], dtype="Int32") if cols else [],
+                    "n_px": pd.array(cols[2], dtype="Int32") if cols else [],
+                    "n_distinct_px": pd.array(cols[3], dtype="Int32") if cols else [],
+                    "px_sum": pd.array(cols[4], dtype="Int64") if cols else [],
+                    "px_wsum": pd.array(cols[5], dtype="Int64") if cols else [],
+                    "rgb_md5": cols[6] if cols else [],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=JPEG_DC_STATS_SCHEMA)
 
 
 VIDEO_STATS_SCHEMA = T.StructType(

@@ -1517,14 +1517,28 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    demuxed by the pure-Python chunk walker, every 2nd
                    frame decoded (bottom-up BGR stride frames -> RGB) —
                    one row per sampled frame carrying the image-leg
-                   stats, over the doc_id%7==0 subset."""
+                   stats, over the doc_id%7==0 subset;
+    part='jpeg'  — REAL baseline-JPEG decode (round 6, the last env
+                   gate closed): DC-only 8x8 JPEGs with PLANTED integer
+                   coefficients (operators/jpegcodec.synth_dc_jpeg)
+                   decoded through the full marker/Huffman/IDCT path;
+                   a correct decode is a flat image whose pixel is a
+                   closed-form float64 function of the id — n_bytes
+                   carries the pixel-byte sum 64(r+g+b), content_md5
+                   the md5 of the canonical "r,g,b" string, frame_idx
+                   the pixel count (x -1 if the decode is NOT flat —
+                   n_distinct_px folds into the checked value), out_w/
+                   out_h the dims, feat_sum the order-sensitive
+                   6112r+6176g+6240b; doc_id%5==2 subset."""
     from transitlog_hfp_sink_spark.operators.multimodal import (
         audio_stats,
         decode_stats,
         extract_features,
         frame_sample_plan,
+        jpeg_dc_stats,
         resize_plan,
         synth_audio,
+        synth_dc_jpegs,
         synth_images,
         synth_videos,
         video_stats,
@@ -1605,6 +1619,21 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_h=F.col("img_h"),
         feat_sum=F.col("px_wsum").cast("double"),
     )
+    # jpeg leg (round 6): flatness is folded into frame_idx (n_px
+    # negated when n_distinct_px != 1) so a non-flat decode — wrong
+    # Huffman/IDCT/dequant — flips the hash even if the sums collide
+    jp = docs.where(F.col("doc_id") % 5 == 2)
+    jpeg_leg = leg(
+        jpeg_dc_stats(synth_dc_jpegs(jp)), "jpeg",
+        n_bytes=F.col("px_sum"),
+        content_md5=F.col("rgb_md5"),
+        frame_idx=F.when(F.col("n_distinct_px") == 1, F.col("n_px"))
+        .otherwise(-F.col("n_px"))
+        .cast("int"),
+        out_w=F.col("img_w"),
+        out_h=F.col("img_h"),
+        feat_sum=F.col("px_wsum").cast("double"),
+    )
     return (
         meta_leg.unionByName(frame_leg)
         .unionByName(resize_leg)
@@ -1612,6 +1641,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(decode_leg)
         .unionByName(audio_leg)
         .unionByName(video_leg)
+        .unionByName(jpeg_leg)
     )
 
 
@@ -1731,6 +1761,51 @@ SELECT 'video' AS part, doc_id AS media_id,
 FROM (
   SELECT doc_id, unnest(range(0, doc_id % 6 + 2, 2)) AS f
   FROM documents WHERE doc_id % 7 = 0
+)
+UNION ALL
+-- jpeg leg (round 6): the analytic prediction of the REAL baseline-JPEG
+-- decode of DC-only files with PLANTED coefficients
+-- (operators/jpegcodec.synth_dc_jpeg): every pixel is the same
+-- closed-form value replicating the decoder's exact float64 path —
+-- A = the double nearest 1/sqrt(2); A*A is NOT 0.5, and round is
+-- half-away-from-zero (values never reach the 0/255 clamps for this id
+-- law). frame_idx carries n_px with the flatness invariant folded in
+-- (negated when the decode is not flat).
+SELECT 'jpeg' AS part, media_id,
+       CAST(64 * (r + g + b) AS BIGINT) AS n_bytes,
+       md5(CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR) || ','
+           || CAST(b AS VARCHAR)) AS content_md5,
+       CAST(64 AS INTEGER) AS frame_idx,
+       CAST(8 AS INTEGER) AS out_w,
+       CAST(8 AS INTEGER) AS out_h,
+       CAST(6112*r + 6176*g + 6240*b AS DOUBLE) AS feat_sum
+FROM (
+  SELECT media_id,
+    CAST(CASE WHEN rr >= 0 THEN floor(rr + 0.5) ELSE -floor(-rr + 0.5) END AS INTEGER) AS r,
+    CAST(CASE WHEN gg >= 0 THEN floor(gg + 0.5) ELSE -floor(-gg + 0.5) END AS INTEGER) AS g,
+    CAST(CASE WHEN bb >= 0 THEN floor(bb + 0.5) ELSE -floor(-bb + 0.5) END AS INTEGER) AS b
+  FROM (
+    SELECT media_id,
+      yy + 1.402 * (cr - 128.0) AS rr,
+      yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) AS gg,
+      yy + 1.772 * (cb - 128.0) AS bb
+    FROM (
+      SELECT media_id,
+        CAST(CASE WHEN fy >= 0 THEN floor(fy + 0.5) ELSE -floor(-fy + 0.5) END AS DOUBLE) AS yy,
+        CAST(CASE WHEN fcb >= 0 THEN floor(fcb + 0.5) ELSE -floor(-fcb + 0.5) END AS DOUBLE) AS cb,
+        CAST(CASE WHEN fcr >= 0 THEN floor(fcr + 0.5) ELSE -floor(-fcr + 0.5) END AS DOUBLE) AS cr
+      FROM (
+        SELECT doc_id AS media_id,
+          0.25 * ((0.7071067811865476 * 0.7071067811865476)
+                  * CAST((doc_id % 29 - 14) * 16 AS DOUBLE)) + 128.0 AS fy,
+          0.25 * ((0.7071067811865476 * 0.7071067811865476)
+                  * CAST((doc_id % 13 - 6) * 17 AS DOUBLE)) + 128.0 AS fcb,
+          0.25 * ((0.7071067811865476 * 0.7071067811865476)
+                  * CAST((doc_id % 11 - 5) * 17 AS DOUBLE)) + 128.0 AS fcr
+        FROM documents WHERE doc_id % 5 = 2
+      )
+    )
+  )
 )
 """
 
