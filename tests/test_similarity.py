@@ -606,3 +606,34 @@ def test_ivf_served_index_equals_adhoc(spark, sf_dir):
     a = sorted(tuple(r) for r in adhoc.collect())
     s = sorted(tuple(r) for r in served.collect())
     assert a == s and len(a) > 0
+
+
+def test_codebook_assign_arrow_matches_expression_kernel(spark, sf_dir):
+    """Round 6: the BLAS assignment kernel (large-codebook path of
+    semantic_dedup) must agree with the oracle-twinned expression kernel
+    row for row — the round-6 dist2 quantization absorbs the summation-
+    order difference, and argmin-first == lowest-cluster-id tie rule on
+    both. Also pins the auto-selection threshold semantics."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = (
+        emb.where(F.col("vec_id") < 12)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in rows]
+    a = {r["vec_id"]: (r["cluster_id"], r["dist2"])
+         for r in sim.codebook_assign(emb, cents).collect()}
+    b = {r["vec_id"]: (r["cluster_id"], r["dist2"])
+         for r in sim.codebook_assign_arrow(emb, cents).collect()}
+    assert a == b and len(a) > 0
+    # keep_vec parity: the pair join consumes the double-cast vector
+    bv = sim.codebook_assign_arrow(emb, cents, keep_vec=True)
+    assert dict(bv.dtypes)["vec"] == "array<double>"
+    assert bv.count() == len(a)
+    # the registry legs (k=8) stay on the expression kernel
+    assert sim.ASSIGN_ARROW_THRESHOLD >= 8

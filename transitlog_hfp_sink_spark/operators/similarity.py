@@ -653,6 +653,77 @@ def diversity_sample(
     )
 
 
+def codebook_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Large-codebook assignment kernel: Arrow-batched numpy argmin.
+
+    codebook_assign's broadcast-literal expression path is exactly right
+    for oracle-twinned small codebooks (bit-identical fold order vs
+    DuckDB), but its per-row cost is an INTERPRETED transform over k
+    centroids — at the adaptive-k regime (k = n/256, so n*k ~ n^2/256
+    distance terms) that wall is the measured bottleneck of the round-6
+    sf10 probe. This kernel does the same v.v - 2 v.C + c.c computation
+    as ONE BLAS matmul per Arrow batch (numpy float64), ~1000x the
+    interpreted throughput, with the same round-to-6 + lowest-cluster-id
+    tie rule (np.argmin takes the first minimum).
+
+    Determinism: bit-reproducible for a fixed BLAS (same machine/build),
+    and the round-6 quantization makes assignment flips across BLAS
+    builds vanishingly rare — but the summation ORDER differs from the
+    expression path, so cross-engine-twinned legs must keep
+    codebook_assign (semantic_dedup's auto rule: expression path for
+    k <= 64, this kernel beyond — the registry legs pin k=8).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    cc = (C * C).sum(axis=1)
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # (b, d)
+            vv = (V * V).sum(axis=1)
+            d2 = np.round(vv[:, None] - 2.0 * (V @ C.T) + cc[None, :], 6)
+            cl = d2.argmin(axis=1)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": cl.astype("int32"),
+                    "dist2": d2[np.arange(len(cl)), cl],
+                }
+            )
+            if keep_vec:
+                out["vec"] = [row.tolist() for row in V]
+            yield out
+
+    fields = [
+        T.StructField(id_col, df.schema[id_col].dataType, True),
+        T.StructField("cluster_id", T.IntegerType(), True),
+        T.StructField("dist2", T.DoubleType(), True),
+    ]
+    if keep_vec:
+        fields.append(T.StructField("vec", T.ArrayType(T.DoubleType()), True))
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, schema=T.StructType(fields)
+    )
+
+
+#: codebooks above this size assign via the BLAS kernel; at or below it
+#: the broadcast-literal expression path keeps cross-engine bit parity
+ASSIGN_ARROW_THRESHOLD = 64
+
+
 def adaptive_n_clusters(
     n_rows: int, target_cluster_rows: int = 256, lo: int = 8, hi: int = 65536
 ) -> int:
@@ -708,8 +779,19 @@ def semantic_dedup(
     standard production trade for keeping worst-case pair cost linear in
     corpus size regardless of cluster balance. None (default) preserves
     exact SemDeDup-within-cluster semantics.
+
+    Assignment kernel (round 6): codebooks up to ASSIGN_ARROW_THRESHOLD
+    entries use the broadcast-literal expression path (cross-engine
+    bit-identical — the oracle legs pin k=8); larger codebooks use the
+    Arrow/BLAS kernel (codebook_assign_arrow), whose n*k distance matrix
+    would otherwise be interpreted per element in the adaptive-k regime.
     """
-    base = codebook_assign(df, centroids, id_col, vec_col, keep_vec=True)
+    assign = (
+        codebook_assign
+        if len(centroids) <= ASSIGN_ARROW_THRESHOLD
+        else codebook_assign_arrow
+    )
+    base = assign(df, centroids, id_col, vec_col, keep_vec=True)
     join_keys = ["cluster_id"]
     if max_cluster_rows is not None:
         sizes = base.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
