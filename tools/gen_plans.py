@@ -31,7 +31,7 @@ PICKS = {
     "pack_bpe_compose": "tokenize->pack: subword widths feed the same one-shuffle per-shard window cumsum",
     "trajectory_similarity": "trajectory search: one hash-agg builds signatures, broadcast queries, map-only distance scan, tiny top-k window",
     "corpus_profile": "data card: exact-distinct costs a second (group,fingerprint) exchange; approx mode collapses to one group-key shuffle",
-    "gapfill_rollup": "time_bucket_gapfill: map-only spine explode, per-series left join, all fills in ONE window exchange — no cartesian, no UDF",
+    "gapfill_rollup": "time_bucket_gapfill (round-6 single-pass): per-row gap explode after one lag window; fill windows REUSE the same exchange — no join, no cache, no UDF",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):
@@ -47,9 +47,10 @@ def main(sf_dir="/root/testdata/sf0.01"):
     )
     qs["events_hourly_rollup"] = q_hourly_rollup
     qs["gapfill_rollup"] = q_gapfill_rollup
-    # the TPC-H tail lives behind tpch_power_run; snapshot members directly
-    from transitlog_hfp_sink_spark.queries import tpch_extra
-    qs.update(tpch_extra.QUERIES)
+    # the TPC-H shapes live behind tpch_power_run (incl. q4/top_brands
+    # since round 6); snapshot the members directly
+    from transitlog_hfp_sink_spark.queries import power
+    qs.update(power.POWER_QUERIES)
     # round-3 standalone operators (registry runs them as legs of
     # consolidated entries; snapshot the standalone bench shapes)
     from bench import bench_overrides
