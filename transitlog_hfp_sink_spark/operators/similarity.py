@@ -794,17 +794,19 @@ def semantic_dedup(
     base = assign(df, centroids, id_col, vec_col, keep_vec=True)
     join_keys = ["cluster_id"]
     if max_cluster_rows is not None:
-        sizes = base.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
-        n_sub = F.ceil(F.col("__cn") / F.lit(max_cluster_rows)).cast("long")
-        base = (
-            base.join(F.broadcast(sizes), "cluster_id")
-            .withColumn(
-                "__sub",
-                F.when(F.col("__cn") <= max_cluster_rows, F.lit(0)).otherwise(
-                    F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
-                ),
-            )
-            .drop("__cn")
+        # cluster sizes via a WINDOW over the assignment's own cluster_id
+        # partitioning, not a groupBy + broadcast join back (round 6): the
+        # join shape consumed the unpersisted assignment — the expensive
+        # n*k stage — a THIRD time (sizes agg + both self-join sides); the
+        # window shares the pair join's exchange and costs no extra pass
+        w_cn = Window.partitionBy("cluster_id")
+        cn = F.count("*").over(w_cn)
+        n_sub = F.ceil(cn / F.lit(max_cluster_rows)).cast("long")
+        base = base.withColumn(
+            "__sub",
+            F.when(cn <= max_cluster_rows, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+            ),
         )
         join_keys = ["cluster_id", "__sub"]
     # per-row norm computed ONCE before the pair join (round 5): the
