@@ -75,6 +75,11 @@ def main() -> None:
     s.build_input_relational(spark)
     s.build_input(spark)  # document/embedding family sf1 input
     qs = all_queries()
+    # q4_order_priority / top_brands_revenue live inside the power-run
+    # digest since round 6; resolve their standalone callables directly
+    from transitlog_hfp_sink_spark.queries import power as _power
+
+    qs.update(_power.POWER_QUERIES)
     ov = bench_overrides()
     # the document/ANN family (bench shapes, same overrides the sf1
     # stress times) — banded LSH / broadcast-query ANN / postings BM25

@@ -118,6 +118,9 @@ RELATIONAL_NAMES = [
     "rollup_cube_grouping",
     "set_ops_customers",
     "tpch_power_run",
+    # round 6: the TimescaleDB-analytics consolidated entry (gapfill +
+    # headways + OTP + odo + latest + histogram over the catalog views)
+    "transit_analytics",
 ]
 
 
@@ -175,6 +178,11 @@ def run_relational(spark) -> None:
     from transitlog_hfp_sink_spark.queries import queries as all_queries
 
     qs = all_queries()
+    # q4_order_priority / top_brands_revenue live inside the power-run
+    # digest since round 6; resolve their standalone callables directly
+    from transitlog_hfp_sink_spark.queries import power as _power
+
+    qs.update(_power.POWER_QUERIES)
     from bench import bench_overrides
 
     overrides = bench_overrides()
