@@ -66,6 +66,10 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         "hfp_trajectory_length",  # 'sim' leg: broadcast tiny query-signature
         # set against the per-vehicle signature table (one short row per
         # trajectory) — the embedding_topk_exact pattern
+        "transit_analytics",  # 'hist' leg: the STATIC 17-row width_bucket
+        # spine cross-joined into the per-route histogram densify — a
+        # constant-size broadcast that does not grow with the data
+        # (catalog.py register_histogram_view)
     }
     for name, fn in queries().items():
         if name == "events_hourly_rollup":
