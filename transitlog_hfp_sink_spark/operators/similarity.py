@@ -624,7 +624,15 @@ def diversity_sample(
 
     Returns (cluster_id, id_col, dist2, rank, cluster_size).
     """
-    assigned = codebook_assign(df, centroids, id_col, vec_col)
+    # same kernel auto-rule as semantic_dedup (round 6): expression path
+    # keeps cross-engine bit parity for the small oracle-twinned
+    # codebooks; the Arrow/BLAS kernel takes over in the adaptive-k regime
+    assign = (
+        codebook_assign
+        if len(centroids) <= ASSIGN_ARROW_THRESHOLD
+        else codebook_assign_arrow
+    )
+    assigned = assign(df, centroids, id_col, vec_col)
     salted = assigned.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
     )
