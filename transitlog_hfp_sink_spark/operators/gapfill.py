@@ -119,10 +119,17 @@ def gapfill_buckets(
         .orderBy(b.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next observation" via the REVERSED running frame, not
+    # (currentRow, unboundedFollowing): Spark evaluates unbounded-
+    # FOLLOWING frames by re-aggregating from scratch per row —
+    # O(rows^2) per partition (measured round 6: 6.4 s for 83k observed
+    # buckets / 550 series at sf0.1; the reversed prefix frame is the
+    # linear running form and picks the identical elements). Costs one
+    # extra in-partition sort (DESC), zero extra exchanges.
     w_next = (
         Window.partitionBy(*series_cols)
-        .orderBy(b.asc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(b.desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = F.unix_micros(b)
 
@@ -138,8 +145,9 @@ def gapfill_buckets(
         else:  # interpolate — linear between the surrounding observations
             pv = F.last(v, ignorenulls=True).over(w_prev)
             pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
-            nv = F.first(v, ignorenulls=True).over(w_next)
-            nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+            # last over the DESC prefix == first at-or-after in ASC order
+            nv = F.last(v, ignorenulls=True).over(w_next)
+            nt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
             # exact arithmetic mirrored by the DuckDB twin: all-double
             # operands, pv + (nv - pv) * frac evaluation order
             filled = F.when(v.isNotNull(), v.cast("double")).otherwise(

@@ -802,20 +802,39 @@ def semantic_dedup(
     base = assign(df, centroids, id_col, vec_col, keep_vec=True)
     join_keys = ["cluster_id"]
     if max_cluster_rows is not None:
-        # cluster sizes via a WINDOW over the assignment's own cluster_id
-        # partitioning, not a groupBy + broadcast join back (round 6): the
-        # join shape consumed the unpersisted assignment — the expensive
-        # n*k stage — a THIRD time (sizes agg + both self-join sides); the
-        # window shares the pair join's exchange and costs no extra pass
-        w_cn = Window.partitionBy("cluster_id")
-        cn = F.count("*").over(w_cn)
-        n_sub = F.ceil(cn / F.lit(max_cluster_rows)).cast("long")
-        base = base.withColumn(
-            "__sub",
-            F.when(cn <= max_cluster_rows, F.lit(0)).otherwise(
-                F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
-            ),
-        )
+        # two shapes for the sub-split's cluster sizes, matched to the
+        # assignment kernel (round 6, measured both ways at sf0.1/sf10):
+        # - small k (expression kernel): sizes agg + broadcast join back.
+        #   Assignment is cheap to recompute, and the join adds NO
+        #   exchange of the vec-carrying rows (the window shape cost an
+        #   extra full shuffle and ran 1.8x slower at sf0.1).
+        # - large k (BLAS kernel): a COUNT WINDOW on cluster_id. There
+        #   the n*k assignment stage is the expensive part and the join
+        #   shape re-executes it a third time (sizes agg + both
+        #   self-join sides); one more exchange is the cheaper price.
+        if len(centroids) <= ASSIGN_ARROW_THRESHOLD:
+            sizes = base.groupBy("cluster_id").agg(F.count("*").alias("__cn"))
+            n_sub = F.ceil(F.col("__cn") / F.lit(max_cluster_rows)).cast("long")
+            base = (
+                base.join(F.broadcast(sizes), "cluster_id")
+                .withColumn(
+                    "__sub",
+                    F.when(F.col("__cn") <= max_cluster_rows, F.lit(0)).otherwise(
+                        F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+                    ),
+                )
+                .drop("__cn")
+            )
+        else:
+            w_cn = Window.partitionBy("cluster_id")
+            cn = F.count("*").over(w_cn)
+            n_sub = F.ceil(cn / F.lit(max_cluster_rows)).cast("long")
+            base = base.withColumn(
+                "__sub",
+                F.when(cn <= max_cluster_rows, F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col)), n_sub).cast("int")
+                ),
+            )
         join_keys = ["cluster_id", "__sub"]
     # per-row norm computed ONCE before the pair join (round 5): the
     # within-cluster join evaluates O(sum |c|^2) pairs, and cosine()
