@@ -31,7 +31,10 @@ def test_app_subprocess_end_to_end(spark, tmp_path):
             "--checkpoint", str(tmp_path / "ckpt"),
             "--dead-letter", str(tmp_path / "dead"),
             "--trigger-s", "1",
-            "--max-runtime-s", "45",
+            # generous CEILING for loaded hosts — drain detection exits
+            # the bounded run a few batches after the input is consumed,
+            # so the quiet-path duration is unchanged (round 6)
+            "--max-runtime-s", "150",
         ],
         cwd=REPO,
         env=env,

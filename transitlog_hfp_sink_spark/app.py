@@ -514,7 +514,35 @@ def main(argv: list[str] | None = None) -> int:
         logger.info("pipeline started: %s -> %s (trigger=%.1fs)",
                     args.source, args.sink, cfg.dump_interval_s)
         if args.max_runtime_s:
-            query.awaitTermination(args.max_runtime_s)
+            # bounded run: the deadline is a CEILING, not a sleep — once
+            # the stream has processed data and then gone idle for a few
+            # consecutive batches (a drained file source), exit early.
+            # Round-6 hardening: the fixed-sleep form made the subprocess
+            # e2e time out under host load (45 s of JVM start + first
+            # trigger wasn't enough) while wasting 30+ idle seconds on a
+            # quiet machine; drain detection gives both paths the right
+            # duration and lets callers set generous ceilings.
+            import time as _time
+
+            deadline = _time.time() + args.max_runtime_s
+            saw_data, idle_batches, last_bid = False, 0, -1
+            while _time.time() < deadline:
+                if query.awaitTermination(1.0):
+                    break
+                p = query.lastProgress
+                if p is None:
+                    continue
+                bid = p.get("batchId", -1)
+                if bid == last_bid:
+                    continue  # count DISTINCT batches, not poll ticks
+                last_bid = bid
+                if p.get("numInputRows", 0) > 0:
+                    saw_data, idle_batches = True, 0
+                elif saw_data:
+                    idle_batches += 1
+                    if idle_batches >= 3:
+                        logger.info("bounded run drained; stopping early")
+                        break
             query.stop()
         else:
             query.awaitTermination()
