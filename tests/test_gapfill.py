@@ -97,6 +97,48 @@ def test_gapfill_plan_one_window_exchange_no_cartesian(spark):
     assert n_window_ops <= 3, plan
 
 
+def test_gapfill_giant_gap_spreads_across_tasks(spark):
+    """VERDICT r6 #3: a single row closing a pathological gap (two
+    observations far apart at small buckets) must not concentrate the
+    whole densified output on one task. With max_slice_buckets=M the gap
+    splits into ceil(n/M) slice rows, repartitioned across tasks, each
+    emitting <= M buckets — and the output is identical to the unchunked
+    shape."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + datetime.timedelta(seconds=20_000), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, bucket timestamp, v double")
+    kw = dict(
+        bucket_col="bucket", width_s=1, series_cols=["series"],
+        fill={"v": "interpolate"},
+    )
+    out = gapfill_buckets(df, **kw, max_slice_buckets=1000)
+
+    # 20_001 result rows; per-partition concentration bounded by the slice
+    # width (one task may receive a few slices, but never the whole gap)
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    assert sum(r["count"] for r in per_part) == 20_001
+    assert len(per_part) > 1, "giant gap landed on a single task"
+    assert max(r["count"] for r in per_part) < 20_001
+
+    # byte-identical output vs the unchunked shape (slice width > gap)
+    ref = gapfill_buckets(df, **kw, max_slice_buckets=1 << 20)
+    assert out.exceptAll(ref).count() == 0 and ref.exceptAll(out).count() == 0
+
+    # closed-form spot checks: exact linear interpolation at slice edges
+    got = {r["bucket"]: r["v"] for r in out.collect()}
+    assert got[t0] == 10.0
+    assert got[t0 + datetime.timedelta(seconds=20_000)] == 30.0
+    mid = t0 + datetime.timedelta(seconds=10_000)
+    assert got[mid] == 20.0
+    edge = t0 + datetime.timedelta(seconds=1000)  # first slice boundary
+    assert abs(got[edge] - (10.0 + 20.0 * 1000 / 20_000)) < 1e-12
+
+
 def test_gapfill_null_series_key_rejoins_its_observations(spark):
     """Round-5 review fix: a NULL series key is a real group (groupBy
     keeps it), and the spine join must be NULL-SAFE — a plain equi-join

@@ -188,6 +188,41 @@ def test_synth_dc_jpeg_closed_form_all_ids():
         assert px == expect(i), i
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 (ADVICE r6): any number of 0xFF fill bytes may pad a
+    marker; a fill-padded foreign file must decode identically to the
+    unpadded one."""
+    good = synth_dc_jpeg(7)
+    ref = decode_jpeg(good)
+    # pad a header marker: inject fill bytes before the SOF0 marker code
+    sof = good.index(b"\xff\xc0")
+    padded = good[:sof] + b"\xff\xff\xff" + good[sof:]
+    assert decode_jpeg(padded) == ref
+    # and before the SOS marker
+    sos = good.index(b"\xff\xda")
+    padded2 = good[:sos] + b"\xff" * 5 + good[sos:]
+    assert decode_jpeg(padded2) == ref
+
+
+def test_non_interleaved_scan_reported_honestly():
+    """ADVICE r6: a baseline file whose SOS covers fewer components than
+    the frame (multi-scan, non-interleaved) must raise a descriptive
+    NotImplementedError, not a misleading missing-table error."""
+    w, h = 16, 16
+    color = encode_jpeg(w, h, bytes([90, 140, 190]) * (w * h), quality=90)
+    sos = color.index(b"\xff\xda")
+    seglen = struct.unpack(">H", color[sos + 2 : sos + 4])[0]
+    ns = color[sos + 4]
+    assert ns == 3  # sanity: our encoder writes one interleaved scan
+    # rewrite the SOS to cover only the FIRST component (len 2+1+2+3=8)
+    first_comp = color[sos + 5 : sos + 7]
+    tail = color[sos + 2 + seglen - 3 : sos + 2 + seglen]  # Ss/Se/AhAl
+    new_sos = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + b"\x01" + first_comp + tail
+    mangled = color[:sos] + new_sos + color[sos + 2 + seglen :]
+    with pytest.raises(NotImplementedError, match="non-interleaved scan"):
+        decode_jpeg(mangled)
+
+
 def test_corrupt_payloads_deadletter_contract():
     """Corrupt JPEGs must raise within the codec family's documented
     error set (multimodal._DECODE_ERRORS), so ONE bad payload

@@ -202,10 +202,12 @@ def test_weighted_take_rejects_bad_weights(spark):
 
 
 def test_weighted_take_near_tie_decided_by_key_not_ulp(spark, sf_dir):
-    """VERDICT r5 #4: the ES key is quantized to 9 decimals before
-    ranking, so two keys closer than the quantum TIE and the
+    """VERDICT r5 #4 / ADVICE r6: the ES key is quantized with
+    floor(key * 1e9) before ranking (floor of the BINARY double — the
+    one quantization both engines compute identically; round() diverges
+    on repr ties), so two keys closer than the quantum TIE and the
     deterministic doc_id tiebreak — never libm's last ulp — picks the
-    winner. Planted: two rows whose unrounded keys differ by ~1e-12
+    winner. Planted: two rows whose unquantized keys differ by ~1e-12
     (adjusted via weights so ln(u_a)/w_a ~= ln(u_b)/w_b), competing for
     the last slot; both engines must agree on the doc_id-smaller one."""
     import math
@@ -242,7 +244,7 @@ def test_weighted_take_near_tie_decided_by_key_not_ulp(spark, sf_dir):
         SELECT doc_id FROM (
           SELECT doc_id, row_number() OVER (
             PARTITION BY lang
-            ORDER BY round(ln((CAST(('0x' || substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0) / 4294967297.0) / w, 9) DESC,
+            ORDER BY floor(ln((CAST(('0x' || substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0) / 4294967297.0) / w * 1000000000.0) DESC,
                      doc_id) AS rn
           FROM t) WHERE rn <= 1
         """

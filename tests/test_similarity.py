@@ -637,3 +637,27 @@ def test_codebook_assign_arrow_matches_expression_kernel(spark, sf_dir):
     assert bv.count() == len(a)
     # the registry legs (k=8) stay on the expression kernel
     assert sim.ASSIGN_ARROW_THRESHOLD >= 8
+
+
+def test_codebook_assign_arrow_rejects_null_and_ragged_vectors(spark):
+    """ADVICE r6: the BLAS kernel fails loudly (descriptive error naming
+    the ids) on NULL or wrong-dimension embeddings instead of crashing
+    inside np.stack — malformed vectors must not change failure mode at
+    the ASSIGN_ARROW_THRESHOLD kernel switch."""
+    import pytest
+
+    from transitlog_hfp_sink_spark.operators import similarity as sim
+
+    cents = [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
+    base = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL or non-3-dim"):
+        sim.codebook_assign_arrow(base, cents).collect()
+    ragged = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3]), (7, [0.1, 0.2])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL or non-3-dim"):
+        sim.codebook_assign_arrow(ragged, cents).collect()

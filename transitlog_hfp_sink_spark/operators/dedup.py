@@ -289,7 +289,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = shingle_frame(df, text_col, id_col, shingle_n).cache()
+    # localCheckpoint, not cache(): the shingle frame is read by both sides
+    # of the verify join; a CacheManager cache is never releasable from
+    # inside this lazy function (the consuming action is the caller's), and
+    # repeated invocation on the same plan spams "Asked to cache already
+    # cached data". Lazy local checkpoint materializes once at the first
+    # action, both join branches read the blocks, and the ContextCleaner
+    # frees them on GC (VERDICT r6 #1).
+    sh = shingle_frame(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     verified = (
         cands.join(
             sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"

@@ -9,39 +9,54 @@ the surrounding observed buckets (``interpolate``).
 Spark-first decomposition: the bucketing + aggregation stage is ordinary
 ``groupBy(time_bucket, series).agg(...)`` (the caller owns it, exactly as
 TimescaleDB composes gapfill AROUND an aggregate query), and this module
-adds only the densify+fill stage — ONE pass, no self-join (round 6; the
-round-5 shape consumed ``bucketed`` twice — a min/max spine agg plus a
-join probe — and persisted the input to de-duplicate the work, leaking a
-cached plan per call and spamming ``CacheManager`` warnings in long
-sessions):
+adds only the densify+fill stage. Round-7 shape — fills are resolved on
+the OBSERVED rows, before densification, so the dense grid is never
+windowed at all:
 
-1. gap explode:  per series ordered by bucket, each observed row emits
-                 the buckets in ``(lag(bucket), bucket]`` via
-                 ``explode(sequence(...))`` — the first row of a series
-                 emits just itself. The union over rows IS the dense
-                 per-series grid; gap rows carry NULL values. Map-side
-                 except for one lag window.
-2. fills:        pure window expressions (partitionBy series, orderBy
-                 bucket): ``last(ignorenulls)`` looking back for locf and
-                 the prev/next-observation pair for interpolate.
+1. fill state:   per series ordered by bucket, window expressions over
+                 the observed rows compute, for every observation, the
+                 enclosing fill context each emitted row will need:
+                 ``lag(bucket)`` (the gap being closed), the last
+                 non-null value/time strictly BEFORE this row (running
+                 ASC frame), and the first non-null value/time AT/AFTER
+                 it (reversed DESC running frame — Spark evaluates
+                 (currentRow, unboundedFollowing) frames quadratically;
+                 the reversed prefix is the linear running form).
+2. slice split:  each observed row covers the buckets in
+                 ``(lag(bucket), bucket]``; rows covering more than
+                 ``max_slice_buckets`` split into bounded slice rows
+                 (``explode(sequence(0, (n-1) div M))``), then ONE
+                 repartition by (series, bucket, slice) spreads the
+                 slices of a pathological gap across tasks.
+3. gap explode:  each slice row map-only ``explode(sequence(...))``s its
+                 ≤ M buckets; fills are pure per-row arithmetic over the
+                 carried state (gap rows take the carried prev/next pair,
+                 the observed bucket takes its own value).
 
-The lag window and the fill windows share ONE exchange+sort (same
-partitioning and ordering — Catalyst reuses it), so the whole operator
-costs a single shuffle of the already-aggregated rows. No UDF, no
-collect, no cache. At 100 TB the per-series state is window passes over
-already-dense series; series count is the parallelism axis
-(route/vehicle/event_type — high cardinality, no giant key). One skew
-caveat, same as any gapfill: a single row closing an enormous gap
-explodes that gap's buckets on one task — the row count is the RESULT
-size (gapfill cannot emit less), but a pathological series (two
-observations a year apart at 1 s buckets) concentrates its 31M rows in
-one partition.
+Why this beats windowing the dense grid (the round-5/6 shape): the only
+exchanges are (a) the window shuffle of the OBSERVED rows and (b) the
+slice repartition — also of observed-row-count order — while the result
+rows (potentially 1000× the observations) are produced map-only and never
+sorted. And the round-6 skew caveat is gone: a single row closing an
+enormous gap (two observations a year apart at 1 s buckets = ~31M
+buckets) previously concentrated its whole output in one task and one
+``sequence()`` array; it now fans out as ~480 slice rows hashed across
+the cluster, each emitting ≤ 65536 buckets (also comfortably inside
+Spark's sequence-length cap, which a multi-year 1 s gap would otherwise
+overflow).
 
 Edge semantics match TimescaleDB: ``locf`` is NULL before the first
 observed bucket of a series, ``interpolate`` is NULL outside the first/
 last observed buckets (no extrapolation), and plain (unfilled) columns
 are NULL in gap rows. ``zero`` fill is the common charting convenience
 (coalesce to 0 — what count aggregates want).
+
+Cross-engine note: the interpolation arithmetic is exactly mirrored by
+the DuckDB twins (all-double operands, ``pv + (nv - pv) * (t - pt) /
+(nt - pt)`` evaluation order), so the raw doubles are bit-identical;
+``round_interpolated`` stays None in twinned queries because round()
+itself diverges at repr-tie boundaries (Spark rounds the shortest decimal
+repr via BigDecimal.valueOf; DuckDB rounds the binary value).
 """
 
 from __future__ import annotations
@@ -54,6 +69,10 @@ from pyspark.sql import functions as F
 #: fill policies: column -> one of these
 FILL_POLICIES = ("null", "zero", "locf", "interpolate")
 
+#: buckets emitted per exploded slice; bounds both the per-task result
+#: concentration of a pathological gap and the sequence() array size
+DEFAULT_SLICE_BUCKETS = 65536
+
 
 def gapfill_buckets(
     bucketed: DataFrame,
@@ -62,6 +81,7 @@ def gapfill_buckets(
     series_cols: Sequence[str],
     fill: dict[str, str],
     round_interpolated: int | None = None,
+    max_slice_buckets: int = DEFAULT_SLICE_BUCKETS,
 ) -> DataFrame:
     """Densify ``bucketed`` (one row per observed (series, bucket)) onto
     the full per-series bucket grid and fill value columns per policy.
@@ -71,90 +91,119 @@ def gapfill_buckets(
     each value column to 'null' | 'zero' | 'locf' | 'interpolate';
     columns not mentioned are dropped. ``round_interpolated`` optionally
     rounds interpolated columns (both the observed and filled values) to
-    N decimals. For cross-engine twins prefer leaving it None: the
-    interpolation arithmetic is exactly mirrored (same op order), so the
-    raw doubles are bit-identical, while round() itself diverges at
-    repr-tie boundaries (Spark rounds the shortest decimal repr via
-    BigDecimal.valueOf; DuckDB rounds the binary value).
+    N decimals — leave it None for cross-engine twins (module docstring).
+    ``max_slice_buckets`` caps the buckets one task materializes for a
+    single gap; the default spreads a 31M-bucket gap over ~480 tasks.
     """
     for c, policy in fill.items():
         if policy not in FILL_POLICIES:
             raise ValueError(f"fill[{c!r}] = {policy!r}: must be one of {FILL_POLICIES}")
+    if max_slice_buckets < 1:
+        raise ValueError("max_slice_buckets must be >= 1")
     series_cols = list(series_cols)
     b = F.col(bucket_col)
-
-    # densify in ONE pass: each observed row emits the buckets in
-    # (lag(bucket), bucket] — the union over a series is exactly the
-    # sequence(min, max, width) grid, with no second consumer of
-    # `bucketed` (no spine agg, no join, no persist). NULL series stay
-    # real window partitions, so they densify like any other series.
-    w_lag = Window.partitionBy(*series_cols).orderBy(b.asc())
-    itv = f"interval {int(width_s)} seconds"
     dtypes = dict(bucketed.dtypes)
-    g = (
-        bucketed.withColumn("__prev", F.lag(b).over(w_lag))
-        .withColumn("__obs", b)
-        .withColumn(
-            bucket_col,
-            F.explode(
-                F.expr(
-                    f"sequence(coalesce(`__prev` + {itv}, `__obs`), `__obs`, {itv})"
-                )
-            ),
-        )
-        .select(
-            *series_cols,
-            bucket_col,
-            # gap rows (emitted bucket != the emitting observation) carry
-            # NULL values, exactly like the former spine left-join
-            *[
-                F.when(b == F.col("__obs"), F.col(c)).alias(c)
-                for c in fill
-            ],
-        )
-    )
+    w = int(width_s)
+    m = int(max_slice_buckets)
+    itv = f"interval {w} seconds"
 
-    w_prev = (
-        Window.partitionBy(*series_cols)
-        .orderBy(b.asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # "next observation" via the REVERSED running frame, not
-    # (currentRow, unboundedFollowing): Spark evaluates unbounded-
-    # FOLLOWING frames by re-aggregating from scratch per row —
-    # O(rows^2) per partition (measured round 6: 6.4 s for 83k observed
-    # buckets / 550 series at sf0.1; the reversed prefix frame is the
-    # linear running form and picks the identical elements). Costs one
-    # extra in-partition sort (DESC), zero extra exchanges.
+    # -- 1. fill state on the OBSERVED rows (the only windowed stage) ----
+    # NULL series keys stay real window partitions, so they densify like
+    # any other series (round-5 review fix, test_gapfill_null_series_*).
+    w_asc = Window.partitionBy(*series_cols).orderBy(b.asc())
+    # last non-null strictly BEFORE this observation == the fill context
+    # of every gap row this observation emits (no observations lie inside
+    # the gap), and of the observation itself when its value is NULL
+    w_prev = w_asc.rowsBetween(Window.unboundedPreceding, -1)
+    # first non-null AT/AFTER, via the reversed running frame (linear;
+    # (currentRow, unboundedFollowing) re-aggregates per row — O(rows^2))
     w_next = (
         Window.partitionBy(*series_cols)
         .orderBy(b.desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = F.unix_micros(b)
+    t_obs = F.unix_micros(b)
 
+    carry = [F.lag(b).over(w_asc).alias("__prev")]
+    for c, policy in fill.items():
+        v = F.col(c)
+        if policy in ("locf", "interpolate"):
+            carry.append(F.last(v, ignorenulls=True).over(w_prev).alias(f"__pv_{c}"))
+        if policy == "interpolate":
+            carry += [
+                F.last(F.when(v.isNotNull(), t_obs), ignorenulls=True)
+                .over(w_prev)
+                .alias(f"__pt_{c}"),
+                F.last(v, ignorenulls=True).over(w_next).alias(f"__nv_{c}"),
+                F.last(F.when(v.isNotNull(), t_obs), ignorenulls=True)
+                .over(w_next)
+                .alias(f"__nt_{c}"),
+            ]
+    staged = bucketed.select(
+        *series_cols, bucket_col, *[F.col(c) for c in fill], *carry
+    )
+
+    # -- 2. bounded slices + spread ---------------------------------------
+    # each observed row covers __n buckets: (lag(bucket), bucket], i.e.
+    # bucket - (__n-1-i)*width for i in [0, __n); the series' first row
+    # covers just itself
+    sliced = (
+        staged.withColumn(
+            "__n",
+            F.when(F.col("__prev").isNull(), F.lit(1).cast("long")).otherwise(
+                F.expr(f"(unix_seconds(`{bucket_col}`) - unix_seconds(`__prev`)) div {w}")
+            ),
+        )
+        .withColumn("__obs", b)
+        .withColumn("__slice", F.explode(F.expr(f"sequence(0L, (`__n` - 1) div {m})")))
+        .drop("__prev")
+    )
+    # one shuffle of slice rows (observed-row-count order, NOT result-row
+    # order) so a giant gap's slices land on different tasks. The
+    # partition count is pinned: AQE coalesces by shuffle BYTES, and slice
+    # rows are tiny pre-explode — letting it coalesce would re-concentrate
+    # the whole gap on one task, the exact failure this stage prevents.
+    n_shuffle = int(
+        bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    sliced = sliced.repartition(
+        n_shuffle, *series_cols, F.col("__obs"), F.col("__slice")
+    )
+
+    # -- 3. map-only densify + per-row fills ------------------------------
+    # slice s emits bucket indices [s*m, min((s+1)*m, n) - 1]
+    g = sliced.withColumn(
+        bucket_col,
+        F.explode(
+            F.expr(
+                f"sequence(`__obs` - {itv} * (`__n` - 1 - `__slice` * {m}), "
+                f"`__obs` - {itv} * (`__n` - least((`__slice` + 1) * {m}, `__n`)), "
+                f"{itv})"
+            )
+        ),
+    )
+
+    is_obs = b == F.col("__obs")
+    t = F.unix_micros(b)
     out_cols = [*series_cols, bucket_col]
     for c, policy in fill.items():
         v = F.col(c)
+        obs_v = F.when(is_obs, v)  # NULL on gap rows (v is the EMITTER's value)
         if policy == "null":
-            filled = v
+            filled = obs_v
         elif policy == "zero":
-            filled = F.coalesce(v, F.lit(0).cast(dtypes[c]))
+            filled = F.coalesce(obs_v, F.lit(0).cast(dtypes[c]))
         elif policy == "locf":
-            filled = F.last(v, ignorenulls=True).over(w_prev)
+            filled = F.coalesce(obs_v, F.col(f"__pv_{c}"))
         else:  # interpolate — linear between the surrounding observations
-            pv = F.last(v, ignorenulls=True).over(w_prev)
-            pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_prev)
-            # last over the DESC prefix == first at-or-after in ASC order
-            nv = F.last(v, ignorenulls=True).over(w_next)
-            nt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(w_next)
+            pv = F.col(f"__pv_{c}").cast("double")
+            pt = F.col(f"__pt_{c}").cast("double")
+            nv = F.col(f"__nv_{c}").cast("double")
+            nt = F.col(f"__nt_{c}").cast("double")
             # exact arithmetic mirrored by the DuckDB twin: all-double
             # operands, pv + (nv - pv) * frac evaluation order
-            filled = F.when(v.isNotNull(), v.cast("double")).otherwise(
-                pv.cast("double")
-                + (nv.cast("double") - pv.cast("double"))
-                * (t.cast("double") - pt.cast("double"))
-                / (nt.cast("double") - pt.cast("double"))
+            filled = F.when(is_obs & v.isNotNull(), v.cast("double")).otherwise(
+                pv + (nv - pv) * (t.cast("double") - pt) / (nt - pt)
             )
             if round_interpolated is not None:
                 filled = F.round(filled, round_interpolated)

@@ -469,6 +469,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them (ADVICE r6; self-produced files never
+        # contain fill, but foreign baseline files legally may)
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -524,6 +529,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # a multi-scan baseline file (each scan covers a subset of
+                # the frame's components); report it honestly instead of
+                # the misleading "missing Huffman/quant table" the
+                # interleaved decode would hit (ADVICE r6)
+                raise NotImplementedError(
+                    f"non-interleaved scan ({ns} of {len(frame['comps'])} "
+                    "components in SOS)"
+                )
             scan_sel = {}
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]

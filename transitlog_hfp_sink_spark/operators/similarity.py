@@ -677,15 +677,28 @@ def codebook_assign_arrow(
     distance terms) that wall is the measured bottleneck of the round-6
     sf10 probe. This kernel does the same v.v - 2 v.C + c.c computation
     as ONE BLAS matmul per Arrow batch (numpy float64), ~1000x the
-    interpreted throughput, with the same round-to-6 + lowest-cluster-id
-    tie rule (np.argmin takes the first minimum).
+    interpreted throughput, with a round-to-6 + lowest-cluster-id tie
+    rule (np.argmin takes the first minimum).
 
     Determinism: bit-reproducible for a fixed BLAS (same machine/build),
-    and the round-6 quantization makes assignment flips across BLAS
-    builds vanishingly rare — but the summation ORDER differs from the
-    expression path, so cross-engine-twinned legs must keep
+    and the quantization makes assignment flips across BLAS builds
+    vanishingly rare — but this kernel is NOT bit-interchangeable with
+    codebook_assign: (a) the summation ORDER differs from the expression
+    fold, and (b) the quantization rule itself differs — np.round is
+    round-half-to-EVEN on the binary double, while F.round is HALF_UP on
+    the shortest decimal repr (BigDecimal.valueOf) — so a distance landing
+    exactly on a .xxxxxx5 boundary can quantize one ulp apart between the
+    two kernels. Cross-engine-twinned legs must therefore keep
     codebook_assign (semantic_dedup's auto rule: expression path for
-    k <= 64, this kernel beyond — the registry legs pin k=8).
+    k <= ASSIGN_ARROW_THRESHOLD, this kernel beyond — the registry legs
+    pin k=8).
+
+    Input hygiene: a NULL or wrong-dimension embedding raises a
+    descriptive ValueError naming the offending id. The expression path
+    silently yields NULL distances for such rows; in the adaptive-k
+    regime where this kernel engages, a malformed vector in a 100 TB
+    corpus should fail loudly at the first batch that touches it, not
+    flip behavior silently at the kernel threshold (ADVICE r6).
     """
     import numpy as np
     import pandas as pd
@@ -693,11 +706,22 @@ def codebook_assign_arrow(
 
     C = np.asarray(centroids, dtype=np.float64)  # (k, d)
     cc = (C * C).sum(axis=1)
+    dim = C.shape[1]
 
     def batches(it):
         for pdf in it:
             if not len(pdf):
                 continue
+            bad = pdf[pdf[vec_col].map(
+                lambda v: v is None or len(v) != dim, na_action=None
+            )]
+            if len(bad):
+                raise ValueError(
+                    f"codebook_assign_arrow: NULL or non-{dim}-dim "
+                    f"{vec_col!r} for {id_col}s "
+                    f"{bad[id_col].head(5).tolist()} "
+                    f"({len(bad)} bad rows in this batch)"
+                )
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # (b, d)

@@ -34,7 +34,9 @@ from transitlog_hfp_sink_spark.queries import (
 # operators with the least independent evidence come first). The 19 TPC-H
 # shapes live inside power.tpch_power_run (one hash-checked entry); the
 # TimescaleDB-analytics family inside transit.transit_analytics (round 6);
-# the registry totals 49 entries.
+# the registry totals 50 entries (round 6 added export_jsonl_roundtrip) —
+# AT the 50-entry driver cap power.py cites: any new capability must
+# consolidate into an existing entry, not append a 51st.
 _MODULES = (hfp, transit, power, ml, surface, timeseries, relational)
 
 
