@@ -254,6 +254,96 @@ def test_wds_midjob_failure_keeps_previous_data_shards(spark, sf_dir, tmp_path):
     assert not [f for f in os.listdir(out) if f.startswith(".shard-")]
 
 
+def _crash_replace_after(monkeypatch, out, n_ok):
+    """Monkeypatch os.replace (as the wds module sees it) to crash on the
+    (n_ok+1)-th promotion rename under `out`; other paths pass through."""
+    import transitlog_hfp_sink_spark.sinks.wds as wds_mod
+
+    real = os.replace
+    calls = {"n": 0}
+
+    def fake(src, dst, *a, **kw):
+        if str(dst).startswith(out):
+            if calls["n"] >= n_ok:
+                raise OSError("simulated driver crash during promotion")
+            calls["n"] += 1
+        return real(src, dst, *a, **kw)
+
+    monkeypatch.setattr(wds_mod.os, "replace", fake)
+    return calls
+
+
+def test_wds_crash_between_staging_and_promotion(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r6 #6, crash point 1: the write job succeeded, every shard
+    is staged, and the driver dies BEFORE the first promotion rename.
+    The previous export's data shards must be byte-identical, _SUCCESS
+    must be absent (consumers gate on it, so they keep reading the old
+    complete set or nothing — never a mix), and a retry must fully
+    recover and clean the staged litter."""
+    media = _media(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, N_SHARDS, meta_cols=("n_bytes",))
+    before = _file_md5s(out)
+    assert before
+
+    media2 = media.withColumn("n_bytes", F.col("n_bytes") + 1)  # new content
+    _crash_replace_after(monkeypatch, out, n_ok=0)
+    with pytest.raises(OSError, match="simulated driver crash"):
+        write_wds_shards(media2, out, N_SHARDS, meta_cols=("n_bytes",))
+    # nothing promoted: old data shards byte-intact, export marked
+    # in-flight (_SUCCESS/manifest gone), staged files present as litter
+    assert _file_md5s(out) == before
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_manifest.json"))
+    assert [f for f in os.listdir(out) if f.startswith(".shard-")]
+
+    monkeypatch.undo()
+    manifest = write_wds_shards(media2, out, N_SHARDS, meta_cols=("n_bytes",))
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.startswith(".shard-")]
+    assert _file_md5s(out) != before  # the retry really shipped media2
+    assert {s["file"] for s in manifest["shards"]} == set(_file_md5s(out))
+
+
+def test_wds_crash_mid_promotion_success_gate_holds(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r6 #6, crash point 2: the driver dies MID-promotion (one
+    shard renamed, the rest still staged) — the documented non-atomic
+    window. The on-disk shard set IS mixed, but _SUCCESS is absent, so a
+    gated consumer never reads it; a retry converges to a complete
+    consistent export."""
+    media = _media(spark, sf_dir, n=20)
+    out = str(tmp_path / "wds")
+    write_wds_shards(media, out, N_SHARDS, meta_cols=("n_bytes",))
+    before = _file_md5s(out)
+    assert len(before) > 1  # need >=2 shards for a mixed state to exist
+
+    media2 = media.withColumn("n_bytes", F.col("n_bytes") + 1)
+    calls = _crash_replace_after(monkeypatch, out, n_ok=1)
+    with pytest.raises(OSError, match="simulated driver crash"):
+        write_wds_shards(media2, out, N_SHARDS, meta_cols=("n_bytes",))
+    assert calls["n"] == 1  # exactly one rename landed -> mixed set
+    after_crash = _file_md5s(out)
+    assert after_crash != before  # mixed: one new shard over old set
+    # ... but the gate holds: no _SUCCESS, no manifest
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_manifest.json"))
+
+    monkeypatch.undo()
+    write_wds_shards(media2, out, N_SHARDS, meta_cols=("n_bytes",))
+    final = _file_md5s(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.startswith(".shard-")]
+    # determinism: the recovered export is byte-identical to what an
+    # uncrashed media2 export produces (same content-keyed members)
+    ref = str(tmp_path / "wds_ref")
+    write_wds_shards(media2, ref, N_SHARDS, meta_cols=("n_bytes",))
+    assert final == _file_md5s(ref)
+
+
 def test_wds_duplicate_ids_refused_before_any_write(spark, sf_dir, tmp_path):
     """Round 6 (ADVICE r5): the duplicate-id check moved into the
     pre-write validation — a dup frame is refused before anything is

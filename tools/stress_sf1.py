@@ -228,6 +228,12 @@ def main() -> None:
     if family == "semdedup10":
         run_semdedup10(spark)
         return
+    if family == "lsh10":
+        run_lsh10(spark)
+        return
+    if family == "trajsim10":
+        run_trajsim10(spark)
+        return
     if family in ("relational", "all"):
         run_relational(spark)
         if family == "relational":
@@ -342,6 +348,185 @@ def main() -> None:
     print("appended to SCALING.md")
 
 
+
+
+def run_lsh10(spark) -> None:
+    """VERDICT r6 #5: measure banded-LSH minhash pair cost in the regime
+    the sf1 table can't reach — 10x steps with PLANTED near-dup density
+    and a skewed hot template — separating machinery growth from output
+    growth (the semdedup-probe format).
+
+    Corpus: n synthetic docs of 25 vocab-hashed words; every consecutive
+    group of 10 docs shares a template with one mutated word per member
+    (within-group 1-gram Jaccard ~0.85 >= 0.7), so TRUE pairs grow
+    LINEARLY with n (n/10 groups x 45 pairs). Skew leg: 0.5% of docs
+    (every 200th) are near-copies of ONE hot template — a celebrity
+    duplicate cluster whose emitted pairs grow QUADRATICALLY (h^2/2) by
+    output semantics, not operator choice: a pair emitter must emit
+    every within-cluster pair. The verdict is in time-per-emitted-pair:
+    machinery is linear if cost tracks n + output.
+
+    Regenerate: `python tools/stress_sf1.py lsh10`.
+    """
+    from transitlog_hfp_sink_spark.operators.dedup import minhash_lsh_pairs
+
+    words = 25
+
+    def synth_docs(n: int, skew: bool):
+        gid = F.col("id") - (F.col("id") % 10)  # group template key
+        hot = (F.col("id") % 200 == 0) & F.lit(skew)
+        tpl = F.when(hot, F.lit(-1)).otherwise(gid)  # hot docs share one template
+        # one mutated word per member keeps pairs NEAR-dup, not exact
+        mut_pos = F.col("id") % words
+        word = lambda j: F.when(  # noqa: E731
+            F.lit(j) == mut_pos, F.concat(F.lit("m"), F.col("id"))
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(F.hash(tpl, F.lit(j), F.lit(99)), F.lit(50000)))
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[word(j) for j in range(words)]).alias("text"),
+        )
+
+    results = []
+    for n in (50_000, 500_000):
+        for skew in (False, True):
+            docs = synth_docs(n, skew).repartition(32).persist()
+            docs.count()  # materialize outside the timed window
+            t0 = time.time()
+            n_pairs = minhash_lsh_pairs(
+                docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=1,
+                threshold=0.7,
+            ).count()
+            dt = time.time() - t0
+            docs.unpersist()
+            results.append((n, skew, dt, n_pairs))
+            print(f"n={n} skew={skew} t={dt:.1f}s pairs={n_pairs}", flush=True)
+    lines = [
+        "",
+        "## sf10 banded-LSH minhash probe — planted density + hot-template skew (round 7)",
+        "",
+        "VERDICT r6 #5. Synthetic 25-word docs; consecutive groups of 10",
+        "share a template with one mutated word per member (within-group",
+        "Jaccard ~0.85), so true pairs grow linearly with n; the skew legs",
+        "additionally point 0.5% of docs (every 200th) at ONE hot template,",
+        "a celebrity duplicate cluster whose pair output is quadratic in",
+        "its own size by pair-emission semantics. num_perm=64, bands=16,",
+        "1-gram shingles, threshold 0.7, xxhash64 path; one timed run after",
+        "input materialization. Regenerate: `python tools/stress_sf1.py lsh10`.",
+        "",
+        "| n docs | hot template | time (s) | pairs emitted | r (per 10x) | us/pair |",
+        "|---|---|---|---|---|---|",
+    ]
+    base: dict = {}
+    for n, skew, dt, n_pairs in results:
+        b = base.get(skew)
+        r = f"{dt / b:.2f}" if b else "—"
+        if not b:
+            base[skew] = dt
+        lines.append(
+            f"| {n:,} | {'yes' if skew else 'no'} | {dt:.1f} | {n_pairs:,} "
+            f"| {r} | {dt / max(n_pairs, 1) * 1e6:.1f} |"
+        )
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended lsh10 probe to SCALING.md")
+
+
+def run_trajsim10(spark) -> None:
+    """VERDICT r6 #5: measure the trajectory-similarity pipeline
+    (signature build -> broadcast coarse top-k -> banded-DTW refine) at
+    10x fleet steps, recording the SURVIVOR count the banding admits to
+    the expensive DTW stage. The prune-and-refine claim is that refine
+    cost is |queries| x k_coarse — INDEPENDENT of fleet size — so total
+    growth should track the linear signature/scan stages only.
+
+    Regenerate: `python tools/stress_sf1.py trajsim10`.
+    """
+    from transitlog_hfp_sink_spark.operators.trajsim import (
+        dtw_refine,
+        trajectory_points,
+        trajectory_signatures,
+        trajectory_topk,
+    )
+
+    pts_per = 64
+    n_queries, k_coarse = 32, 8
+
+    def synth_points(n_traj: int):
+        # deterministic per-vehicle random walk: ordered by seq, smooth
+        # enough that nearest signatures are non-trivial
+        return spark.range(n_traj * pts_per).select(
+            F.concat(F.lit("v"), (F.col("id") / pts_per).cast("long")).alias(
+                "unique_vehicle_id"
+            ),
+            (F.col("id") % pts_per).cast("int").alias("seq"),
+            (
+                F.hash((F.col("id") / pts_per).cast("long"), F.lit(1)).cast("double")
+                / 2147483648.0
+                + (F.col("id") % pts_per).cast("double") / pts_per
+            ).alias("lat"),
+            (
+                F.hash((F.col("id") / pts_per).cast("long"), F.lit(2)).cast("double")
+                / 2147483648.0
+            ).alias("long"),
+        )
+    results = []
+    for n_traj in (50_000, 500_000):
+        pts = synth_points(n_traj).repartition(32).persist()
+        pts.count()  # materialize outside the timed window
+        t0 = time.time()
+        sigs = trajectory_signatures(
+            pts, order_cols=("seq",), m=8
+        ).localCheckpoint(eager=True)
+        queries = (
+            sigs.where(F.col("id").isin([f"v{i}" for i in range(n_queries)]))
+            .select(F.col("id").alias("query_id"), "sig")
+        )
+        coarse = trajectory_topk(sigs, queries, k=k_coarse)
+        traj_pts = trajectory_points(
+            pts, order_cols=("seq",), max_points=pts_per
+        )
+        refined = dtw_refine(
+            coarse.select("query_id", "neighbor_id"), traj_pts, band=8, k=3
+        )
+        n_out = refined.count()
+        survivors = n_queries * k_coarse
+        dt = time.time() - t0
+        pts.unpersist()
+        results.append((n_traj, dt, survivors, n_out))
+        print(
+            f"n_traj={n_traj} t={dt:.1f}s survivors={survivors} out={n_out}",
+            flush=True,
+        )
+    lines = [
+        "",
+        "## sf10 trajectory-similarity probe — survivor count under banding (round 7)",
+        "",
+        "VERDICT r6 #5. Synthetic fleets of 64-point trajectories; 32 query",
+        "vehicles, coarse signature top-8 (m=8 signatures, broadcast scan),",
+        "banded-DTW (band 8) re-rank to top-3 over 64-point resampled",
+        "sequences. Survivors admitted to DTW = |queries| x k_coarse — FIXED",
+        "at 256 by the prune, independent of fleet size — so the 10x step",
+        "should cost only the linear signature-build + scan stages.",
+        "One timed run after input materialization.",
+        "Regenerate: `python tools/stress_sf1.py trajsim10`.",
+        "",
+        "| n trajectories | input points | time (s) | DTW survivors | top-3 rows | r (per 10x) |",
+        "|---|---|---|---|---|---|",
+    ]
+    base_t = None
+    for n_traj, dt, survivors, n_out in results:
+        r = f"{dt / base_t:.2f}" if base_t else "—"
+        if base_t is None:
+            base_t = dt
+        lines.append(
+            f"| {n_traj:,} | {n_traj * pts_per:,} | {dt:.1f} | {survivors} "
+            f"| {n_out} | {r} |"
+        )
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended trajsim10 probe to SCALING.md")
 
 
 def run_semdedup10(spark) -> None:

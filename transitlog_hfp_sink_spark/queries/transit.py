@@ -76,7 +76,11 @@ def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.get("spark.sql.session.timeZone"),
     )
     if key not in _REGISTERED:
-        register_catalog(spark, sf_dir=sf_dir)
+        # materialize_dedup: the seven legs below each query a view over
+        # vehicles_dedup; one localCheckpoint at registration replaces
+        # seven re-derivations of the same scan+transform+dedup
+        # (VERDICT r6 #4)
+        register_catalog(spark, sf_dir=sf_dir, materialize_dedup=True)
         _REGISTERED.clear()  # one live session/SF at a time
         _REGISTERED[key] = True
     ns = F.lit(None).cast("string")
