@@ -109,10 +109,14 @@ def test_gapfill_giant_gap_spreads_across_tasks(spark):
         ("a", t0, 10.0),
         ("a", t0 + datetime.timedelta(seconds=20_000), 30.0),
     ]
-    df = spark.createDataFrame(rows, "series string, bucket timestamp, v double")
+    df = (
+        spark.createDataFrame(rows, "series string, bucket timestamp, v double")
+        .withColumn("vl", F.col("v"))
+        .withColumn("n", F.lit(1).cast("bigint"))
+    )
     kw = dict(
         bucket_col="bucket", width_s=1, series_cols=["series"],
-        fill={"v": "interpolate"},
+        fill={"v": "interpolate", "vl": "locf", "n": "zero"},
     )
     out = gapfill_buckets(df, **kw, max_slice_buckets=1000)
 
@@ -129,14 +133,20 @@ def test_gapfill_giant_gap_spreads_across_tasks(spark):
     ref = gapfill_buckets(df, **kw, max_slice_buckets=1 << 20)
     assert out.exceptAll(ref).count() == 0 and ref.exceptAll(out).count() == 0
 
-    # closed-form spot checks: exact linear interpolation at slice edges
-    got = {r["bucket"]: r["v"] for r in out.collect()}
+    # closed-form spot checks: exact linear interpolation at slice edges,
+    # locf constant across every slice, zero-fill only on gap rows
+    rows_out = {r["bucket"]: r for r in out.collect()}
+    got = {b: r["v"] for b, r in rows_out.items()}
     assert got[t0] == 10.0
     assert got[t0 + datetime.timedelta(seconds=20_000)] == 30.0
     mid = t0 + datetime.timedelta(seconds=10_000)
     assert got[mid] == 20.0
     edge = t0 + datetime.timedelta(seconds=1000)  # first slice boundary
     assert abs(got[edge] - (10.0 + 20.0 * 1000 / 20_000)) < 1e-12
+    for b in (edge, mid, t0 + datetime.timedelta(seconds=19_999)):
+        assert rows_out[b]["vl"] == 10.0 and rows_out[b]["n"] == 0, b
+    assert rows_out[t0]["n"] == 1
+    assert rows_out[t0 + datetime.timedelta(seconds=20_000)]["vl"] == 30.0
 
 
 def test_gapfill_null_series_key_rejoins_its_observations(spark):
