@@ -552,8 +552,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-shingle Jaccard for pairs sharing a blocking key —
     the oracle-checkable ground-truth dedup (and recall yardstick for the
-    MinHash/SimHash sketches). Blocking keeps the self-join linear-ish;
-    with block_cols=None it is a full cross-pairing (testing only)."""
+    MinHash/SimHash sketches). With block_cols=None it is a full
+    cross-pairing (testing only).
+
+    SCALE BOUNDARY (measured round 7, SCALING.md): this is the exact
+    REFEREE, quadratic within each block by semantics — every in-block
+    pair is verified (sf0.1 4.9 s -> sf1 151 s on ~4 source blocks, r~31
+    per 10x). That is the inherent cost of exactness without a sketch:
+    candidate-pruning tricks (PPJoin prefix filtering, length bands)
+    need a large vocabulary / varied lengths to prune, and neither holds
+    for near-dup-dense corpora. Run it for ground truth at validation
+    scale; the production path at 10x+ is minhash_lsh_pairs (measured
+    LINEAR in the round-7 lsh10 probe) with this function as its recall
+    yardstick on samples."""
     base = shingle_frame(
         df, text_col, id_col, shingle_n, extra_cols=tuple(block_cols or [])
     ).withColumnRenamed("shingles", "sh")
