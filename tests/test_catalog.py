@@ -517,80 +517,84 @@ def test_histogram_bounds_and_gapfill_fill_are_view_parameters(spark, sf_dir):
 
     import duckdb
 
-    register_catalog(
-        spark, sf_dir=sf_dir,
-        histogram_bounds=(2.0, 22.0, 10),
-        gapfill_count_fill="null",
-    )
-    con = duckdb.connect()
-    base = spark.sql(
-        "SELECT route_id, spd, unix_micros(tst) AS tst_us, is_ongoing "
-        "FROM vehicles_dedup"
-    ).toArrow()
-    con.register("base", base)
+    try:
 
-    # histogram at (2, 22, 10): bucket width 2, under=0, over=11
-    got_h = {
-        r["route_id"]: (list(r["histogram"]), r["n_obs"])
-        for r in spark.sql(
-            "SELECT route_id, histogram, n_obs FROM vehicles_speed_histogram"
-        ).collect()
-    }
-    assert got_h and all(len(h) == 12 for h, _ in got_h.values())
-    rows = con.execute(
-        """
-        SELECT route_id,
-               CASE WHEN spd < 2 THEN 0 WHEN spd >= 22 THEN 11
-                    ELSE 1 + CAST(floor((spd - 2.0) / 2.0) AS INT) END AS bucket,
-               count(*) AS n
-        FROM base
-        WHERE is_ongoing AND spd IS NOT NULL AND NOT isnan(spd)
-          AND route_id IS NOT NULL
-        GROUP BY 1, 2
-        """
-    ).fetchall()
-    exp: dict = collections.defaultdict(lambda: [0] * 12)
-    for route, bucket, n in rows:
-        exp[route][bucket] = n
-    assert set(got_h) == set(exp)
-    for route, (hist, n_obs) in got_h.items():
-        assert hist == exp[route], route
-        assert n_obs == sum(exp[route])
+        register_catalog(
+            spark, sf_dir=sf_dir,
+            histogram_bounds=(2.0, 22.0, 10),
+            gapfill_count_fill="null",
+        )
+        con = duckdb.connect()
+        base = spark.sql(
+            "SELECT route_id, spd, unix_micros(tst) AS tst_us, is_ongoing "
+            "FROM vehicles_dedup"
+        ).toArrow()
+        con.register("base", base)
 
-    # gapfill with count_fill='null': gap rows carry NULL n_events (the
-    # raw time_bucket_gapfill-without-fill-function behavior); observed
-    # rows keep their counts; grid and speed fills are unchanged
-    gf = spark.sql(
-        "SELECT route_id, unix_micros(bucket) AS bucket, n_events "
-        "FROM vehicles_hourly_gapfill"
-    ).collect()
-    assert gf
-    n_gap = sum(1 for r in gf if r["n_events"] is None)
-    assert n_gap > 0, "fixture has no gap hours?"
-    # (the full gapfill twin lives in test_gapfill_view_vs_duckdb; here we
-    # check the POLICY: observed buckets match the dedup-view counts and
-    # every non-observed grid bucket is NULL). Buckets compare as epoch
-    # micros — hour-truncated in UTC on both sides, immune to the
-    # connection-timezone drift of naive-datetime comparison.
-    obs = {
-        (r[0], r[1]): r[2]
-        for r in con.execute(
+        # histogram at (2, 22, 10): bucket width 2, under=0, over=11
+        got_h = {
+            r["route_id"]: (list(r["histogram"]), r["n_obs"])
+            for r in spark.sql(
+                "SELECT route_id, histogram, n_obs FROM vehicles_speed_histogram"
+            ).collect()
+        }
+        assert got_h and all(len(h) == 12 for h, _ in got_h.values())
+        rows = con.execute(
             """
             SELECT route_id,
-                   (tst_us // 3600000000) * 3600000000 AS bucket_us,
+                   CASE WHEN spd < 2 THEN 0 WHEN spd >= 22 THEN 11
+                        ELSE 1 + CAST(floor((spd - 2.0) / 2.0) AS INT) END AS bucket,
                    count(*) AS n
-            FROM base WHERE is_ongoing AND route_id IS NOT NULL
+            FROM base
+            WHERE is_ongoing AND spd IS NOT NULL AND NOT isnan(spd)
+              AND route_id IS NOT NULL
             GROUP BY 1, 2
             """
         ).fetchall()
-    }
-    for r in gf:
-        key = (r["route_id"], r["bucket"])
-        if key in obs:
-            assert r["n_events"] == obs[key], key
-        else:
-            assert r["n_events"] is None, key
+        exp: dict = collections.defaultdict(lambda: [0] * 12)
+        for route, bucket, n in rows:
+            exp[route][bucket] = n
+        assert set(got_h) == set(exp)
+        for route, (hist, n_obs) in got_h.items():
+            assert hist == exp[route], route
+            assert n_obs == sum(exp[route])
 
-    # restore the default views so later tests in this session see the
-    # documented defaults
-    register_catalog(spark, sf_dir=sf_dir)
+        # gapfill with count_fill='null': gap rows carry NULL n_events (the
+        # raw time_bucket_gapfill-without-fill-function behavior); observed
+        # rows keep their counts; grid and speed fills are unchanged
+        gf = spark.sql(
+            "SELECT route_id, unix_micros(bucket) AS bucket, n_events "
+            "FROM vehicles_hourly_gapfill"
+        ).collect()
+        assert gf
+        n_gap = sum(1 for r in gf if r["n_events"] is None)
+        assert n_gap > 0, "fixture has no gap hours?"
+        # (the full gapfill twin lives in test_gapfill_view_vs_duckdb; here we
+        # check the POLICY: observed buckets match the dedup-view counts and
+        # every non-observed grid bucket is NULL). Buckets compare as epoch
+        # micros — hour-truncated in UTC on both sides, immune to the
+        # connection-timezone drift of naive-datetime comparison.
+        obs = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                """
+                SELECT route_id,
+                       (tst_us // 3600000000) * 3600000000 AS bucket_us,
+                       count(*) AS n
+                FROM base WHERE is_ongoing AND route_id IS NOT NULL
+                GROUP BY 1, 2
+                """
+            ).fetchall()
+        }
+        for r in gf:
+            key = (r["route_id"], r["bucket"])
+            if key in obs:
+                assert r["n_events"] == obs[key], key
+            else:
+                assert r["n_events"] is None, key
+
+    finally:
+        # restore the default views even on failure — the session-scoped
+        # spark fixture is shared; leaking (2,22,10)/null views would make
+        # later tests fail with misleading shapes (round-7 review)
+        register_catalog(spark, sf_dir=sf_dir)

@@ -252,3 +252,16 @@ def test_weighted_take_near_tie_decided_by_key_not_ulp(spark, sf_dir):
     assert got[0]["doc_id"] == want[0][0]
     # and the winner is the doc_id-smaller of the tied pair
     assert got[0]["doc_id"] == 0
+
+
+def test_weighted_take_tiny_weight_does_not_overflow(spark):
+    """Round-7 review: the floor quantization is computed in DOUBLE
+    (x - pmod(x, 1)), so a legal tiny positive weight (key*1e9 ~ 1e22,
+    past BIGINT) samples instead of ANSI-overflowing; the tiny-weight row
+    ranks last, as ES semantics demand."""
+    from transitlog_hfp_sink_spark.operators.sampling import weighted_take
+
+    rows = [(1, "en", 1e-12), (2, "en", 1.0), (3, "en", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w double")
+    got = sorted(r["doc_id"] for r in weighted_take(df, ["lang"], "doc_id", "w", 2).collect())
+    assert got == [2, 3]

@@ -31,7 +31,7 @@ PICKS = {
     "pack_bpe_compose": "tokenize->pack: subword widths feed the same one-shuffle per-shard window cumsum",
     "trajectory_similarity": "trajectory search: one hash-agg builds signatures, broadcast queries, map-only distance scan, tiny top-k window",
     "corpus_profile": "data card: exact-distinct costs a second (group,fingerprint) exchange; approx mode collapses to one group-key shuffle",
-    "gapfill_rollup": "time_bucket_gapfill (round-6 single-pass): per-row gap explode after one lag window; fill windows REUSE the same exchange — no join, no cache, no UDF",
+    "gapfill_rollup": "time_bucket_gapfill (round-7): fills resolve on OBSERVED rows (two window passes over the small aggregate), then a pinned slice repartition + map-only explode — the dense result is never sorted or shuffled; no join, no cache, no UDF",
 }
 
 def main(sf_dir="/root/testdata/sf0.01"):

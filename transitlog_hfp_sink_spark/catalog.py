@@ -82,7 +82,12 @@ def register_catalog(
     scan+dedup seven times). Default False keeps registration pure
     metadata (no job). The blocks live for the session (the registration
     memo's lifecycle); on a real cluster the equivalent is reading the
-    partitioned sink, which IS the materialized dedup input."""
+    partitioned sink, which IS the materialized dedup input.
+
+    Re-registration REPLACES every view: a later call with different
+    ``histogram_bounds``/``gapfill_count_fill`` (including the
+    transit_analytics registry entry, which registers the defaults)
+    wins — re-run this function with your parameters to get them back."""
     registered: list[str] = []
     if sf_dir is not None:
         for t in TABLES:

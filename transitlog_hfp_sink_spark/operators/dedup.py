@@ -295,7 +295,12 @@ def minhash_lsh_pairs(
     # repeated invocation on the same plan spams "Asked to cache already
     # cached data". Lazy local checkpoint materializes once at the first
     # action, both join branches read the blocks, and the ContextCleaner
-    # frees them on GC (VERDICT r6 #1).
+    # frees them on GC (VERDICT r6 #1). Trade, stated: lineage is
+    # truncated, so losing an executor mid-join fails the JOB (rerun)
+    # instead of recomputing the lost blocks — the same job-level-retry
+    # stance as cluster.py's iterative checkpoints; a deployment that
+    # must survive executor loss inside one dedup job should persist the
+    # index with build_minhash_index (parquet) and join against that.
     sh = shingle_frame(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     verified = (
         cands.join(

@@ -163,9 +163,11 @@ def gapfill_buckets(
     # partition count is pinned: AQE coalesces by shuffle BYTES, and slice
     # rows are tiny pre-explode — letting it coalesce would re-concentrate
     # the whole gap on one task, the exact failure this stage prevents.
-    n_shuffle = int(
-        bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    conf_val = bucketed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        n_shuffle = int(conf_val)
+    except ValueError:  # e.g. "auto" on AQE-auto deployments
+        n_shuffle = bucketed.sparkSession.sparkContext.defaultParallelism
     sliced = sliced.repartition(
         n_shuffle, *series_cols, F.col("__obs"), F.col("__slice")
     )

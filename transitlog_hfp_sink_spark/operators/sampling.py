@@ -159,9 +159,11 @@ def weighted_take(
     quantization re-introduced a (rarer) divergence class of its own.
     Residual risk is key-within-1-ulp-of-a-floor-boundary only. 9 digits
     keeps ~10 significant digits on keys in the ES range ln(u)/w in
-    (-23, 0); scaled keys stay far inside bigint range for any sane
-    weight (|key| * 1e9 overflows only below w ~ 1e-9 · ln(u), i.e.
-    weights under ~1e-8 — quality-score weights are O(1)).
+    (-23, 0). The floor is computed in DOUBLE (x - pmod(x, 1), exactly
+    floor(x) for every finite double), so extreme-but-legal tiny weights
+    cannot overflow a BIGINT floor under ANSI mode; past 2^53 the
+    quantization is the identity (doubles are already integral there),
+    weakening only the tiebreak protection for those rows.
     """
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     wd = wcol.cast("double")
@@ -183,8 +185,19 @@ def weighted_take(
     # whose key is NULL. The denominator is additionally NULLed for
     # invalid weights so ANSI DIVIDE_BY_ZERO can't preempt the guard's
     # message on w = 0.
-    es_key = F.coalesce(guard.cast("double"), F.lit(0.0)) + F.floor(
-        F.log(u) / F.when(wd > 0, wd) * F.lit(1000000000.0)
+    # floor as x - pmod(x, 1.0): identical to floor() on every finite
+    # double (pmod's remainder is non-negative, so negatives floor toward
+    # -inf) but stays a DOUBLE — F.floor returns BIGINT and would
+    # ANSI-overflow on a legal tiny weight (w ~ 1e-12 puts key*1e9 at
+    # ~1e22); past 2^53 doubles are already integral, so quantization
+    # degrades gracefully to identity instead of throwing (round-7
+    # review). DuckDB's floor() returns DOUBLE natively, so the twins
+    # order by the same values.
+    scaled = F.log(u) / F.when(wd > 0, wd) * F.lit(1000000000.0)
+    es_key = (
+        F.coalesce(guard.cast("double"), F.lit(0.0))
+        + scaled
+        - F.pmod(scaled, F.lit(1.0))
     )
     w = Window.partitionBy(*strata_cols).orderBy(
         es_key.desc(), F.col(key_col)

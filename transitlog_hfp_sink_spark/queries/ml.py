@@ -2277,9 +2277,13 @@ ORDER BY doc_id
 """
 
 
-#: export-dir memo (ADVICE r6) — same lifecycle idea as the transit
-#: registration memo: one live (appId, sf_dir) at a time, stale dirs
-#: removed on key change
+#: export-dir memo (ADVICE r6; round-7 review): the dir NAME is a
+#: deterministic function of sf_dir, so total /tmp footprint is bounded
+#: by the number of distinct sf_dirs ever used (each new session
+#: overwrites, never accumulates), and NOTHING is deleted mid-session —
+#: a lazy DataFrame from an earlier SF in the same session (the
+#: scaling_report multi-SF pattern) stays re-evaluable. The memo only
+#: gates the once-per-session write.
 _EXPORT_DIRS: dict[tuple[str, str], str] = {}
 
 
@@ -2301,10 +2305,17 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE repartition-by-shard write (each shard a single
     task's sequential file), one scan back, one hash-agg. The write is
     the operator under test; the export dir is memoized per
-    (appId, sf_dir) — ADVICE r6: a fresh mkdtemp per invocation under
-    bench min-of-5 plus repeated driver evaluation accumulated unbounded
-    /tmp copies; re-invocations in the same session now re-read (and so
-    re-verify) the shards the first invocation wrote."""
+    (appId, sf_dir) to a DETERMINISTIC per-sf_dir path — ADVICE r6: a
+    fresh mkdtemp per invocation under bench min-of-5 plus repeated
+    driver evaluation accumulated unbounded /tmp copies. Re-invocations
+    in the same session re-read (and so re-verify) the shards the first
+    invocation wrote; a new session overwrites the same path (bounded
+    footprint) rather than deleting other SFs' live dirs mid-session.
+    Known limit, documented: regenerating the sf_dir parquet MID-session
+    does not invalidate the memo — restart the session (every driver
+    round does)."""
+    import hashlib
+    import os
     import tempfile
 
     from transitlog_hfp_sink_spark.queries.hfp import _digest32
@@ -2319,12 +2330,8 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     out = _EXPORT_DIRS.get(key)
     if out is None:
-        import shutil
-
-        for stale in _EXPORT_DIRS.values():  # one live session/SF at a time
-            shutil.rmtree(stale.removesuffix("/shards"), ignore_errors=True)
-        _EXPORT_DIRS.clear()
-        out = tempfile.mkdtemp(prefix="export-rt-") + "/shards"
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        out = os.path.join(tempfile.gettempdir(), f"export-rt-{tag}", "shards")
         write_jsonl_shards(docs, out, n_shards=8, id_col="doc_id", salt="export")
         _EXPORT_DIRS[key] = out
     back = read_jsonl_shards(spark, out)

@@ -79,7 +79,11 @@ def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize_dedup: the seven legs below each query a view over
         # vehicles_dedup; one localCheckpoint at registration replaces
         # seven re-derivations of the same scan+transform+dedup
-        # (VERDICT r6 #4)
+        # (VERDICT r6 #4). NOTE: this (re-)registers the catalog with
+        # DEFAULT histogram_bounds/gapfill_count_fill — the oracle is
+        # defined over the defaults — so a user's custom-parameter views
+        # in the same session are replaced; re-run register_catalog with
+        # your parameters after invoking this registry entry.
         register_catalog(spark, sf_dir=sf_dir, materialize_dedup=True)
         _REGISTERED.clear()  # one live session/SF at a time
         _REGISTERED[key] = True
