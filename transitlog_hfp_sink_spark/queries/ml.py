@@ -2277,14 +2277,29 @@ ORDER BY doc_id
 """
 
 
-#: export-dir memo (ADVICE r6; round-7 review): the dir NAME is a
-#: deterministic function of sf_dir, so total /tmp footprint is bounded
-#: by the number of distinct sf_dirs ever used (each new session
-#: overwrites, never accumulates), and NOTHING is deleted mid-session —
-#: a lazy DataFrame from an earlier SF in the same session (the
-#: scaling_report multi-SF pattern) stays re-evaluable. The memo only
-#: gates the once-per-session write.
+#: export-dir memo (ADVICE r6; round-7 review): one mkdtemp per
+#: (appId, sf_dir), NOTHING deleted mid-session — a lazy DataFrame from
+#: an earlier SF in the same session (the scaling_report multi-SF
+#: pattern) stays re-evaluable, and concurrent sessions on one machine
+#: (driver + local bench) cannot race on a shared path. Accumulation is
+#: prevented by the atexit sweep below: every dir this process created
+#: is removed at interpreter exit (a SIGKILLed session can leak at most
+#: its own few dirs — the per-invocation leak ADVICE flagged is gone).
 _EXPORT_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_export_dirs() -> None:
+    import os
+    import shutil
+
+    for out in _EXPORT_DIRS.values():
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    _EXPORT_DIRS.clear()
+
+
+import atexit as _atexit  # noqa: E402 - registered once at import
+
+_atexit.register(_cleanup_export_dirs)
 
 
 def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,17 +2320,13 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE repartition-by-shard write (each shard a single
     task's sequential file), one scan back, one hash-agg. The write is
     the operator under test; the export dir is memoized per
-    (appId, sf_dir) to a DETERMINISTIC per-sf_dir path — ADVICE r6: a
-    fresh mkdtemp per invocation under bench min-of-5 plus repeated
-    driver evaluation accumulated unbounded /tmp copies. Re-invocations
-    in the same session re-read (and so re-verify) the shards the first
-    invocation wrote; a new session overwrites the same path (bounded
-    footprint) rather than deleting other SFs' live dirs mid-session.
-    Known limit, documented: regenerating the sf_dir parquet MID-session
-    does not invalidate the memo — restart the session (every driver
-    round does)."""
-    import hashlib
-    import os
+    (appId, sf_dir) — ADVICE r6: a fresh mkdtemp per invocation under
+    bench min-of-5 plus repeated driver evaluation accumulated unbounded
+    /tmp copies. Re-invocations in the same session re-read (and so
+    re-verify) the shards the first invocation wrote; the atexit sweep
+    removes every dir at interpreter exit. Known limit, documented:
+    regenerating the sf_dir parquet MID-session does not invalidate the
+    memo — restart the session (every driver round does)."""
     import tempfile
 
     from transitlog_hfp_sink_spark.queries.hfp import _digest32
@@ -2330,8 +2341,7 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     out = _EXPORT_DIRS.get(key)
     if out is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        out = os.path.join(tempfile.gettempdir(), f"export-rt-{tag}", "shards")
+        out = tempfile.mkdtemp(prefix="export-rt-") + "/shards"
         write_jsonl_shards(docs, out, n_shards=8, id_col="doc_id", salt="export")
         _EXPORT_DIRS[key] = out
     back = read_jsonl_shards(spark, out)
