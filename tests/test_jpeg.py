@@ -266,3 +266,14 @@ def test_decode_image_sniffs_jpeg(spark, sf_dir):
         assert (r["img_w"], r["img_h"], r["n_px"]) == (8, 8, 64)
         assert r["n_distinct_px"] == 1  # DC-only decode is flat
         assert r["px_sum"] is not None and r["rgb_md5"] is not None
+
+
+def test_truncated_fill_byte_run_raises_valueerror():
+    """ADVICE r7: a file truncated inside a 0xFF fill-byte run (or right
+    after one) must raise the decoder's documented ValueError, not
+    IndexError from the unbounded skip loop."""
+    good = synth_dc_jpeg(7)
+    sof = good.index(b"\xff\xc0")
+    for tail in (b"\xff\xff\xff", b"\xff\xff", b"\xff"):
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            decode_jpeg(good[:sof] + tail)

@@ -147,13 +147,30 @@ def gapfill_buckets(
     # each observed row covers __n buckets: (lag(bucket), bucket], i.e.
     # bucket - (__n-1-i)*width for i in [0, __n); the series' first row
     # covers just itself
-    sliced = (
-        staged.withColumn(
-            "__n",
-            F.when(F.col("__prev").isNull(), F.lit(1).cast("long")).otherwise(
-                F.expr(f"(unix_seconds(`{bucket_col}`) - unix_seconds(`__prev`)) div {w}")
+    n_raw = F.when(F.col("__prev").isNull(), F.lit(1).cast("long")).otherwise(
+        F.expr(f"(unix_seconds(`{bucket_col}`) - unix_seconds(`__prev`)) div {w}")
+    )
+    # fail-loud input-contract guard (round 8, VERDICT r7 #2 / ADVICE r7):
+    # a duplicate (series, bucket) row — the input must be the groupBy
+    # output, one row per observed bucket — makes lag(bucket) == bucket,
+    # so __n = 0 and the slice arithmetic below would surface as an opaque
+    # "illegal sequence boundaries" error. assert_true is fused into the
+    # __n expression (returns NULL on pass, throws the named message on
+    # violation) so the check costs no extra pass; same fusion pattern as
+    # sampling.weighted_take's weight guard.
+    guard = F.assert_true(
+        n_raw >= 1,
+        F.concat(
+            F.lit(
+                "gapfill_buckets: input contract violated — duplicate "
+                f"(series, {bucket_col}) row (or sub-width bucket spacing: "
+                f"buckets must be {w}s-aligned) at {bucket_col}="
             ),
-        )
+            b.cast("string"),
+        ),
+    )
+    sliced = (
+        staged.withColumn("__n", F.coalesce(guard.cast("long"), F.lit(0)) + n_raw)
         .withColumn("__obs", b)
         .withColumn("__slice", F.explode(F.expr(f"sequence(0L, (`__n` - 1) div {m})")))
         .drop("__prev")

@@ -471,9 +471,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"expected marker at {pos}")
         # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
         # fill bytes — skip them (ADVICE r6; self-produced files never
-        # contain fill, but foreign baseline files legally may)
-        while data[pos + 1] == 0xFF:
+        # contain fill, but foreign baseline files legally may). Bounded:
+        # a file truncated inside the fill run must raise the decoder's
+        # documented ValueError, not IndexError (ADVICE r7)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: EOF inside marker fill bytes")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
