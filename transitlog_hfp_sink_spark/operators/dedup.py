@@ -547,6 +547,15 @@ def simhash_near_dups(
     )
 
 
+#: slack absorbing _jaccard's round-to-6: round(i/u, 6) moves the value by
+#: at most 5e-7, so a pair the UNPRUNED filter keeps (round(J,6) >= t) has
+#: true J >= t - 5e-7 > t - JACCARD_PRUNE_SLACK — prune conditions derived
+#: from t - JACCARD_PRUNE_SLACK can therefore never drop such a pair, and
+#: the extra 5e-7 headroom also swallows the <=1e-10 double-arithmetic
+#: error of evaluating the bound itself.
+JACCARD_PRUNE_SLACK = 1e-6
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -554,28 +563,70 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     shingle_n: int = 1,
     threshold: float = 0.0,
+    prune: str | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard for pairs sharing a blocking key —
     the oracle-checkable ground-truth dedup (and recall yardstick for the
     MinHash/SimHash sketches). With block_cols=None it is a full
     cross-pairing (testing only).
 
-    SCALE BOUNDARY (measured round 7, SCALING.md): this is the exact
-    REFEREE, quadratic within each block by semantics — every in-block
-    pair is verified (sf0.1 4.9 s -> sf1 151 s on ~4 source blocks, r~31
-    per 10x). That is the inherent cost of exactness without a sketch:
-    candidate-pruning tricks (PPJoin prefix filtering, length bands)
-    need a large vocabulary / varied lengths to prune, and neither holds
-    for near-dup-dense corpora. Run it for ground truth at validation
-    scale; the production path at 10x+ is minhash_lsh_pairs (measured
-    LINEAR in the round-7 lsh10 probe) with this function as its recall
-    yardstick on samples."""
+    SCALE BOUNDARY, now with exactness-preserving prunes (round 8,
+    VERDICT r7 #1). The unpruned form verifies every in-block pair —
+    quadratic within each block by semantics (sf0.1 4.9 s -> sf1 151 s on
+    ~4 source blocks, r~31 per 10x, SCALING.md round 7). Two opt-in
+    candidate prunes keep the output EXACTLY equal while skipping pairs
+    that provably cannot reach the threshold (both require
+    ``threshold > 0``; both keep the same full-set verify stage, so a
+    kept pair's jaccard value is bit-identical):
+
+    - ``prune="length"``: Jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+      pairs whose sizes differ by more than the threshold ratio are
+      dropped INSIDE the block join (an extra non-equi predicate — no new
+      shuffle, evaluated before the array intersect/union).
+    - ``prune="prefix"``: PPJoin-style prefix filtering (Xiao et al.,
+      WWW'08 — technique only, original implementation). Tokens are
+      globally ordered by (corpus frequency, token); if J(A,B) >= t then
+      |A∩B| >= ceil(t|A|) and the SMALLEST common token must sit in the
+      first |A| - ceil(t|A|) + 1 tokens of A (else A holds >= that many
+      tokens below it, none common, capping the overlap at ceil(t|A|)-1)
+      — symmetrically for B. Candidates come from an equi-join on
+      exploded PREFIX tokens (+ block keys), which by construction keys
+      on each doc's RAREST tokens — small join groups, no quadratic
+      block. Costs one token-count agg + one token join + one per-doc
+      sort; wins exactly where the quadratic block hurts (large blocks
+      with varied vocabulary). The length predicate is fused in too.
+
+    Both prunes back the threshold off by JACCARD_PRUNE_SLACK so the
+    round-to-6 in ``_jaccard`` can never disagree with the real-valued
+    bound the prune reasons about (pruned == unpruned, asserted by tests
+    and a hypothesis property referee).
+
+    Near-dup-DENSE corpora (every pair a real near-dup) keep the honest
+    boundary: prunes cannot drop pairs that genuinely qualify, so the
+    verify stage still touches every qualifying pair — run minhash for
+    production there (measured LINEAR, lsh10 probe); this referee prunes
+    well on varied-length corpora (SCALING.md round-8 table measures
+    both)."""
+    if prune not in (None, "length", "prefix"):
+        raise ValueError(f"prune={prune!r}: expected None, 'length' or 'prefix'")
+    if prune is not None and not threshold > 0:
+        raise ValueError(
+            "prune requires threshold > 0: at t=0 every pair (even with "
+            "zero overlap) belongs in the output, so nothing can be pruned"
+        )
     base = shingle_frame(
         df, text_col, id_col, shingle_n, extra_cols=tuple(block_cols or [])
     ).withColumnRenamed("shingles", "sh")
+    t_eff = threshold - JACCARD_PRUNE_SLACK
+    if prune == "prefix":
+        return _jaccard_pairs_prefix(base, block_cols or [], threshold, t_eff)
     on = [F.col("a.id") < F.col("b.id")] + [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in (block_cols or [])
     ]
+    if prune == "length":
+        base = base.withColumn("__sz", F.size("sh"))
+        sa, sb = F.col("a.__sz").cast("double"), F.col("b.__sz").cast("double")
+        on.append(F.least(sa, sb) >= F.lit(t_eff) * F.greatest(sa, sb))
     pairs = (
         base.alias("a")
         .join(base.alias("b"), on=on)
@@ -587,3 +638,75 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return pairs
+
+
+def _jaccard_pairs_prefix(
+    base: DataFrame, block_cols: list[str], threshold: float, t_eff: float
+) -> DataFrame:
+    """Prefix-filtered candidate generation + exact verify (see
+    ngram_jaccard_pairs). ``base`` = (id, *block_cols, sh).
+
+    Plan shape: one token-count hash agg (map-side combine), one
+    token-keyed join attaching counts to (doc, token) rows, one per-doc
+    hash agg sorting each doc's tokens by global (count, token) order and
+    slicing the prefix, one equi-join on exploded prefix tokens, then the
+    same verify-join-by-id as minhash_lsh_pairs. No global rank window:
+    the total order is carried VALUE-wise as the sortable (count, token)
+    struct, so nothing single-tasks at any scale."""
+    sh = base.localCheckpoint(eager=False)  # read by candidates AND verify
+    sized = sh.withColumn("__sz", F.size("sh"))
+    toks = sized.select(
+        "id", *block_cols, "__sz", F.explode("sh").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # prefix length p = sz - ceil(t_eff*sz) + 1; the -1e-9 keeps a
+    # double-rounding-UP of an exactly-integer product from shortening
+    # the prefix by one (an under-shoot only lengthens it — safe)
+    p_len = (
+        F.col("__sz")
+        - F.ceil(F.lit(t_eff) * F.col("__sz").cast("double") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefixes = (
+        toks.join(counts, "tok")
+        .groupBy("id", *block_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("cnt", "tok"))),
+                F.lit(1),
+                F.max(p_len),
+            ).alias("__prefix"),
+            F.max("__sz").alias("__sz"),
+        )
+        .select(
+            "id", *block_cols, "__sz",
+            F.explode("__prefix.tok").alias("tok"),
+        )
+    )
+    sa, sb = F.col("a.__sz").cast("double"), F.col("b.__sz").cast("double")
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            on=[
+                F.col("a.tok") == F.col("b.tok"),
+                F.col("a.id") < F.col("b.id"),
+                # the length predicate prunes inside this join too
+                F.least(sa, sb) >= F.lit(t_eff) * F.greatest(sa, sb),
+                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols],
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
