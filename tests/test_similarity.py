@@ -681,20 +681,26 @@ def test_kernel_quantization_boundary_divergence_pinned(spark):
       2e-6, so any corpus with larger cluster margins is kernel-invariant.
     """
     import decimal
-    import re
 
     import numpy as np
 
-    # plant d2 values: v=[0], c=[x] makes d2 = x*x bit-identically in
-    # both kernels (vv = v.c = 0), so only the rounding rule differs.
-    # Search deterministically for x whose x*x shortest repr ends in a
-    # 7th-decimal '5' (half-boundary at scale 6).
+    # plant d2 values: v=[x], c=[0] makes d2 = x*x bit-identically in
+    # both kernels (vv is the only non-zero term, computed the same way),
+    # so only the rounding rule differs. Candidates are built backwards:
+    # a decimal half-boundary string "0.dddddd5" whose float round-trips
+    # to that exact shortest repr, with a bit-exact sqrt (x*x == t) so
+    # the kernels' vv reproduces the boundary double precisely.
     boundary = []
-    x = 0.3
-    while len(boundary) < 40 and x < 0.9:
-        if re.fullmatch(r"0\.\d{6}5", repr(x * x)):
+    for m in range(100_000, 999_999):
+        s = f"0.{m:06d}5"
+        t = float(s)
+        if repr(t) != s:
+            continue  # shortest repr shorter/different — not a boundary
+        x = math.sqrt(t)
+        if x * x == t:
             boundary.append(x)
-        x = np.nextafter(x, 1.0)
+            if len(boundary) == 40:
+                break
     assert len(boundary) == 40  # the search space is dense enough
 
     # one row per boundary value, ONE zero centroid: d2 = x*x in both
