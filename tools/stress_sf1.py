@@ -240,6 +240,9 @@ def main() -> None:
     if family == "transit10":
         run_transit10(spark)
         return
+    if family == "prefix10":
+        run_prefix10(spark)
+        return
     if family in ("relational", "all"):
         run_relational(spark)
         if family == "relational":
@@ -557,6 +560,91 @@ def run_jaccard_prune(spark) -> None:
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended jaccardprune probe to SCALING.md")
+
+
+def run_prefix10(spark) -> None:
+    """Round 8 follow-on to the jaccardprune probe: is the EXACT referee
+    still inherently super-linear once prefix pruning applies? The
+    boundary claim (r=31 per 10x) was measured where output ~ candidates
+    (near-dup-dense). On a sparse-output corpus the prefix path's stages
+    are all ~linear in docs (token-count agg, token join, per-doc sort,
+    rare-token candidate join with linearly-growing true-pair structure),
+    so the 10x step should cost ~10x, not ~100x. Same varied-length
+    synthetic as the jaccardprune probe at n=30k and n=300k, prune=
+    'prefix' (the unpruned 300k leg would be ~5.6G verifies — the
+    boundary, not measured).
+
+    Vocabulary SCALES with n (Heaps-law regime — real corpora grow their
+    vocabulary with size). The first attempt kept the 50k vocab FIXED at
+    300k docs and the candidate join spilled >78 GB of shuffle and died:
+    with 10x the docs over the same tokens, every token sits in 10x the
+    docs and same-token candidate pairs grow 100x — token DENSITY, not
+    operator machinery, the same phenomenon that makes the near-dup-dense
+    corpus prune-proof. That fixed-vocab point is recorded as a boundary
+    row in SCALING.md, not a measurement.
+    Regenerate: `python tools/stress_sf1.py prefix10`.
+    """
+    from transitlog_hfp_sink_spark.operators.dedup import ngram_jaccard_pairs
+
+    def synth_varied(n: int, vocab: int):
+        gid = F.col("id") - (F.col("id") % 5)
+        lengths = F.array(*[F.lit(x) for x in (4, 8, 16, 48, 120, 400)])
+        L = F.element_at(lengths, (F.pmod(F.hash(gid, F.lit(3)), F.lit(6)) + 1).cast("int"))
+        mut_pos = F.pmod(F.col("id"), L) + 1
+        word = F.transform(
+            F.sequence(F.lit(1), L),
+            lambda j: F.when(
+                j == mut_pos, F.concat(F.lit("m"), F.col("id"))
+            ).otherwise(
+                F.concat(
+                    F.lit("w"), F.pmod(F.hash(gid, j, F.lit(99)), F.lit(vocab))
+                )
+            ),
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", word).alias("text"),
+            F.concat(F.lit("s"), F.pmod(F.hash(gid, F.lit(7)), F.lit(8))).alias(
+                "source"
+            ),
+        )
+
+    results = []
+    for n in (30_000, 300_000):
+        docs = synth_varied(n, vocab=50_000 * (n // 30_000)).repartition(32).persist()
+        docs.count()
+        t0 = time.time()
+        n_pairs = ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_cols=["source"], shingle_n=1,
+            threshold=0.5, prune="prefix",
+        ).count()
+        dt = time.time() - t0
+        docs.unpersist()
+        results.append((n, dt, n_pairs))
+        print(f"n={n} prefix: t={dt:.1f}s pairs={n_pairs}", flush=True)
+    lines = [
+        "",
+        "## prefix-pruned exact-Jaccard 10x probe (round 8)",
+        "",
+        "Follow-on to the prune probe above: the r=31 boundary was measured",
+        "where output ~ candidates. With prefix pruning on the sparse-output",
+        "varied-length corpus (same synthetic, true pairs linear in n by",
+        "construction), the exact referee's 10x step should track the",
+        "~linear stage costs. One timed run per point after input",
+        "materialization. Regenerate: `python tools/stress_sf1.py prefix10`.",
+        "",
+        "| n docs | time (s) | pairs | r (per 10x) |",
+        "|---|---|---|---|",
+    ]
+    base = None
+    for n, dt, n_pairs in results:
+        r = f"{dt / base:.2f}" if base else "—"
+        if base is None:
+            base = dt
+        lines.append(f"| {n:,} | {dt:.1f} | {n_pairs:,} | {r} |")
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended prefix10 probe to SCALING.md")
 
 
 def run_lsh10(spark) -> None:

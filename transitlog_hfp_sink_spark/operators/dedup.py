@@ -699,13 +699,22 @@ def _jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # verify joins are SHUFFLE-HASH with the doc-count-sized shingle frame
+    # as build side: the default sort-merge join would run the candidate
+    # side — pair-count rows each dragging a full shingle ARRAY after the
+    # first join — through an external SORT, which is what spills at
+    # scale (measured round 8: 300k docs / 70M candidates filled 78 GB of
+    # sorter spill; hash join shuffles the same rows compressed, unsorted,
+    # and builds only |docs|-row hash maps per partition)
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     return (
-        cands.join(
-            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-        )
-        .join(
-            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
-        )
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
