@@ -359,6 +359,30 @@ def main() -> None:
 
 
 
+def synth_varied_docs(spark, n: int, vocab: int):
+    """Varied-length near-dup synthetic shared by the jaccardprune and
+    prefix10 probes: lengths 4..400 words over six classes, near-dup
+    groups of 5 sharing a template+length (one mutated word per member),
+    8 source blocks, hash-derived vocabulary of `vocab` word stems."""
+    gid = F.col("id") - (F.col("id") % 5)  # near-dup groups of 5
+    lengths = F.array(*[F.lit(x) for x in (4, 8, 16, 48, 120, 400)])
+    L = F.element_at(lengths, (F.pmod(F.hash(gid, F.lit(3)), F.lit(6)) + 1).cast("int"))
+    mut_pos = F.pmod(F.col("id"), L) + 1
+    word = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda j: F.when(
+            j == mut_pos, F.concat(F.lit("m"), F.col("id"))
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(F.hash(gid, j, F.lit(99)), F.lit(vocab)))
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", word).alias("text"),
+        F.concat(F.lit("s"), F.pmod(F.hash(gid, F.lit(7)), F.lit(8))).alias("source"),
+    )
+
+
 def run_transit10(spark) -> None:
     """VERDICT r7 #5: probe transit_analytics at sf10 (the one headline
     query that only had an sf0.1->sf1 ratio, r=3.16). Separates the
@@ -495,31 +519,8 @@ def run_jaccard_prune(spark) -> None:
 
     build_input(spark)
 
-    def synth_varied(n: int):
-        gid = F.col("id") - (F.col("id") % 5)  # near-dup groups of 5
-        lengths = F.array(*[F.lit(x) for x in (4, 8, 16, 48, 120, 400)])
-        L = F.element_at(lengths, (F.pmod(F.hash(gid, F.lit(3)), F.lit(6)) + 1).cast("int"))
-        mut_pos = F.pmod(F.col("id"), L) + 1
-        word = F.transform(
-            F.sequence(F.lit(1), L),
-            lambda j: F.when(
-                j == mut_pos, F.concat(F.lit("m"), F.col("id"))
-            ).otherwise(
-                F.concat(
-                    F.lit("w"), F.pmod(F.hash(gid, j, F.lit(99)), F.lit(50000))
-                )
-            ),
-        )
-        return spark.range(n).select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(" ", word).alias("text"),
-            F.concat(F.lit("s"), F.pmod(F.hash(gid, F.lit(7)), F.lit(8))).alias(
-                "source"
-            ),
-        )
-
     dense = read_table(spark, DST, "documents", widen=True)
-    varied = synth_varied(30_000).repartition(32).persist()
+    varied = synth_varied_docs(spark, 30_000, vocab=50_000).repartition(32).persist()
     varied.count()
     read_table(spark, DST, "documents").count()  # warm page cache
 
@@ -586,32 +587,9 @@ def run_prefix10(spark) -> None:
     """
     from transitlog_hfp_sink_spark.operators.dedup import ngram_jaccard_pairs
 
-    def synth_varied(n: int, vocab: int):
-        gid = F.col("id") - (F.col("id") % 5)
-        lengths = F.array(*[F.lit(x) for x in (4, 8, 16, 48, 120, 400)])
-        L = F.element_at(lengths, (F.pmod(F.hash(gid, F.lit(3)), F.lit(6)) + 1).cast("int"))
-        mut_pos = F.pmod(F.col("id"), L) + 1
-        word = F.transform(
-            F.sequence(F.lit(1), L),
-            lambda j: F.when(
-                j == mut_pos, F.concat(F.lit("m"), F.col("id"))
-            ).otherwise(
-                F.concat(
-                    F.lit("w"), F.pmod(F.hash(gid, j, F.lit(99)), F.lit(vocab))
-                )
-            ),
-        )
-        return spark.range(n).select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(" ", word).alias("text"),
-            F.concat(F.lit("s"), F.pmod(F.hash(gid, F.lit(7)), F.lit(8))).alias(
-                "source"
-            ),
-        )
-
     results = []
     for n in (30_000, 300_000):
-        docs = synth_varied(n, vocab=50_000 * (n // 30_000)).repartition(32).persist()
+        docs = synth_varied_docs(spark, n, vocab=50_000 * (n // 30_000)).repartition(32).persist()
         docs.count()
         t0 = time.time()
         n_pairs = ngram_jaccard_pairs(

@@ -653,7 +653,11 @@ def _jaccard_pairs_prefix(
     same verify-join-by-id as minhash_lsh_pairs. No global rank window:
     the total order is carried VALUE-wise as the sortable (count, token)
     struct, so nothing single-tasks at any scale."""
-    sh = base.localCheckpoint(eager=False)  # read by candidates AND verify
+    # read by the candidate pipeline AND both verify joins; localCheckpoint
+    # (not cache) for the same lifecycle reasons as minhash_lsh_pairs'
+    # shingle frame — materialized once at the first action, blocks freed
+    # on GC, no CacheManager state from a lazy registry-style function
+    sh = base.localCheckpoint(eager=False)
     sized = sh.withColumn("__sz", F.size("sh"))
     toks = sized.select(
         "id", *block_cols, "__sz", F.explode("sh").alias("tok")
