@@ -1,0 +1,184 @@
+"""Codec robustness fuzz (round 8): the five pure-Python media codecs
+(BMP, PNG, WAV, AVI, baseline JPEG) must obey the malformed-input
+contract on ADVERSARIAL bytes, not just the happy-path fixtures:
+
+- every truncation prefix of a valid file raises ValueError (or, where a
+  prefix legitimately decodes a shorter-but-consistent file, succeeds) —
+  never struct.error / IndexError / KeyError / zlib.error;
+- seeded single-byte mutations of a valid file either decode or raise
+  ValueError / NotImplementedError (a flipped byte may legally turn a
+  file into an unsupported-but-recognized format, e.g. BMP bpp=25);
+- random byte blobs never escape the contract;
+- no corrupt input may cost unbounded time or memory: a flipped
+  dimension byte must be rejected by the declared-size-vs-payload
+  validation BEFORE the decoder allocates or loops (the round-8 fuzz
+  found mutated BMP height bytes driving multi-second allocations).
+
+Hypothesis drives the roundtrip properties; the truncation sweep is
+exhaustive (every prefix) and the mutation fuzz is seeded, so the suite
+is deterministic. A 5 s alarm converts a hang into a named failure.
+
+Reference parity note: the reference sink dead-letters malformed
+payloads rather than crashing the pipeline (MessageProcessor.java:119
+invalid-message branch); these tests pin the same never-crash contract
+for the media decode seam.
+"""
+
+from __future__ import annotations
+
+import random
+import signal
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from transitlog_hfp_sink_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+from transitlog_hfp_sink_spark.operators.multimodal import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    demux_avi,
+    encode_avi,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+)
+
+ALLOWED = (ValueError, NotImplementedError)
+
+
+class _Hang(AssertionError):
+    pass
+
+
+def _raise_hang(signum, frame):
+    raise _Hang("decoder exceeded the 5 s fuzz budget")
+
+
+def _guarded(dec, blob):
+    """Run one decode under an alarm; only ALLOWED exceptions may escape."""
+    old = signal.signal(signal.SIGALRM, _raise_hang)
+    signal.setitimer(signal.ITIMER_REAL, 5.0)
+    try:
+        dec(blob)
+    except ALLOWED:
+        pass
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _valid_files() -> dict[str, tuple[bytes, object]]:
+    w, h = 4, 3
+    rgb = bytes(range(w * h * 3))
+    stride = (2 * 3 + 3) & ~3
+    return {
+        "bmp": (encode_bmp(w, h, rgb), decode_bmp),
+        "png": (encode_png(w, h, rgb), decode_png),
+        "wav": (encode_wav(8000, [0, 100, -100, 32767, -32768], 1), decode_wav),
+        "avi": (
+            encode_avi(2, 2, [b"\x00" * (stride * 2), b"\xff" * (stride * 2)]),
+            demux_avi,
+        ),
+        "jpg": (encode_jpeg(w, h, rgb, quality=90), decode_jpeg),
+    }
+
+
+@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg"])
+def test_every_truncation_prefix_fails_with_named_error(fmt):
+    data, dec = _valid_files()[fmt]
+    for n in range(len(data)):
+        _guarded(dec, data[:n])
+
+
+@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg"])
+def test_seeded_byte_mutations_stay_in_contract(fmt):
+    data, dec = _valid_files()[fmt]
+    rng = random.Random(20240807)
+    for _ in range(400):
+        i = rng.randrange(len(data))
+        mutated = bytearray(data)
+        mutated[i] = rng.randrange(256)
+        _guarded(dec, bytes(mutated))
+
+
+@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg"])
+def test_random_blobs_stay_in_contract(fmt):
+    _, dec = _valid_files()[fmt]
+    rng = random.Random(991)
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        _guarded(dec, blob)
+
+
+# --- hypothesis roundtrips: arbitrary pixel/sample content ----------------
+
+_dims = st.tuples(st.integers(1, 6), st.integers(1, 6))
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_bmp_roundtrip_property(dims, rng):
+    w, h = dims
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_png_roundtrip_property(dims, rng):
+    w, h = dims
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=40),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 44100]),
+)
+def test_wav_roundtrip_property(samples, channels, rate):
+    if len(samples) % channels:
+        samples = samples[: len(samples) - len(samples) % channels]
+    got = decode_wav(encode_wav(rate, samples, channels))
+    assert got == (rate, channels, samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_dims, st.integers(1, 3), st.randoms(use_true_random=False))
+def test_avi_roundtrip_property(dims, nframes, rng):
+    w, h = dims
+    stride = (w * 3 + 3) & ~3
+    rgb_frames = [
+        bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(nframes)
+    ]
+    dib_frames = []
+    for rgb in rgb_frames:  # top-down RGB -> bottom-up padded BGR (DIB)
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+                row += bytes((b, g, r))
+            rows.append(bytes(row) + b"\x00" * (stride - w * 3))
+        dib_frames.append(b"".join(rows))
+    got_w, got_h, got_frames = demux_avi(encode_avi(w, h, dib_frames))
+    assert (got_w, got_h, got_frames) == (w, h, rgb_frames)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_dims, st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+def test_jpeg_constant_color_roundtrip_bounded_error(dims, r, g, b):
+    """DCT of a constant block is DC-only, so a constant-color image must
+    survive quality-90 quantization with small per-channel error (the
+    chroma subsample + YCbCr rounding budget)."""
+    w, h = dims
+    rgb = bytes((r, g, b)) * (w * h)
+    got_w, got_h, out = decode_jpeg(encode_jpeg(w, h, rgb, quality=90))
+    assert (got_w, got_h) == (w, h)
+    worst = max(
+        abs(out[i] - rgb[i]) for i in range(len(rgb))
+    )
+    assert worst <= 12, (r, g, b, worst)

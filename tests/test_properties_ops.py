@@ -383,3 +383,160 @@ def test_jaccard_prune_equivalence_property(spark, word_lists, thr):
             for r in ngram_jaccard_pairs(df, threshold=thr, prune=mode).collect()
         )
         assert got == ref, (mode, thr)
+
+
+# --- round 8 additions: winnow / BM25 / connected-components referees ------
+
+# winnow inputs include punctuation so normalize_text is exercised too
+_wtext = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "e!f", "GG"]), min_size=0, max_size=20
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_wtext, min_size=1, max_size=6), st.sampled_from([(4, 3), (8, 4)]))
+def test_winnow_fingerprints_match_python_referee(spark, texts, kw):
+    """The md5 hash mode makes winnowing fully replicable in Python:
+    normalize -> char k-grams -> 48-bit md5-prefix hash -> min over every
+    w-gram window (tail windows truncate) -> distinct. The Spark
+    window-function formulation must select EXACTLY the referee's
+    fingerprint set per document."""
+    import hashlib
+    import re
+
+    from transitlog_hfp_sink_spark.operators.winnow import winnow_fingerprints
+
+    k, window = kw
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(
+        df, "text", "doc_id", k=k, window=window, hash_fn="md5"
+    ).collect():
+        got.setdefault(r["id"], set()).add(r["fingerprint"])
+
+    def norm(t: str) -> str:
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    for did, t in rows:
+        s = norm(t)
+        grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16) for g in grams]
+        want = {min(hs[i : i + window]) for i in range(len(hs))}
+        assert got.get(did, set()) == want, (did, t)
+
+
+_bm_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    _bm_docs,
+    st.lists(st.sampled_from(["aa", "bb", "cc", "xx"]), min_size=1, max_size=3,
+             unique=True),
+)
+def test_bm25_postings_matches_python_referee(spark, word_lists, qterms):
+    """bm25_score_postings against a pure-Python Lucene-BM25 referee that
+    replicates the exact cross-engine arithmetic: same idf/tf-norm
+    expression order (each double op correctly rounded), the same
+    double->decimal(20,8) HALF_UP quantization per term (shortest-repr
+    conversion on both sides), exact decimal summation, the same
+    (score desc, doc_id asc) tie-break, and the same final round-to-4.
+    Ranks and scores must match EXACTLY, not approximately."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from transitlog_hfp_sink_spark.operators.search import (
+        B,
+        K1,
+        bm25_score_postings,
+        build_postings,
+    )
+
+    topk = 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id long, text string",
+    )
+    postings, doclens = build_postings(docs)
+    qdf = spark.createDataFrame([(1, t) for t in qterms], "query_id int, term string")
+    got = sorted(
+        (r["doc_id"], r["rank"], r["score"])
+        for r in bm25_score_postings(postings, doclens, qdf, topk=topk).collect()
+    )
+
+    toks = {i: " ".join(ws).split(" ") for i, ws in enumerate(word_lists)}
+    n_docs = len(word_lists)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    q8 = Decimal("0.00000001")
+    totals: dict[int, Decimal] = {}
+    for term in qterms:
+        hit = {i: Counter(t)[term] for i, t in toks.items() if term in t}
+        df = len(hit)
+        for i, tf in hit.items():
+            dl = len(toks[i])
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            s = idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            totals[i] = totals.get(i, Decimal(0)) + Decimal(repr(s)).quantize(
+                q8, ROUND_HALF_UP
+            )
+    ranked = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    want = sorted(
+        (doc, rank + 1,
+         float(Decimal(repr(float(total))).quantize(Decimal("0.0001"),
+                                                    ROUND_HALF_UP)))
+        for rank, (doc, total) in enumerate(ranked)
+    )
+    assert got == want, (word_lists, qterms)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """The large-star/small-star iteration must converge to exactly the
+    union-find referee's answer on arbitrary small graphs: every node of
+    a non-loop edge labeled with the MINIMUM reachable node id,
+    self-loops ignored, isolated nodes absent."""
+    from transitlog_hfp_sink_spark.operators.cluster import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if u == v:
+            continue
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want, edges
+    if parent:
+        assert stats["rounds"] >= 1

@@ -405,8 +405,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: EOF inside entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: EOF after 0xFF in entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -431,8 +435,13 @@ class _BitReader:
         """Consume padding + the RSTn marker at a restart boundary."""
         self.acc = 0
         self.n = 0
-        while self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: EOF while seeking restart marker")
         self.pos += 2
 
 
@@ -467,6 +476,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     restart_interval = 0
     frame = None
     while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: EOF before next marker")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
@@ -484,13 +495,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError("EOI before SOS: no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: EOF inside segment length")
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if seglen < 2:
+            raise ValueError(f"bad JPEG segment length {seglen}")
+        if pos + seglen > len(data):
+            raise ValueError(
+                f"truncated JPEG segment: declares {seglen} bytes, "
+                f"{len(data) - pos} remain"
+            )
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (may hold several tables)
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
                 off += 1
+                if off + (64 if pq == 0 else 128) > len(seg):
+                    raise ValueError("truncated JPEG DQT table")
                 if pq == 0:
                     zz = list(seg[off : off + 64])
                     off += 64
@@ -507,22 +529,37 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xC4:  # DHT (may hold several tables)
             off = 0
             while off < len(seg):
+                if off + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT header")
                 cls, tid = seg[off] >> 4, seg[off] & 0x0F
                 bits = list(seg[off + 1 : off + 17])
                 nvals = sum(bits)
+                if off + 17 + nvals > len(seg):
+                    raise ValueError("truncated JPEG DHT values")
                 vals = list(seg[off + 17 : off + 17 + nvals])
                 huff[(cls, tid)] = _build_decode_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, hh, ww, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision JPEG")
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF component list")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            if not comps:
+                raise ValueError("JPEG SOF declares zero components")
             frame = {"w": ww, "h": hh, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -532,7 +569,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG SOS header")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS component list")
             if ns < len(frame["comps"]):
                 # a multi-scan baseline file (each scan covers a subset of
                 # the frame's components); report it honestly instead of
@@ -561,6 +602,19 @@ def _decode_scan(data, pos, frame, scan_sel, qtabs, huff, restart_interval):
         raise NotImplementedError(f"sampling factors {hmax}x{vmax} > 2x2")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # dimension sanity BEFORE any plane allocation (round 8, fuzz-tested):
+    # every 8x8 block costs >= 2 entropy bits (one DC size code + one EOB
+    # code, each >= 1 bit; byte stuffing only ADDS bytes), so a frame
+    # header declaring more blocks than the remaining entropy bytes could
+    # possibly encode is corrupt — fail with a named error instead of
+    # allocating mcux*mcuy*64 ints for a lying 65535x65535 header.
+    total_blocks = mcux * mcuy * sum(c["h"] * c["v"] for c in comps)
+    max_blocks = (len(data) - pos) * 8 // 2
+    if total_blocks > max_blocks:
+        raise ValueError(
+            f"truncated JPEG: frame declares {w}x{h} ({total_blocks} blocks) "
+            f"but only {len(data) - pos} entropy bytes remain"
+        )
     planes = []
     for c in comps:
         cw, ch = mcux * 8 * c["h"], mcuy * 8 * c["v"]

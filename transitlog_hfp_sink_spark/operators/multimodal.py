@@ -94,9 +94,18 @@ def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
-    """-> (w, h, row-major top-down RGB bytes). 24-bit BI_RGB only."""
+    """-> (w, h, row-major top-down RGB bytes). 24-bit BI_RGB only.
+
+    Malformed input contract (round 8, fuzz-tested): truncated or
+    corrupt payloads raise ValueError with a named cause — never
+    struct.error/IndexError — and declared dimensions are validated
+    against the actual pixel-array byte count BEFORE any allocation, so
+    a flipped height byte cannot make the decoder build a multi-GB
+    buffer."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(data) < 34:
+        raise ValueError("truncated BMP header")
     (data_offset,) = struct.unpack_from("<I", data, 10)
     dib_size, w, h_signed = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
@@ -104,7 +113,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} unsupported")
     top_down = h_signed < 0
     h = abs(h_signed)
+    if w < 0:
+        raise ValueError(f"bad BMP width {w}")
     stride = (w * 3 + 3) & ~3
+    if data_offset + stride * h > len(data):
+        raise ValueError(
+            f"truncated BMP pixel data: header declares {w}x{h} "
+            f"({stride * h} bytes at offset {data_offset}) but payload is "
+            f"{len(data)} bytes"
+        )
     out = bytearray(w * h * 3)
     for y in range(h):
         src_y = y if top_down else (h - 1 - y)
@@ -172,17 +189,29 @@ def encode_png(w: int, h: int, rgb: bytes) -> bytes:
 
 
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
-    """-> (w, h, row-major top-down RGB bytes). 8-bit RGB, no interlace."""
+    """-> (w, h, row-major top-down RGB bytes). 8-bit RGB, no interlace.
+
+    Malformed input contract (round 8, fuzz-tested): truncated chunks,
+    corrupt deflate streams, and pixel-data/IHDR size mismatches all
+    raise ValueError with a named cause — never struct.error /
+    zlib.error / IndexError. The inflate is bounded to the IHDR-declared
+    pixel count, so neither a lying IHDR nor a deflate bomb can allocate
+    past expected+1 bytes."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, w = 8, 0
-    h = 0
+    pos, w, h = 8, None, 0
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG {tag!r} chunk")
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad PNG IHDR length {length}")
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -196,9 +225,23 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
+    if w is None:
+        raise ValueError("PNG payload has no IHDR chunk")
     bpp = 3
     stride = w * bpp
+    expected = h * (stride + 1)  # h rows of (filter byte + pixels)
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT deflate stream: {e}") from None
+    if len(raw) != expected or not d.eof or d.unconsumed_tail or d.unused_data:
+        raise ValueError(
+            f"PNG pixel data mismatch: IHDR declares {w}x{h} "
+            f"({expected} filtered bytes) but IDAT inflates to "
+            f"{'>' if len(raw) > expected or d.unconsumed_tail else ''}"
+            f"{len(raw)}{'' if d.eof else ' (truncated stream)'}"
+        )
     out = bytearray(h * stride)
     prev = bytes(stride)
     for y in range(h):
@@ -246,7 +289,13 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
 
 def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
     """-> (sample_rate, channels, int16 samples). PCM16 only; walks the
-    RIFF chunk list (fmt /data may be separated by LIST/fact chunks)."""
+    RIFF chunk list (fmt /data may be separated by LIST/fact chunks).
+
+    Malformed input contract (round 8, fuzz-tested): truncated chunks
+    raise ValueError naming the cut — never struct.error — and a
+    truncated file is reported as truncated, not as an "unsupported
+    format" (the NotImplementedError guard fires only once a complete
+    fmt chunk was actually read)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -256,18 +305,26 @@ def decode_wav(content: bytes) -> tuple[int, int, list[int]]:
     while pos + 8 <= len(content):
         tag = content[pos : pos + 4]
         (length,) = struct.unpack_from("<I", content, pos + 4)
+        if pos + 8 + length > len(content):
+            raise ValueError(f"truncated WAV {tag!r} chunk")
         payload = content[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({len(payload)} bytes)")
             fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", payload
             )
         elif tag == b"data":
             data = payload
         pos += 8 + length + (length % 2)  # chunks are word-aligned
+    if fmt_code is None:
+        raise ValueError("WAV payload has no fmt chunk")
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(f"WAV fmt={fmt_code} bits={bits} unsupported")
     if data is None:
         raise ValueError("WAV payload has no data chunk")
+    if len(data) % 2:
+        raise ValueError(f"odd PCM16 data length {len(data)}")
     return rate, channels, list(struct.unpack(f"<{len(data) // 2}h", data))
 
 
@@ -310,35 +367,65 @@ def demux_avi(content: bytes) -> tuple[int, int, list[bytes]]:
     """-> (w, h, frames) where each frame is row-major TOP-DOWN RGB bytes
     (stride padding removed, BGR->RGB, bottom-up flipped — DIB layout
     decoded for real). Walks RIFF LIST structure; uncompressed 24-bit
-    'db' chunks only."""
+    'db' chunks only.
+
+    Malformed input contract (round 8, fuzz-tested): truncated chunks
+    and frames whose byte count disagrees with the strf-declared
+    dimensions raise ValueError — never struct.error/IndexError — and
+    the dimension check runs BEFORE any frame buffer is allocated, so a
+    flipped size byte cannot trigger a multi-GB allocation. LIST
+    nesting is depth-capped (a crafted 8-bytes-per-level file would
+    otherwise drive Python recursion to its limit)."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
+    (riff_len,) = struct.unpack_from("<I", content, 4)
+    if 8 + riff_len > len(content):
+        raise ValueError(
+            f"truncated AVI payload: RIFF declares {8 + riff_len} bytes, "
+            f"got {len(content)}"
+        )
     w = h = None
     frames: list[bytes] = []
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal w, h
+        if depth > 32:
+            raise ValueError("AVI LIST nesting deeper than 32")
         pos = lo
         while pos + 8 <= hi:
             tag = content[pos : pos + 4]
             (length,) = struct.unpack_from("<I", content, pos + 4)
+            if pos + 8 + length > hi:
+                raise ValueError(f"truncated AVI {tag!r} chunk")
             if tag == b"LIST":
-                walk(pos + 12, pos + 8 + length)
+                if length < 4:
+                    raise ValueError(f"bad AVI LIST length {length}")
+                walk(pos + 12, pos + 8 + length, depth + 1)
             elif tag == b"strf":
+                if length < 16:
+                    raise ValueError(f"truncated AVI strf chunk ({length} bytes)")
                 _sz, bw, bh, _pl, bpp = struct.unpack_from(
                     "<IiiHH", content, pos + 8
                 )
                 if bpp != 24:
                     raise NotImplementedError(f"AVI bpp={bpp} unsupported")
+                if bw < 0:
+                    raise ValueError(f"bad AVI width {bw}")
                 w, h = bw, abs(bh)
             elif tag[2:4] == b"db":
                 frames.append(content[pos + 8 : pos + 8 + length])
             pos += 8 + length + (length % 2)
 
-    walk(12, 8 + struct.unpack_from("<I", content, 4)[0])
+    walk(12, 8 + riff_len)
     if w is None:
         raise ValueError("AVI payload has no strf header")
     stride = (w * 3 + 3) & ~3
+    for fdata in frames:
+        if len(fdata) != stride * h:
+            raise ValueError(
+                f"AVI frame length {len(fdata)} != stride*h {stride * h} "
+                f"for declared {w}x{h}"
+            )
     out = []
     for fdata in frames:
         rgb = bytearray(w * h * 3)
@@ -376,12 +463,15 @@ def decode_image(content: bytes) -> tuple[int, int, bytes]:
 
 
 #: what a malformed/truncated payload can raise out of the pure-Python
-#: codecs above: struct.error (truncated headers), zlib.error (corrupt
-#: deflate), IndexError (byte indexing past the end), ValueError (field
-#: sanity raises), OverflowError (pathological size fields). The stats
-#: call sites catch exactly this set so ONE bad payload dead-letters as a
-#: NULL-stats row instead of failing the whole Spark job — catching bare
-#: Exception would also swallow real bugs (KeyError, TypeError) silently.
+#: codecs above. Since round 8 the decoders validate lengths/dimensions
+#: up front and raise ValueError with a named cause on every fuzzed
+#: corruption (tests/test_codec_fuzz.py sweeps all truncation prefixes
+#: and seeded byte flips); struct/zlib/Index/Overflow stay in this tuple
+#: purely as a dead-letter safety net for paths the fuzz has not visited.
+#: The stats call sites catch exactly this set so ONE bad payload
+#: dead-letters as a NULL-stats row instead of failing the whole Spark
+#: job — catching bare Exception would also swallow real bugs (KeyError,
+#: TypeError) silently.
 _DECODE_ERRORS = (
     NotImplementedError,
     ValueError,
