@@ -395,3 +395,92 @@ def test_descriptor_validates_with_real_protobuf_parser(spark):
         for i, v in enumerate(domain):
             assert et.getValues().get(i).getName() == v
             assert et.getValues().get(i).getNumber() == i
+
+
+# --- round 8: adversarial-bytes fuzz (the dead-letter contract) ------------
+
+def _decode_in_contract(buf: bytes) -> None:
+    """decode_data must either decode or raise the exact exception set
+    decode_hfp_wire's dead-letter catch converts to schema_valid=false
+    rows — anything else (AttributeError, TypeError, KeyError, ...)
+    would CRASH the Spark task on one corrupt Pulsar message instead of
+    dead-lettering it (MessageProcessor.java:118 invalid-schema branch)."""
+    import struct as _struct
+
+    try:
+        decode_data(buf)
+    except (ValueError, _struct.error, UnicodeDecodeError):
+        pass
+
+
+def test_every_truncation_prefix_stays_in_contract():
+    raw = encode_data(_full_topic(), _full_payload())
+    for n in range(len(raw)):
+        _decode_in_contract(raw[:n])
+
+
+def test_seeded_byte_mutations_stay_in_contract():
+    """The round-8 fuzz found the crash this test pins: a known field
+    arriving on the WRONG wire type (one flipped tag byte turns a
+    length-delimited string into a varint) reached `bytes.decode` /
+    `int(bytes)` type errors that escaped the dead-letter catch."""
+    import random
+
+    raw = encode_data(_full_topic(), _full_payload())
+    rng = random.Random(20240808)
+    for _ in range(3000):
+        i = rng.randrange(len(raw))
+        mutated = bytearray(raw)
+        mutated[i] = rng.randrange(256)
+        _decode_in_contract(bytes(mutated))
+
+
+def test_random_blobs_stay_in_contract():
+    import random
+
+    rng = random.Random(424242)
+    for _ in range(2000):
+        _decode_in_contract(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        )
+
+
+def test_wrong_wire_type_for_known_field_raises_value_error():
+    """Directed form of the mutation case: route/desi (string fields) sent
+    as varints, odo (double) sent as length-delimited — each must raise
+    ValueError naming the field, not AttributeError/TypeError."""
+    from transitlog_hfp_sink_spark.sources.protowire import (
+        _tag,
+        _varint,
+        _WT_LEN,
+        _WT_VARINT,
+    )
+
+    t, p = _full_topic(), _full_payload()
+    topic_num = {name: num for num, name, _ in TOPIC_FIELDS}
+    payload_num = {name: num for num, name, _ in PAYLOAD_FIELDS}
+
+    # a Topic sub-message whose 'route_id' (str) arrives as a varint
+    bad_topic = _tag(topic_num["route_id"], _WT_VARINT) + _varint(7)
+    data = (
+        _tag(1, _WT_VARINT) + _varint(1)
+        + _tag(2, _WT_LEN) + _varint(len(bad_topic)) + bad_topic
+    )
+    # close with a valid payload so only the topic is at fault
+    from transitlog_hfp_sink_spark.sources.protowire import _encode_msg
+
+    good_payload = _encode_msg(PAYLOAD_FIELDS, p)
+    data += _tag(3, _WT_LEN) + _varint(len(good_payload)) + good_payload
+    with pytest.raises(ValueError, match="route_id"):
+        decode_data(bytes(data))
+
+    # a Payload whose 'odo' (double) arrives length-delimited
+    bad_payload = _tag(payload_num["odo"], _WT_LEN) + _varint(3) + b"abc"
+    good_topic = _encode_msg(TOPIC_FIELDS, t)
+    data2 = (
+        _tag(1, _WT_VARINT) + _varint(1)
+        + _tag(2, _WT_LEN) + _varint(len(good_topic)) + good_topic
+        + _tag(3, _WT_LEN) + _varint(len(bad_payload)) + bad_payload
+    )
+    with pytest.raises(ValueError, match="odo"):
+        decode_data(bytes(data2))

@@ -196,6 +196,20 @@ def _decode_msg(fields, buf: bytes) -> dict:
         if num not in by_num:
             continue  # unknown field: skipped (proto forward-compat)
         name, kind = by_num[num]
+        # a known field carried on the WRONG wire type is a corrupt/
+        # mis-schema'd message and must surface as ValueError so the
+        # mapInPandas dead-letter catch in decode_hfp_wire converts it to
+        # a schema_valid=false row — before round 8 a string field sent
+        # as varint hit bytes-vs-int type errors that CRASHED the task
+        # instead of dead-lettering (fuzz-tested in tests/test_protowire.py)
+        expected_wt = (
+            _WT_LEN if kind == "str" else _WT_FIXED64 if kind == "dbl" else _WT_VARINT
+        )
+        if wt != expected_wt:
+            raise ValueError(
+                f"wire type {wt} != {expected_wt} expected for field "
+                f"{name} ({kind})"
+            )
         if kind == "str":
             val = val.decode("utf-8")
         elif kind.startswith("enum:"):
