@@ -540,3 +540,57 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want, edges
     if parent:
         assert stats["rounds"] >= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_wtext, min_size=2, max_size=8))
+def test_simhash_near_dups_match_python_referee(spark, texts):
+    """md5-mode SimHash end to end against a pure-Python referee:
+    signatures (distinct word shingles -> 48-bit-md5 sign tally -> bit
+    string), band blocking (any shared band_bits substring), and the
+    Hamming verify must produce EXACTLY the referee's pair set and
+    distances."""
+    import hashlib
+    import re
+
+    from transitlog_hfp_sink_spark.operators.dedup import simhash_near_dups
+
+    bits, band_bits, max_h = 16, 4, 3
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            df, "text", "doc_id", bits=bits, band_bits=band_bits,
+            max_hamming=max_h, hash_fn="md5",
+        ).collect()
+    }
+
+    def norm(t: str) -> str:
+        t = re.sub(r"[^a-z0-9\s]", " ", t.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    def sig(t: str) -> str:
+        shingles = set(norm(t).split(" "))
+        tally = [0] * bits
+        for s in shingles:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+            for i in range(bits):
+                tally[i] += 1 if (h >> i) & 1 else -1
+        return "".join("1" if v > 0 else "0" for v in tally)
+
+    sigs = {i: sig(t) for i, t in rows}
+    want = {}
+    n_bands = bits // band_bits
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sigs[a], sigs[b]
+            shared = any(
+                sa[k * band_bits : (k + 1) * band_bits]
+                == sb[k * band_bits : (k + 1) * band_bits]
+                for k in range(n_bands)
+            )
+            ham = sum(x != y for x, y in zip(sa, sb))
+            if shared and ham <= max_h:
+                want[(a, b)] = ham
+    assert got == want, texts
