@@ -428,3 +428,17 @@ def test_app_sql_subcommand_materialize_dedup(tmp_path):
     assert lines[0]["n"] > 0
     # (2,22,10) bounds -> nbuckets+2 = 12-element histogram arrays
     assert all(r["nb"] == 12 for r in lines[1:])
+
+
+def test_app_sql_bad_histogram_bounds_is_argparse_error():
+    """A malformed --histogram-bounds value must produce the clean
+    argparse usage error (returncode 2, named message) every other bad
+    flag produces — not a raw unpacking traceback (round-8 review)."""
+    for bad in ("0,30", "0;30;15", "a,b,c", "1,2,3,4"):
+        proc = subprocess.run(
+            [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "sql",
+             "--histogram-bounds", bad, "SELECT 1"],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+        )
+        assert proc.returncode == 2, (bad, proc.stderr[-500:])
+        assert "expected lo,hi,nbuckets" in proc.stderr, (bad, proc.stderr[-500:])

@@ -632,11 +632,37 @@ def test_reregistration_with_different_params_warns(spark, sf_dir, caplog):
     with caplog.at_level(logging.WARNING,
                          logger="transitlog_hfp_sink_spark.catalog"):
         register_catalog(spark, sf_dir=sf_dir)  # defaults replace customs
-    msgs = [r.message for r in caplog.records if "replacing" in r.message]
+    msgs = [r.message for r in caplog.records if "replaced" in r.message]
     assert msgs and "(2.0, 22.0, 10)" in msgs[0] and "'null'" in msgs[0]
 
     caplog.clear()
     with caplog.at_level(logging.WARNING,
                          logger="transitlog_hfp_sink_spark.catalog"):
         register_catalog(spark, sf_dir=sf_dir)  # same params: no warning
-    assert not [r for r in caplog.records if "replacing" in r.message]
+    assert not [r for r in caplog.records if "replaced" in r.message]
+
+
+def test_reregistration_memo_survives_failed_and_partial_calls(spark, sf_dir, caplog):
+    """The memo must reflect views that actually registered: a call that
+    FAILS bounds validation leaves the memo (and so the next warning's
+    'replaced' parameters) at the last successful registration, and a
+    tables-only call (no vehicles source, no parameterized views) does
+    not overwrite it either."""
+    import logging
+    import math
+
+    import pytest
+
+    register_catalog(spark, sf_dir=sf_dir, histogram_bounds=(2.0, 22.0, 10))
+    # failed call: invalid bounds raise BEFORE the parameterized views
+    with pytest.raises(ValueError, match="invalid histogram bounds"):
+        register_catalog(spark, sf_dir=sf_dir,
+                         histogram_bounds=(0.0, math.inf, 5))
+    # tables-only call: registers the TPC-H views, no vehicles views
+    register_catalog(spark)
+    with caplog.at_level(logging.WARNING,
+                         logger="transitlog_hfp_sink_spark.catalog"):
+        register_catalog(spark, sf_dir=sf_dir)  # defaults
+    msgs = [r.message for r in caplog.records if "replaced" in r.message]
+    assert msgs and "(2.0, 22.0, 10)" in msgs[0], msgs
+    assert "inf" not in msgs[0]  # the failed bounds never became the memo

@@ -182,3 +182,61 @@ def test_jpeg_constant_color_roundtrip_bounded_error(dims, r, g, b):
         abs(out[i] - rgb[i]) for i in range(len(rgb))
     )
     assert worst <= 12, (r, g, b, worst)
+
+
+# --- directed cases the random fuzz cannot reach (round-8 review) ----------
+
+def test_bmp_zero_width_huge_height_rejected_fast():
+    """w=0 makes stride 0, so the pixel-payload bound sees nothing to
+    check while the row loop would still iterate h times — a crafted
+    (w=0, h=2^31-1) header must be rejected, not spun for minutes."""
+    import struct
+    import time
+
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 0, 0x7FFFFFFF, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="bad BMP dimensions"):
+        decode_bmp(hdr)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_avi_zero_width_huge_height_rejected_fast():
+    import time
+
+    data, _ = _valid_files()["avi"]
+    # strf payload starts 8 bytes after the 'strf' tag: <IiiHH = size,w,h,planes,bpp
+    i = data.index(b"strf") + 8 + 4  # width field
+    mutated = bytearray(data)
+    mutated[i : i + 8] = (0).to_bytes(4, "little") + (0x7FFFFFFF).to_bytes(4, "little")
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="bad AVI dimensions"):
+        demux_avi(bytes(mutated))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_png_lying_ihdr_rejected_before_inflating():
+    """An IHDR declaring ~1.5 GB of pixels over a few-KB IDAT (deflate of
+    zeros expands ~1000x, nowhere near the declared size) must be
+    rejected by the expansion bound BEFORE any decompression allocates."""
+    import struct
+    import time
+    import zlib
+
+    from transitlog_hfp_sink_spark.operators.multimodal import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 1, 2**29, 8, 2, 0, 0, 0)  # w=1, h=2^29
+    idat = zlib.compress(b"\x00" * 4096)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="PNG pixel data mismatch"):
+        decode_png(data)
+    assert time.monotonic() - t0 < 1.0

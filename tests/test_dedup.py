@@ -247,3 +247,13 @@ def test_jaccard_prune_requires_positive_threshold(corpus):
             dd.ngram_jaccard_pairs(corpus, threshold=0.0, prune=mode)
     with pytest.raises(ValueError, match="expected None"):
         dd.ngram_jaccard_pairs(corpus, threshold=0.5, prune="bands")
+
+
+def test_jaccard_threshold_above_one_rejected_all_modes(corpus):
+    """Jaccard is bounded by 1. Beyond it the unpruned path would return
+    empty but the prefix prune's p_len = |A| - ceil(t*|A|) + 1 goes
+    negative and F.slice throws an opaque error mid-job (round-8 review)
+    — all modes must fail loud at entry instead."""
+    for mode in (None, "length", "prefix"):
+        with pytest.raises(ValueError, match="Jaccard similarity is <= 1"):
+            dd.ngram_jaccard_pairs(corpus, threshold=1.2, prune=mode)

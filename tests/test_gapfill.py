@@ -193,3 +193,24 @@ def test_gapfill_duplicate_bucket_row_fails_with_named_error(spark):
     out = gapfill_buckets(df, "bucket", 3600, ["series"], fill={"v": "locf"})
     with pytest.raises(Exception, match="input contract violated"):
         out.collect()
+
+
+def test_gapfill_null_bucket_fails_with_named_error(spark):
+    """A NULL bucket (time_bucket of a NULL timestamp escaping the
+    caller's aggregation) is the same contract violation as a duplicate
+    row, but lag's null-propagation routed it to the first-row branch:
+    two NULL-bucket rows each saw lag(bucket)=NULL and silently emitted
+    duplicate output rows (round-8 review). The guard must name it."""
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0), 1, 10.0),
+        ("a", None, 2, 20.0),
+        ("a", None, 3, 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, bucket timestamp, n bigint, v double"
+    )
+    out = gapfill_buckets(df, "bucket", 3600, ["series"], fill={"v": "locf"})
+    with pytest.raises(Exception, match="input contract violated"):
+        out.collect()

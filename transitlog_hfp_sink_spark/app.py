@@ -481,7 +481,14 @@ def _sql(argv: list[str]) -> int:
                    help="cap on printed rows per statement")
     p.add_argument("query", nargs="+", help="SQL statement(s), run in order")
     args = p.parse_args(argv)
-    lo, hi, nb = args.histogram_bounds.split(",")
+    try:
+        lo, hi, nb = args.histogram_bounds.split(",")
+        bounds = (float(lo), float(hi), int(nb))
+    except ValueError:
+        p.error(
+            f"--histogram-bounds {args.histogram_bounds!r}: "
+            "expected lo,hi,nbuckets (e.g. 0,30,15)"
+        )
     spark = build_session(app_name="hfp-sql")
     try:
         from transitlog_hfp_sink_spark.catalog import register_catalog
@@ -489,7 +496,7 @@ def _sql(argv: list[str]) -> int:
         register_catalog(
             spark, sf_dir=args.sf_dir, vehicles_path=args.vehicles,
             materialize_dedup=args.materialize_dedup,
-            histogram_bounds=(float(lo), float(hi), int(nb)),
+            histogram_bounds=bounds,
             gapfill_count_fill=args.gapfill_count_fill,
         )
         for q in args.query:

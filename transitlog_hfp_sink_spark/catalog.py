@@ -101,17 +101,6 @@ def register_catalog(
     (a warning log line names both parameter sets when that happens)."""
     app_id = spark.sparkContext.applicationId
     params = (tuple(histogram_bounds), gapfill_count_fill)
-    prev = _LAST_PARAMS.get(app_id)
-    if prev is not None and prev != params:
-        log.warning(
-            "register_catalog: replacing this session's views registered with "
-            "histogram_bounds=%s, gapfill_count_fill=%r by histogram_bounds=%s, "
-            "gapfill_count_fill=%r — re-run register_catalog with your "
-            "parameters to restore them",
-            prev[0], prev[1], params[0], params[1],
-        )
-    _LAST_PARAMS.clear()  # one live application at a time (memo hygiene)
-    _LAST_PARAMS[app_id] = params
     registered: list[str] = []
     if sf_dir is not None:
         for t in TABLES:
@@ -151,6 +140,21 @@ def register_catalog(
         registered.append("vehicles_odo_delta")
         register_gapfill_view(spark, count_fill=gapfill_count_fill)
         registered.append("vehicles_hourly_gapfill")
+        # warn + memo only AFTER the parameterized views actually
+        # (re-)registered: a validation error above must not poison the
+        # memo with bounds that never produced a view, and a tables-only
+        # call (no vehicles source) must not suppress the next warning
+        prev = _LAST_PARAMS.get(app_id)
+        if prev is not None and prev != params:
+            log.warning(
+                "register_catalog: replaced this session's views registered "
+                "with histogram_bounds=%s, gapfill_count_fill=%r by "
+                "histogram_bounds=%s, gapfill_count_fill=%r — re-run "
+                "register_catalog with your parameters to restore them",
+                prev[0], prev[1], params[0], params[1],
+            )
+        _LAST_PARAMS.clear()  # one live application at a time (memo hygiene)
+        _LAST_PARAMS[app_id] = params
     register_udfs(spark)
     register_time_bucket(spark)
     return registered

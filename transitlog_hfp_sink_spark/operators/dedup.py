@@ -163,6 +163,43 @@ def _jaccard(sh_a: Column, sh_b: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _verify_jaccard_pairs(
+    cands: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """The exact-Jaccard verify stage every banded/blocked candidate
+    generator shares (minhash LSH, incremental LSH, prefix-filtered
+    jaccard): join (id_a, id_b) candidate pairs back to the per-doc
+    shingle sets and keep pairs with round-to-6 Jaccard >= threshold.
+
+    Both shingle legs are hinted SHUFFLE-HASH as the build side: at gate
+    scale the candidate and shingle frames are small and the executed
+    join is cheap either way, but at production scale the shingle frame
+    outgrows the broadcast threshold and the default becomes sort-merge —
+    which runs the candidate side (pair-count rows, each dragging a full
+    shingle ARRAY after the first join) through an external sort
+    (measured round 8: 300k docs / 70M candidates filled 78 GB of sorter
+    spill; the hash join shuffles the same rows compressed, unsorted, and
+    builds only |docs|-row hash maps per partition). One helper so the
+    scale-safe shape cannot drift between the three call sites (round-8
+    review: the hint had been applied to the prefix path only)."""
+    sh_a = shingles.select(
+        F.col("id").alias("id_a"), F.col(shingle_col).alias("sh_a")
+    ).hint("shuffle_hash")
+    sh_b = shingles.select(
+        F.col("id").alias("id_b"), F.col(shingle_col).alias("sh_b")
+    ).hint("shuffle_hash")
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _hash31(arr: Column, hash_fn: str = "xxhash64") -> Column:
     """Per-shingle 31-bit hashes (hash64 folded into [0, 2^31)):
     keeps a*h+b inside signed-64 range under ANSI overflow checking."""
@@ -302,18 +339,7 @@ def minhash_lsh_pairs(
     # must survive executor loss inside one dedup job should persist the
     # index with build_minhash_index (parquet) and join against that.
     sh = shingle_frame(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
-    verified = (
-        cands.join(
-            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
-        )
-        .join(
-            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
-        )
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    return _verify_jaccard_pairs(cands, sh, threshold)
 
 
 def build_minhash_index(
@@ -411,19 +437,7 @@ def incremental_minhash_pairs(
     cands = cands.distinct()
     new_sh = shingle_frame(new_docs, text_col, id_col, shingle_n)
     all_sh = index_shingles.unionByName(new_sh)
-    return (
-        cands.join(
-            all_sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
-            "id_a",
-        )
-        .join(
-            all_sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
-            "id_b",
-        )
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard_pairs(cands, all_sh, threshold)
 
 
 def simhash_bits(col: Column | str, bits: int = 64, shingle_n: int = 1) -> Column:
@@ -614,6 +628,11 @@ def ngram_jaccard_pairs(
             "prune requires threshold > 0: at t=0 every pair (even with "
             "zero overlap) belongs in the output, so nothing can be pruned"
         )
+    if threshold > 1:
+        # Jaccard is bounded by 1; beyond it the unpruned path returns
+        # empty but the prefix prune's p_len = |A| - ceil(t*|A|) + 1 goes
+        # negative and F.slice throws mid-job — fail loud at entry instead
+        raise ValueError(f"threshold={threshold}: Jaccard similarity is <= 1")
     base = shingle_frame(
         df, text_col, id_col, shingle_n, extra_cols=tuple(block_cols or [])
     ).withColumnRenamed("shingles", "sh")
@@ -703,23 +722,4 @@ def _jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify joins are SHUFFLE-HASH with the doc-count-sized shingle frame
-    # as build side: the default sort-merge join would run the candidate
-    # side — pair-count rows each dragging a full shingle ARRAY after the
-    # first join — through an external SORT, which is what spills at
-    # scale (measured round 8: 300k docs / 70M candidates filled 78 GB of
-    # sorter spill; hash join shuffles the same rows compressed, unsorted,
-    # and builds only |docs|-row hash maps per partition)
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")).hint(
-        "shuffle_hash"
-    )
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint(
-        "shuffle_hash"
-    )
-    return (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard_pairs(cands, sh, threshold, shingle_col="sh")

@@ -154,19 +154,24 @@ def gapfill_buckets(
     # a duplicate (series, bucket) row — the input must be the groupBy
     # output, one row per observed bucket — makes lag(bucket) == bucket,
     # so __n = 0 and the slice arithmetic below would surface as an opaque
-    # "illegal sequence boundaries" error. assert_true is fused into the
-    # __n expression (returns NULL on pass, throws the named message on
-    # violation) so the check costs no extra pass; same fusion pattern as
+    # "illegal sequence boundaries" error. A NULL bucket is the same class
+    # of violation (time_bucket of a NULL timestamp escaped the caller's
+    # aggregation) and must not slip past via lag's null-propagation —
+    # NULLs sort first, so duplicate NULL buckets would each see
+    # lag(bucket)=NULL and take the first-row branch, silently emitting
+    # duplicate output rows. assert_true is fused into the __n expression
+    # (returns NULL on pass, throws the named message on violation) so the
+    # check costs no extra pass; same fusion pattern as
     # sampling.weighted_take's weight guard.
     guard = F.assert_true(
-        n_raw >= 1,
+        b.isNotNull() & (n_raw >= 1),
         F.concat(
             F.lit(
-                "gapfill_buckets: input contract violated — duplicate "
-                f"(series, {bucket_col}) row (or sub-width bucket spacing: "
-                f"buckets must be {w}s-aligned) at {bucket_col}="
+                "gapfill_buckets: input contract violated — NULL bucket, "
+                f"duplicate (series, {bucket_col}) row, or sub-width bucket "
+                f"spacing (buckets must be {w}s-aligned) at {bucket_col}="
             ),
-            b.cast("string"),
+            F.coalesce(b.cast("string"), F.lit("NULL")),
         ),
     )
     sliced = (

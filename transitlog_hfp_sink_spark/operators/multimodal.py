@@ -115,6 +115,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     h = abs(h_signed)
     if w < 0:
         raise ValueError(f"bad BMP width {w}")
+    if w == 0 and h > 0:
+        # stride would be 0, so the pixel-payload bound below cannot see h
+        # and a crafted header (w=0, h=2^31) would spin the row loop for
+        # minutes doing nothing — reject the nonsensical dimension pair
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     stride = (w * 3 + 3) & ~3
     if data_offset + stride * h > len(data):
         raise ValueError(
@@ -230,6 +235,16 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     bpp = 3
     stride = w * bpp
     expected = h * (stride + 1)  # h rows of (filter byte + pixels)
+    # deflate expands at most ~1032:1, so an IHDR declaring more pixel
+    # bytes than the IDAT could possibly inflate to is corrupt — reject
+    # BEFORE decompressing, otherwise a lying IHDR (w=1, h=2^29) would
+    # let max_length=expected+1 admit a multi-GB bomb expansion first
+    if expected > len(idat) * 1032 + 4096:
+        raise ValueError(
+            f"PNG pixel data mismatch: IHDR declares {w}x{h} "
+            f"({expected} filtered bytes) but IDAT holds only "
+            f"{len(idat)} compressed bytes"
+        )
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected + 1)
@@ -411,6 +426,11 @@ def demux_avi(content: bytes) -> tuple[int, int, list[bytes]]:
                     raise NotImplementedError(f"AVI bpp={bpp} unsupported")
                 if bw < 0:
                     raise ValueError(f"bad AVI width {bw}")
+                if bw == 0 and bh != 0:
+                    # stride 0 defeats the frame-length bound below (every
+                    # 0-byte frame "matches" stride*h) while the per-frame
+                    # row loop still iterates h times — reject the pair
+                    raise ValueError(f"bad AVI dimensions {bw}x{abs(bh)}")
                 w, h = bw, abs(bh)
             elif tag[2:4] == b"db":
                 frames.append(content[pos + 8 : pos + 8 + length])
