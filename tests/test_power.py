@@ -16,7 +16,43 @@ from transitlog_hfp_sink_spark.queries import power
 def test_power_schemas_match_live(spark, sf_dir):
     assert set(power.POWER_SCHEMAS) == set(power.POWER_QUERIES)
     for name, fn in power.POWER_QUERIES.items():
-        assert fn(spark, sf_dir).dtypes == power.POWER_SCHEMAS[name], name
+        # "double_raw" is a CANONICALIZATION marker (raw data doubles get
+        # the tie-proof integer-microunit form, round 8), not a Spark type
+        want = [(c, t.replace("double_raw", "double"))
+                for c, t in power.POWER_SCHEMAS[name]]
+        assert fn(spark, sf_dir).dtypes == want, name
+
+
+def test_canon_raw_double_tie_is_engine_stable(spark):
+    """The sf0.1 regression pinned: 97.6015625 sits exactly on the 6 dp
+    half boundary, where Spark's double->decimal cast (HALF_UP) said
+    97.601563 and DuckDB's (HALF_EVEN) said 97.601562 — one flipped
+    digest. The double_raw integer-microunit form must agree exactly on
+    both engines for boundary and non-boundary values, positive and
+    negative."""
+    import duckdb
+
+    vals = [97.6015625, -97.6015625, 0.0000005, -0.0000005, 12.25, 0.0,
+            -1.9999995, 8887.171875]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+
+    got_spark = [
+        r[0]
+        for r in sdf.select(
+            F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint").cast("string")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT CAST(CAST(floor(CAST({v!r} AS DOUBLE) * 1000000.0 + 0.5)"
+            " AS BIGINT) AS VARCHAR)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_spark == got_duck, list(zip(vals, got_spark, got_duck))
 
 
 def test_power_run_covers_every_query_nonempty(spark, sf_dir):

@@ -1693,10 +1693,15 @@ FROM rz, pads
 UNION ALL
 SELECT 'feature' AS part, doc_id AS media_id,
        pads.n_bytes, pads.content_md5, pads.frame_idx, pads.out_w, pads.out_h,
+       -- + 0.0 normalizes SIGNED ZERO: when the 16-term fold sums to a
+       -- tiny negative (found at sf0.1: 4 docs), DuckDB's round keeps
+       -- -0.0 while Spark's round (BigDecimal path) yields +0.0 — the
+       -- values compare equal but their string forms ('-0.0' vs '0.0')
+       -- break the driver's value hash. IEEE: -0.0 + 0.0 = +0.0.
        round(list_sum([
          ('0x' || substr(md5(text), 2*i - 1, 2))::INT / 127.5 - 1.0
          for i in range(1, 17)
-       ]), 6) AS feat_sum
+       ]), 6) + 0.0 AS feat_sum
 FROM documents, pads
 UNION ALL
 -- decode leg: the analytic prediction of the REAL BMP/PNG decode — pixel

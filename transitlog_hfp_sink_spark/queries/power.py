@@ -64,20 +64,20 @@ POWER_ORACLES = {
 # without a SparkSession; tests/test_power.py asserts these match the
 # live DataFrame schemas.
 POWER_SCHEMAS: dict[str, list[tuple[str, str]]] = {
-    "q2_min_cost_supplier": [("p_partkey", "bigint"), ("p_brand", "string"), ("s_name", "string"), ("s_acctbal", "double"), ("n_name", "string"), ("unit_price", "double")],
+    "q2_min_cost_supplier": [("p_partkey", "bigint"), ("p_brand", "string"), ("s_name", "string"), ("s_acctbal", "double_raw"), ("n_name", "string"), ("unit_price", "double_raw")],
     "q11_important_parts": [("l_partkey", "bigint"), ("part_value", "double")],
     "q16_supplier_counts": [("p_brand", "string"), ("p_type", "string"), ("p_size", "int"), ("supplier_cnt", "bigint")],
-    "q20_promo_suppliers": [("s_name", "string"), ("s_acctbal", "double")],
+    "q20_promo_suppliers": [("s_name", "string"), ("s_acctbal", "double_raw")],
     "q6_forecast_revenue": [("revenue", "double")],
     "q7_volume_shipping": [("supp_nation", "string"), ("cust_nation", "string"), ("l_year", "int"), ("revenue", "double")],
     "q8_market_share": [("o_year", "int"), ("mkt_share", "double")],
     "q9_product_profit": [("nation", "string"), ("o_year", "int"), ("sum_profit", "double")],
-    "q10_returned_items": [("c_custkey", "bigint"), ("c_name", "string"), ("c_acctbal", "double"), ("n_name", "string"), ("c_mktsegment", "string"), ("revenue", "double")],
+    "q10_returned_items": [("c_custkey", "bigint"), ("c_name", "string"), ("c_acctbal", "double_raw"), ("n_name", "string"), ("c_mktsegment", "string"), ("revenue", "double")],
     "q12_late_shipments": [("ship_year", "int"), ("high_line_count", "bigint"), ("low_line_count", "bigint")],
     "q14_promo_effect": [("promo_revenue", "double")],
     "q15_top_supplier": [("s_suppkey", "bigint"), ("s_name", "string"), ("total_revenue", "double")],
     "q17_small_quantity": [("avg_yearly", "double")],
-    "q18_large_volume": [("c_custkey", "bigint"), ("c_name", "string"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("o_totalprice", "double"), ("sum_qty", "double")],
+    "q18_large_volume": [("c_custkey", "bigint"), ("c_name", "string"), ("o_orderkey", "bigint"), ("o_orderdate", "timestamp_ntz"), ("o_totalprice", "double_raw"), ("sum_qty", "double")],
     "q19_disjunctive": [("revenue", "double")],
     "q21_waiting_supplier": [("s_name", "string"), ("numwait", "bigint")],
     "q22_idle_customers": [("c_mktsegment", "string"), ("numcust", "bigint"), ("totacctbal", "double")],
@@ -87,10 +87,28 @@ POWER_SCHEMAS: dict[str, list[tuple[str, str]]] = {
 
 
 def _canon_spark(col: str, dtype: str):
-    """Canonical string form of a column, identical to _canon_sql's."""
+    """Canonical string form of a column, identical to _canon_sql's.
+
+    Two double forms (round 8, found by the sf0.1 sweep):
+
+    - "double" — DECIMAL-derived sums (the repo idiom): the double is the
+      nearest-double of a <= 6 dp decimal, so the decimal(38,6) cast
+      recovers those digits exactly on both engines (a rounding tie would
+      need the double within 0.5 ulp of a .xxxxxx5 boundary — impossible
+      when the true value has <= 6 dp).
+    - "double_raw" — RAW data doubles (acctbal, totalprice, unit costs):
+      these can be dyadic rationals sitting EXACTLY on a 6 dp half
+      boundary (sf0.1 hit 97.6015625), where Spark's double->decimal cast
+      rounds HALF_UP and DuckDB's HALF_EVEN — one digest flips. Canonical
+      form is integer microunits via floor(x*1e6 + 0.5): multiply, add,
+      floor are single IEEE double ops, bit-identical across engines; no
+      decimal rounding mode is ever consulted.
+    """
     c = F.col(col)
     if dtype == "double":
         s = c.cast("decimal(38,6)").cast("string")
+    elif dtype == "double_raw":
+        s = F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").cast("string")
     elif dtype.startswith("timestamp"):
         s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     else:  # ints, strings, decimals, dates: plain cast is format-stable
@@ -101,6 +119,8 @@ def _canon_spark(col: str, dtype: str):
 def _canon_sql(col: str, dtype: str) -> str:
     if dtype == "double":
         s = f"CAST(CAST({col} AS DECIMAL(38,6)) AS VARCHAR)"
+    elif dtype == "double_raw":
+        s = f"CAST(CAST(floor({col} * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)"
     elif dtype.startswith("timestamp"):
         s = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
     else:
