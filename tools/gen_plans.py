@@ -11,7 +11,7 @@ PICKS = {
     "q5_region_revenue": "6-way join: all dimensions broadcast, fact never shuffles pre-agg",
     "asof_error_click": "as-of join: one shuffle on the key, keyed window, no nested loop",
     "events_hourly_rollup": "rollup: partial (map-side) + final HashAggregate pair",
-    "dedup_minhash_lsh": "LSH: explode+agg signatures, band equi-join, no cartesian",
+    "dedup_minhash_lsh": "LSH: explode+agg signatures, band equi-join, no cartesian; verify joins SHUFFLE-HASH hinted (sort-merge spills at scale — round 8)",
     "embedding_topk_exact": "brute-force ANN: broadcast queries, map-only scoring, tiny top-k window",
     "q16_supplier_counts": "distinct-agg: broadcast anti/dim joins run MAP-SIDE before the only wide distinct (round-3 reorder, 2.3x)",
     "q17_small_quantity": "correlated-avg rewrite: two broadcast joins into the fact, no shuffle join",
