@@ -467,3 +467,127 @@ def test_hfp_datasource_soak_kill_recovery_zero_loss(spark, tmp_path):
     assert n_written >= total  # at-least-once: replays allowed, loss is not
     # dedup-view stability: replaying the whole sink changes nothing
     assert dedup_vehicles(written.unionByName(written)).count() == total
+
+
+def test_hfp_datasource_corrupt_payload_injection_dead_letters(spark, tmp_path):
+    """Round 8: one corrupt Pulsar message must never crash the pipeline
+    (MessageProcessor.java:118 invalid-schema branch) — it dead-letters
+    as a schema_valid=false row while every valid neighbor lands exactly
+    once. The injected corruption classes cover the full decode contract:
+    the INVALID_WIRE_BYTES marker, a truncated message, arbitrary bytes,
+    a bad-UTF-8 string field, and — the class the round-8 protowire fix
+    closed — a known field arriving on the WRONG wire type (one tag byte
+    turns a length-delimited string into a varint), which previously
+    escaped the dead-letter catch as a task-killing TypeError."""
+    import os as _os
+    import time as _time
+    from datetime import timedelta
+
+    from hfp_fixtures import BASE, make_hfp_rows
+
+    from transitlog_hfp_sink_spark.sources.hfp_datasource import (
+        HfpDataSource,
+        write_wire_file,
+    )
+    from transitlog_hfp_sink_spark.sources.protowire import (
+        INVALID_WIRE_BYTES,
+        PAYLOAD_FIELDS,
+        TOPIC_FIELDS,
+        _encode_msg,
+        _tag,
+        _varint,
+        _WT_LEN,
+        _WT_VARINT,
+        encode_data,
+    )
+    from transitlog_hfp_sink_spark.transform import dedup_vehicles, hfp_split
+
+    spark.dataSource.register(HfpDataSource)
+    d = tmp_path / "captures"
+    d.mkdir()
+    out_valid = str(tmp_path / "sink_valid")
+    out_dead = str(tmp_path / "sink_dead")
+    ckpt = str(tmp_path / "ckpt")
+
+    template = make_hfp_rows()[0]
+
+    def message(seq: int) -> bytes:
+        topic = dict(template["topic"])
+        payload = dict(template["payload"])
+        ts = BASE + timedelta(seconds=seq)
+        topic["unique_vehicle_id"] = f"{seq % 7:04d}/{seq % 40:05d}"
+        payload["tst"] = ts.strftime("%Y-%m-%dT%H:%M:%S.000")
+        payload["tsi"] = int(ts.timestamp())
+        return encode_data(topic, payload)
+
+    valid_msg = message(0)
+    topic_num = {name: num for num, name, _ in TOPIC_FIELDS}
+    good_payload = _encode_msg(PAYLOAD_FIELDS, dict(template["payload"]))
+    # route_id (a string field) carried as a varint — the wire-type clash
+    bad_topic = _tag(topic_num["route_id"], _WT_VARINT) + _varint(7)
+    wrong_wire_type = (
+        _tag(1, _WT_VARINT) + _varint(1)
+        + _tag(2, _WT_LEN) + _varint(len(bad_topic)) + bad_topic
+        + _tag(3, _WT_LEN) + _varint(len(good_payload)) + good_payload
+    )
+    # headsign (a string field) carrying invalid UTF-8
+    bad_utf8_topic = _tag(topic_num["headsign"], _WT_LEN) + _varint(2) + b"\xff\xfe"
+    bad_utf8 = (
+        _tag(1, _WT_VARINT) + _varint(1)
+        + _tag(2, _WT_LEN) + _varint(len(bad_utf8_topic)) + bad_utf8_topic
+        + _tag(3, _WT_LEN) + _varint(len(good_payload)) + good_payload
+    )
+    corrupt = [
+        INVALID_WIRE_BYTES,
+        valid_msg[: len(valid_msg) // 2],
+        b"\x00\x01\x02\x03" * 5,
+        wrong_wire_type,
+        bad_utf8,
+    ]
+
+    n_files, per_file = 6, 100
+    total_valid = n_files * per_file
+    total_corrupt = n_files * len(corrupt)
+    for idx in range(n_files):
+        msgs: list[bytes] = []
+        for j in range(per_file):
+            msgs.append(message(idx * per_file + j))
+            if j % 20 == 0:  # interleave all 5 corruption classes per file
+                msgs.append(corrupt[(j // 20) % len(corrupt)])
+        tmp = str(d / f"cap-{idx:06d}.tmp")
+        write_wire_file(tmp, msgs)
+        _os.rename(tmp, str(d / f"cap-{idx:06d}.hfpw"))
+
+    def sink(raw_df, batch_id):
+        valid, dead = hfp_split(raw_df)
+        valid.select(
+            "unique_vehicle_id", "tst", "event_type", "journey_type",
+            "received_at",
+        ).write.mode("append").parquet(out_valid)
+        dead.select("reject_reason").write.mode("append").parquet(out_dead)
+
+    q = (
+        spark.readStream.format("hfp")
+        .load(str(d))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 180
+    n_dedup = n_dead = -1
+    while _time.time() < deadline:
+        try:
+            n_dedup = dedup_vehicles(spark.read.parquet(out_valid)).count()
+            n_dead = spark.read.parquet(out_dead).count()
+        except Exception:  # noqa: BLE001 - sinks not created yet
+            n_dedup = n_dead = -1
+        if n_dedup >= total_valid and n_dead >= total_corrupt:
+            break
+        _time.sleep(1)
+    alive = q.isActive  # the query must have survived every corruption
+    q.stop()
+
+    assert alive, "streaming query died on a corrupt payload"
+    assert n_dedup == total_valid, (n_dedup, total_valid)
+    assert n_dead == total_corrupt, (n_dead, total_corrupt)
