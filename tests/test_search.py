@@ -214,3 +214,91 @@ def test_update_postings_equals_full_rebuild(spark):
     r_inc = bm25_score_postings(p_inc, d_inc, q, topk=4).collect()
     r_full = bm25_score_postings(p_full, d_full, q, topk=4).collect()
     assert key(r_inc) == key(r_full)
+
+
+def test_write_postings_index_and_serve_prunes_and_matches(spark, corpus, tmp_path):
+    """The round-8 serving layout: write_postings_index partitions the
+    postings by the md5 term bucket; bm25_serve computes the query
+    terms' buckets on the driver and prunes the scan to them. The served
+    result must equal bm25_score_postings over the FULL index row for
+    row (pruning removes only rows the broadcast term join would drop),
+    and the pruned scan must carry a partition filter on tb."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        search_tokens,
+        term_bucket,
+        term_bucket_py,
+        write_postings_index,
+    )
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    postings, doclens = build_postings(corpus)
+    path = str(tmp_path / "idx")
+    write_postings_index(postings, doclens, path, n_buckets=16)
+
+    queries = [(1, "apple banana"), (2, "cherry date missingterm")]
+    served_df = bm25_serve(spark, path, queries, topk=5)
+    served = sorted(tuple(r) for r in served_df.collect())
+
+    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
+    )
+    full = sorted(
+        tuple(r)
+        for r in bm25_score_postings(
+            spark.read.parquet(f"{path}/postings").drop("tb"),
+            spark.read.parquet(f"{path}/doclens"),
+            qt, topk=5,
+        ).collect()
+    )
+    assert served == full and served  # identical AND non-trivial
+
+    plan = explain_str(served_df, "formatted")
+    assert "PartitionFilters" in plan and "tb" in plan
+
+    # the Spark and Python bucket laws agree term-for-term
+    terms = ["apple", "banana", "cherry", "date", "missingterm", "x1"]
+    sdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in sdf.select("term", term_bucket("term", 16).alias("b")).collect()
+    }
+    assert got == {t: term_bucket_py(t, 16) for t in terms}
+
+
+def test_bm25_serve_scans_only_matched_buckets(spark, corpus, tmp_path):
+    """Count the actual files a pruned serve reads: with one-term
+    queries, only that term's tb=K directory may appear in the scan's
+    input files (the whole point of the layout)."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        term_bucket_py,
+        write_postings_index,
+    )
+
+    postings, doclens = build_postings(corpus)
+    path = str(tmp_path / "idx2")
+    write_postings_index(postings, doclens, path, n_buckets=16)
+    # the serve result itself stays correct for the single-term query
+    served = {
+        r["doc_id"]
+        for r in bm25_serve(spark, path, [(1, "elderberry")], topk=5).collect()
+    }
+    assert served == {4}
+    # replicate the pruned scan bm25_serve builds and enumerate its files
+    # (input_file_name() cannot run on the multi-source joined plan)
+    bucket = term_bucket_py("elderberry", 16)
+    pruned = spark.read.parquet(f"{path}/postings").where(
+        F.col("tb").isin([bucket])
+    )
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files, "no postings files in the pruned scan"
+    assert all(f"tb={bucket}/" in f for f in files), files
+    # and the unpruned index genuinely holds more buckets than the scan read
+    all_buckets = {
+        r["tb"]
+        for r in spark.read.parquet(f"{path}/postings").select("tb").distinct().collect()
+    }
+    assert len(all_buckets) > 1

@@ -243,6 +243,9 @@ def main() -> None:
     if family == "prefix10":
         run_prefix10(spark)
         return
+    if family == "bm2510":
+        run_bm2510(spark)
+        return
     if family in ("relational", "all"):
         run_relational(spark)
         if family == "relational":
@@ -912,6 +915,139 @@ def run_semdedup10(spark) -> None:
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended semdedup10 probe to SCALING.md")
+
+
+
+
+def run_bm2510(spark) -> None:
+    """Round 8: BM25 SERVING cost at a 10x step — the last expensive
+    family without an sf10-regime probe. Three cost classes measured
+    separately:
+
+    - index BUILD (tokenize + hash-agg + partitioned write): linear in
+      the corpus by construction — the once-per-corpus price;
+    - UNPRUNED serve (plain parquet postings, broadcast term join): the
+      join filters AFTER the scan, so even rare-term queries read the
+      whole index — linear in corpus size;
+    - PRUNED serve (round-8 write_postings_index layout: md5 term-bucket
+      partitions + build-time n_docs/avgdl in meta): reads only the
+      query terms' buckets. n_buckets scales with the corpus (the
+      production sizing rule: keep bucket size constant), so rare-term
+      serve cost is bounded by the terms' postings — near-flat.
+
+    Corpus: n docs x 30 words — 25 common (vocab 100, df ~ 0.22n: an
+    output-bound query class by semantics) + 5 rare (vocab n/100, df
+    ~ 100 bounded as n grows). Queries: 8 single rare terms, 8 single
+    common terms. Regenerate: `python tools/stress_sf1.py bm2510`.
+    """
+    import shutil
+    import tempfile
+
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_score_postings,
+        bm25_serve,
+        build_postings,
+        search_tokens,
+        write_postings_index,
+    )
+
+    words_common, words_rare = 25, 5
+
+    def synth_docs(n: int):
+        rare_vocab = n // 100
+        common = [
+            F.concat(F.lit("c"), F.pmod(F.hash(F.col("id"), F.lit(j)), F.lit(100)))
+            for j in range(words_common)
+        ]
+        rare = [
+            F.concat(
+                F.lit("r"),
+                F.pmod(F.col("id") + F.lit(j * 37), F.lit(rare_vocab)),
+            )
+            for j in range(words_rare)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *(common + rare)).alias("text"),
+        )
+
+    rare_q = [(i + 1, f"r{i}") for i in range(8)]
+    common_q = [(i + 1, f"c{i}") for i in range(8)]
+    results = []
+    for n in (100_000, 1_000_000):
+        n_buckets = 256 if n == 100_000 else 2560  # constant bucket SIZE
+        docs = synth_docs(n).repartition(32).persist()
+        docs.count()
+        d = tempfile.mkdtemp(prefix=f"bm2510-{n}-")
+        t0 = time.time()
+        postings, doclens = build_postings(docs)
+        write_postings_index(postings, doclens, d, n_buckets=n_buckets)
+        t_build = time.time() - t0
+        docs.unpersist()
+
+        def serve_unpruned(queries):
+            qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+            qt = qdf.select(
+                "query_id",
+                F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
+            )
+            return bm25_score_postings(
+                spark.read.parquet(f"{d}/postings").drop("tb"),
+                spark.read.parquet(f"{d}/doclens"),
+                qt, topk=10,
+            )
+
+        timings = {}
+        for label, fn in (
+            ("rare_pruned", lambda: bm25_serve(spark, d, rare_q, topk=10)),
+            ("rare_unpruned", lambda: serve_unpruned(rare_q)),
+            ("common_pruned", lambda: bm25_serve(spark, d, common_q, topk=10)),
+            ("common_unpruned", lambda: serve_unpruned(common_q)),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                materialize(fn())
+                best = min(best, time.time() - t0)
+            timings[label] = best
+        results.append((n, n_buckets, t_build, timings))
+        print(f"n={n} build={t_build:.1f}s " +
+              " ".join(f"{k}={v:.2f}s" for k, v in timings.items()), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+    lines = [
+        "",
+        "## sf10 BM25 serving probe — build / unpruned / pruned (round 8)",
+        "",
+        "Synthetic 30-word docs: 25 common words (vocab 100, df ~ 0.22n)",
+        "+ 5 rare words (vocab n/100, df ~ 100 bounded as n grows); 8",
+        "single-term queries per class, min-of-3 per cell, one-time build",
+        "timed separately; n_buckets scales with n so bucket SIZE stays",
+        "constant (the production sizing rule). Serving reads only the",
+        "queried buckets + build-time meta stats (no doclens scan).",
+        "Regenerate: `python tools/stress_sf1.py bm2510`.",
+        "",
+        "| n docs | n_buckets | build (s) | rare pruned | rare unpruned | common pruned | common unpruned |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    base = None
+    for n, nb, t_build, t in results:
+        row = (f"| {n:,} | {nb} | {t_build:.1f} | {t['rare_pruned']:.2f} | "
+               f"{t['rare_unpruned']:.2f} | {t['common_pruned']:.2f} | "
+               f"{t['common_unpruned']:.2f} |")
+        lines.append(row)
+        base = base or t
+    last = results[-1][3]
+    lines += [
+        "",
+        f"r per 10x — rare pruned {last['rare_pruned']/base['rare_pruned']:.2f}, "
+        f"rare unpruned {last['rare_unpruned']/base['rare_unpruned']:.2f}, "
+        f"common pruned {last['common_pruned']/base['common_pruned']:.2f}, "
+        f"common unpruned {last['common_unpruned']/base['common_unpruned']:.2f}.",
+    ]
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended bm2510 probe to SCALING.md", flush=True)
 
 
 if __name__ == "__main__":

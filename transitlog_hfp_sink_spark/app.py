@@ -357,7 +357,12 @@ def _build_index(argv: list[str]) -> int:
 
             id_col = args.id_col or "doc_id"
             if args.update_from:
-                postings = spark.read.parquet(f"{args.update_from}/postings")
+                # the stored layout carries the tb partition column
+                # (write_postings_index); the merge works on the logical
+                # (term, doc_id, tf, dl) rows and re-buckets on write
+                postings = spark.read.parquet(
+                    f"{args.update_from}/postings"
+                ).drop("tb")
                 doclens = spark.read.parquet(f"{args.update_from}/doclens")
                 postings, doclens = update_postings(
                     postings, doclens, corpus,
@@ -367,10 +372,14 @@ def _build_index(argv: list[str]) -> int:
                 postings, doclens = build_postings(
                     corpus, text_col=args.text_col, id_col=id_col
                 )
-            postings.repartition("term").write.mode("overwrite").parquet(
-                f"{args.output}/postings"
+            from transitlog_hfp_sink_spark.operators.search import (
+                write_postings_index,
             )
-            doclens.write.mode("overwrite").parquet(f"{args.output}/doclens")
+
+            # serving layout (round 8): postings partitioned by the
+            # term-hash bucket so bm25_serve prunes to the query terms'
+            # tb=K/ directories instead of scanning the whole index
+            write_postings_index(postings, doclens, args.output)
             report = {
                 "postings_rows": spark.read.parquet(f"{args.output}/postings").count(),
                 "docs": spark.read.parquet(f"{args.output}/doclens").count(),

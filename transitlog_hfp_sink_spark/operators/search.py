@@ -98,6 +98,7 @@ def bm25_score_postings(
     k1: float = K1,
     b: float = B,
     topk: int = 10,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Score queries against a prebuilt postings index; top-k per query.
 
@@ -110,10 +111,23 @@ def bm25_score_postings(
     1-row aggregate broadcast-cross-joined in (the allowed scalar
     pattern). The only shuffle sized by the corpus is the postings
     build itself.
+
+    corpus_stats=(n_docs, avgdl) skips the doclens scan entirely — the
+    two values are index-wide CONSTANTS a serving layout computes once
+    at build time (write_postings_index stores them in meta; avgdl is
+    deterministic: integer dl sums are exact in double at any partial
+    order). With them, a pruned serve touches nothing sized by the
+    corpus (round 8; equivalence pinned in tests/test_search.py).
     """
-    stats = doclens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
+        stats = postings.sparkSession.range(1).select(
+            F.lit(int(n_docs)).alias("n_docs"), F.lit(float(avgdl)).alias("avgdl")
+        )
+    else:
+        stats = doclens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
     matched = postings.join(F.broadcast(query_terms), on="term")
     dfreq = matched.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
@@ -268,6 +282,113 @@ def rrf_fuse(
             F.col("n_legs").cast("int").alias("n_legs"),
             "rank",
         )
+    )
+
+
+#: default term-hash partition count for the persisted serving index —
+#: wide enough that one bucket holds ~0.4% of the postings, small enough
+#: that the directory listing stays trivial
+N_TERM_BUCKETS = 256
+
+
+def term_bucket(col: Column | str, n_buckets: int = N_TERM_BUCKETS) -> Column:
+    """Portable term -> bucket law: first 12 md5 hex chars as a 48-bit
+    int, mod n_buckets. md5 exists identically in Spark, DuckDB, and
+    Python's hashlib, so the index writer (Spark), the serving-side
+    pruner (driver-computed literals, term_bucket_py), and any oracle
+    agree on the same buckets."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Python twin of term_bucket — used to compute the pruning literals
+    on the driver (query terms are small and local by definition)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:12], 16) % n_buckets
+
+
+def write_postings_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    path: str,
+    n_buckets: int = N_TERM_BUCKETS,
+) -> None:
+    """Persist the SERVING layout: postings partitioned by the term-hash
+    bucket (Hive ``tb=K/`` directories) plus plain doclens and a 1-row
+    meta table recording n_buckets.
+
+    Why partitioned, not just bucketed: bm25_score_postings joins the
+    postings against a BROADCAST of the query terms, which filters rows
+    only AFTER the scan — a plain parquet index is read in full for
+    every query batch, so serving cost grows with the corpus even for
+    rare terms (measured in the round-8 sf10 probe: see SCALING.md).
+    With the term-bucket partition column, the server computes the
+    query terms' buckets on the driver (term_bucket_py) and pushes an
+    IN filter that prunes to the matched buckets — serving cost then
+    tracks the queried terms' postings, not the corpus.
+    """
+    (
+        postings.withColumn("tb", term_bucket(F.col("term"), n_buckets))
+        .repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{path}/postings")
+    )
+    doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    spark = postings.sparkSession
+    # index-wide scalars captured at build time so serving never scans
+    # doclens: n_docs and avgdl are constants of the index, and avgdl is
+    # deterministic (integer dl sums are exact in double at any partial
+    # order), so the stored value equals what the ad-hoc agg would compute
+    n_docs, avgdl = doclens.agg(
+        F.count("*"), F.avg("dl")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(n_buckets, int(n_docs), float(avgdl) if avgdl is not None else 0.0)],
+        "n_buckets int, n_docs bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+
+def bm25_serve(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, str]],
+    k1: float = K1,
+    b: float = B,
+    topk: int = 10,
+) -> DataFrame:
+    """Score queries against a write_postings_index layout with partition
+    pruning: only the query terms' ``tb=K/`` directories are scanned.
+    Result-identical to bm25_score_postings over the full index (df, N,
+    avgdl are computed exactly as before — pruning removes only postings
+    rows the broadcast term join would discard anyway); equivalence and
+    the pruned-scan plan shape are pinned in tests/test_search.py."""
+    meta = spark.read.json(f"{path}/meta").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    query_terms = qdf.select(
+        "query_id", F.explode(F.array_distinct(search_tokens("qtext"))).alias("term")
+    )
+    terms: set[str] = set()
+    for _qid, qtext in queries:  # normalize exactly like search_tokens
+        import re as _re
+
+        norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", qtext.lower())).strip()
+        terms.update(norm.split(" "))
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("tb").isin(buckets))
+        .drop("tb")
+    )
+    return bm25_score_postings(
+        postings, None, query_terms, k1, b, topk,
+        corpus_stats=(int(meta["n_docs"]), float(meta["avgdl"])),
     )
 
 
