@@ -752,3 +752,66 @@ def test_kernel_quantization_boundary_divergence_pinned(spark):
         top2 = np.sort(d)[:2]
         if top2[1] - top2[0] > 2e-6:
             assert a[i] == b[i], i
+
+
+def test_ivf_served_prune_lists_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Round 8: the serving path's probed-lists pruning. With one query
+    and nprobe=2 of 8 lists, ivf_topk(index=...) must (a) return exactly
+    the unpruned result, (b) read ONLY the probed lists' partition
+    directories from an app-layout (partitionBy list_id) index, and
+    (c) keep the driver-side probe-list law equal to the in-plan
+    expression (the _nearest_lists_py twin)."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        _as_double,
+        _nearest_lists,
+        _nearest_lists_py,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_lists=8, max_iter=6)
+    path = str(tmp_path / "ivf_assign")
+    ivf_assign(emb, cents).repartition("list_id").write.partitionBy(
+        "list_id"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    pruned = ivf_topk(
+        emb, queries, k=3, n_lists=8, nprobe=2, centroids=cents, index=index
+    )
+    unpruned = ivf_topk(
+        emb, queries, k=3, n_lists=8, nprobe=2, centroids=cents, index=index,
+        prune_lists=False,
+    )
+    p = sorted(tuple(r) for r in pruned.collect())
+    u = sorted(tuple(r) for r in unpruned.collect())
+    assert p == u and p
+
+    # (c) expression vs python probe-list law, for every corpus vector
+    expr_lists = {
+        r["query_id"]: list(r["ls"])
+        for r in emb.select(
+            F.col("vec_id").alias("query_id"),
+            _nearest_lists(_as_double("embedding"), cents, 2).alias("ls"),
+        ).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    for qid, ls in expr_lists.items():
+        assert ls == _nearest_lists_py([float(x) for x in vecs[qid]], cents, 2), qid
+
+    # (b) only the probed lists' directories are scanned
+    probed = _nearest_lists_py([float(x) for x in vecs[5]], cents, 2)
+    filtered = index.where(F.col("list_id").isin(sorted(probed)))
+    files = [r[0] for r in filtered.select(F.input_file_name()).distinct().collect()]
+    assert files
+    assert all(any(f"list_id={li}/" in f for li in probed) for f in files), files
+    all_lists = {r["list_id"] for r in index.select("list_id").distinct().collect()}
+    assert len(all_lists) > len(set(probed))

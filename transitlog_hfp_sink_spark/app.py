@@ -444,9 +444,12 @@ def _build_index(argv: list[str]) -> int:
                 index = ivf_assign(
                     corpus, cents, id_col=id_col, vec_col=args.vec_col
                 )
-            index.repartition("list_id").write.mode("overwrite").parquet(
-                f"{args.output}/ivf_assign"
-            )
+            # partitioned by list_id (round 8): ivf_topk's serving-side
+            # probed-lists IN filter then prunes whole list directories
+            # instead of scanning the full assignment table
+            index.repartition("list_id").write.mode("overwrite").partitionBy(
+                "list_id"
+            ).parquet(f"{args.output}/ivf_assign")
             with open(os.path.join(args.output, "centroids.json"), "w") as f:
                 json.dump({"n_lists": n_lists, "vec_col": args.vec_col,
                            "centroids": cents}, f)

@@ -377,6 +377,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     index: DataFrame | None = None,
+    prune_lists: bool = True,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus rows are bucketed by
     nearest k-means centroid (the inverted lists); each query probes its
@@ -390,6 +392,17 @@ def ivf_topk(
     index: a stored ivf_assign frame — skips the corpus assignment
     entirely (the serving shape; `centroids` must be the ones the index
     was built with).
+
+    prune_lists (round 8, serving path only): the broadcast equi-join
+    filters AFTER the scan, so a stored index is otherwise read in full
+    even when the batch probes 4 of 1024 lists. With pruning the probed
+    lists' UNION is computed on the driver (`_nearest_lists_py` is the
+    tie-stable twin of the in-plan expression; the query side is small
+    and bounded by the same `_collect_query_side` contract the ADC path
+    uses) and pushed as a static `list_id IN (...)` filter — with the
+    app's `partitionBy("list_id")` layout that is partition pruning, so
+    serve cost tracks probed lists, not corpus size. Result-identical:
+    every per-query probe list is a subset of the union.
     """
     if index is not None and centroids is None:
         # retraining here would probe lists that don't match the stored
@@ -406,6 +419,19 @@ def ivf_topk(
             _as_double(vec_col).alias("__cv"),
             "list_id",
         )
+        if prune_lists:
+            qrows = _collect_query_side(
+                queries, query_id_col, _as_double(vec_col), max_query_rows
+            )
+            probed = sorted(
+                {
+                    li
+                    for r in qrows
+                    for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)
+                }
+            )
+            if len(probed) < len(cents):
+                c = c.where(F.col("list_id").isin(probed))
     else:
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
