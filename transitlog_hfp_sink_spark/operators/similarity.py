@@ -1324,6 +1324,13 @@ def ivfpq_topk(
         schema=f"query_id {qid_type}, list_id int, __tabs array<array<double>>",
     )
     c = index.select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
+    # the probed-list union is already known locally — push it as a static
+    # filter so a stored (partitioned or stats-pruned) codes table reads
+    # only the probed lists instead of relying on the post-scan join to
+    # discard the rest (round 8, same treatment as ivf_topk's serving path)
+    probed = sorted({list_id for _q, list_id, _t in data})
+    if probed and len(probed) < len(centroids):
+        c = c.where(F.col("list_id").isin(probed))
     scored = (
         c.join(F.broadcast(q3), on="list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
