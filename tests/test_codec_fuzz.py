@@ -33,7 +33,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from transitlog_hfp_sink_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+from transitlog_hfp_sink_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from transitlog_hfp_sink_spark.operators.multimodal import (
     decode_bmp,
     decode_png,
@@ -82,17 +86,18 @@ def _valid_files() -> dict[str, tuple[bytes, object]]:
             demux_avi,
         ),
         "jpg": (encode_jpeg(w, h, rgb, quality=90), decode_jpeg),
+        "jpgp": (encode_jpeg_progressive(w, h, rgb, quality=90), decode_jpeg),
     }
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg"])
+@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg", "jpgp"])
 def test_every_truncation_prefix_fails_with_named_error(fmt):
     data, dec = _valid_files()[fmt]
     for n in range(len(data)):
         _guarded(dec, data[:n])
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg"])
+@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg", "jpgp"])
 def test_seeded_byte_mutations_stay_in_contract(fmt):
     data, dec = _valid_files()[fmt]
     rng = random.Random(20240807)
@@ -103,7 +108,7 @@ def test_seeded_byte_mutations_stay_in_contract(fmt):
         _guarded(dec, bytes(mutated))
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg"])
+@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg", "jpgp"])
 def test_random_blobs_stay_in_contract(fmt):
     _, dec = _valid_files()[fmt]
     rng = random.Random(991)

@@ -277,3 +277,92 @@ def test_truncated_fill_byte_run_raises_valueerror():
     for tail in (b"\xff\xff\xff", b"\xff\xff", b"\xff"):
         with pytest.raises(ValueError, match="truncated JPEG"):
             decode_jpeg(good[:sof] + tail)
+
+
+# --- round 8: progressive (SOF2) ------------------------------------------
+
+def test_progressive_equals_baseline_pixelwise():
+    """The decisive cross-check: encode_jpeg and encode_jpeg_progressive
+    share _quantized_blocks, so their byte-very-different streams carry
+    IDENTICAL coefficients — decode_jpeg must produce pixel-identical
+    output for both. Sizes chosen to exercise >16-zero AC runs with
+    interleaved correction bits (the round-8 encoder bug class), block
+    edges, and tiny images."""
+    import random
+
+    from transitlog_hfp_sink_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(20240816)
+    for w, h, q in [(8, 8, 90), (17, 9, 85), (1, 1, 90), (32, 24, 50),
+                    (5, 3, 95), (16, 16, 75)]:
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        base = decode_jpeg(encode_jpeg(w, h, rgb, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb, quality=q))
+        assert base == prog, (w, h, q)
+
+
+def test_progressive_partial_file_decodes_at_reduced_precision():
+    """A progressive stream cut at a scan boundary (+EOI) is a VALID
+    lower-precision image — the format's whole point. Keeping the DC
+    first + AC first scans (Al=1) must decode to roughly the full image
+    (coefficients at half precision), never raise."""
+    from transitlog_hfp_sink_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    w, h = 24, 16
+    rgb = bytes((x * 11 + y * 7) % 256 for y in range(h) for x in range(w)
+                for _ in range(3))
+    full = encode_jpeg_progressive(w, h, rgb, quality=90)
+    # scan starts = every SOS marker; entropy bytes cannot contain FF DA
+    # (stuffing makes in-entropy FF always FF 00 / FF D0-D7)
+    sos = [i for i in range(len(full) - 1)
+           if full[i] == 0xFF and full[i + 1] == 0xDA]
+    assert len(sos) == 8  # the 8-scan script
+    gw, gh, gfull = decode_jpeg(full)
+    for keep in (4, 5):  # after AC-first scans; after DC refine
+        partial = full[: sos[keep]] + b"\xff\xd9"
+        pw, ph, prgb = decode_jpeg(partial)
+        assert (pw, ph) == (w, h)
+        worst = max(abs(a - b) for a, b in zip(prgb, gfull))
+        mean = sum(abs(a - b) for a, b in zip(prgb, gfull)) / len(gfull)
+        assert worst <= 120 and mean <= 16, (keep, worst, mean)
+
+
+def test_progressive_eobrun_spanning_blocks_hand_vector():
+    """EOBRUN > 1 (one EOB code covering several blocks) — a path our own
+    encoder never emits (it pins EOBRUN=1 to stay inside the Annex K
+    alphabet), pinned by a HAND-BUILT stream with a custom AC table:
+    grayscale 8x16 (two blocks), DC-first scan coding two zero diffs,
+    then one AC-first scan whose single EOB(r=1) symbol + one 0 ext bit
+    declares EOBRUN=2 — both blocks' AC all zero. Expected output: a
+    flat 128 gray plane."""
+    import struct
+
+    from transitlog_hfp_sink_spark.operators.jpegcodec import decode_jpeg
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 16, 8, 1)
+    out += bytes([1, 0x11, 0])
+    # DC table 0: single 1-bit code '0' -> symbol 0 (size 0)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + 1)
+    out += bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0x00])
+    # AC table 0: single 1-bit code '0' -> symbol 0x10 (EOB, r=1)
+    out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + 1)
+    out += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x10])
+    # scan 1: DC first, Ss=0 Se=0 AhAl=0x00; bits '0','0' then 1-padding
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x00])
+    out += bytes([0b00111111])
+    # scan 2: AC first, Ss=1 Se=63 AhAl=0x00; code '0' + ext bit '0'
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x00])
+    out += bytes([0b00111111])
+    out += b"\xff\xd9"
+    w, h, rgb = decode_jpeg(bytes(out))
+    assert (w, h) == (8, 16)
+    assert rgb == bytes([128]) * (8 * 16 * 3)

@@ -7,17 +7,26 @@ stdlib-feasible: Huffman entropy coding + 8x8 DCT + YCbCr — this module
 implements both directions, the same shape as the BMP/PNG/WAV/AVI
 codecs in operators/multimodal.py:
 
-- ``decode_jpeg(data) -> (w, h, rgb)``: baseline DCT (SOF0), 8-bit
-  precision, 1-3 components, any h/v sampling factors up to 2 (4:4:4,
-  4:2:2, 4:2:0 and grayscale cover real-world baseline files), multiple
-  DQT/DHT segments, DRI/RSTn restart markers, 0xFF00 byte unstuffing.
-  Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-  NotImplementedError — the same honest-capability-boundary idiom as
-  the other codecs' unsupported branches.
+- ``decode_jpeg(data) -> (w, h, rgb)``: baseline DCT (SOF0) AND — round
+  8 — progressive DCT (SOF2, Huffman): spectral selection, DC/AC
+  successive approximation (first + refinement scans), interleaved DC
+  and single-component AC scans, EOBRUN, restarts, and partial files
+  (missing later scans decode at reduced precision). 8-bit precision,
+  1-3 components, any h/v sampling factors up to 2 (4:4:4, 4:2:2,
+  4:2:0 and grayscale cover real-world files), multiple DQT/DHT
+  segments, DRI/RSTn restart markers, 0xFF00 byte unstuffing.
+  Arithmetic coding, lossless/hierarchical modes, and 12-bit precision
+  raise NotImplementedError — the same honest-capability-boundary
+  idiom as the other codecs' unsupported branches.
 - ``encode_jpeg(w, h, rgb, quality)``: baseline 4:4:4 encoder with the
   Annex K quantization tables (scaled by the libjpeg quality law) and
   the Annex K "typical" Huffman tables — used by the synth side of the
   multimodal pipeline so decode legs exercise REAL entropy-coded bytes.
+- ``encode_jpeg_progressive(w, h, rgb, quality)``: the SAME quantized
+  coefficients entropy-coded as an 8-scan progressive stream; since the
+  coefficients are shared, progressive and baseline bytes of one image
+  must decode PIXEL-IDENTICALLY — the cross-check that verifies the two
+  entropy paths against each other (tests/test_jpeg.py).
 
 Determinism: all DCT math is float64 with fixed summation order and
 ``round half away from zero`` quantization, so encode and decode are
@@ -239,9 +248,16 @@ def _scale_qtable(base: list[int], quality: int) -> list[int]:
     return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
 
 
-def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
-    """Baseline JFIF 4:4:4 encoder (see module doc). rgb is row-major
-    top-down RGB888, len == w*h*3."""
+def _quantized_blocks(
+    w: int, h: int, rgb: bytes, quality: int
+) -> tuple[list[int], list[int], list[list[list[int]]]]:
+    """Shared front half of BOTH entropy codings: RGB -> YCbCr -> per-8x8
+    FDCT -> quantized ZIGZAG coefficient blocks. Returns (qy, qc, blocks)
+    with blocks[comp] a raster-order list of 64-int zigzag blocks (4:4:4,
+    so every component shares the same (w+7)//8 x (h+7)//8 grid). The
+    baseline and progressive encoders differ ONLY in how these identical
+    coefficients are entropy-coded, which is what makes the
+    pixel-identical cross-decoding test in tests/test_jpeg.py decisive."""
     if len(rgb) != w * h * 3:
         raise ValueError(f"rgb length {len(rgb)} != {w}*{h}*3")
     qy = _scale_qtable(QTABLE_LUMA, quality)
@@ -255,17 +271,13 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
         planes[1][i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         planes[2][i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
 
-    enc_dc = [_build_encode_table(*HUFF_DC_LUMA), _build_encode_table(*HUFF_DC_CHROMA)]
-    enc_ac = [_build_encode_table(*HUFF_AC_LUMA), _build_encode_table(*HUFF_AC_CHROMA)]
-    qtabs = [qy, qc]
-    bw = _BitWriter()
-    pred = [0, 0, 0]
+    qtabs = [qy, qc, qc]
     bx, by = (w + 7) // 8, (h + 7) // 8
+    blocks: list[list[list[int]]] = [[], [], []]
     for my in range(by):
         for mx in range(bx):
             for comp in range(3):
-                tsel = 0 if comp == 0 else 1
-                plane, q = planes[comp], qtabs[tsel]
+                plane, q = planes[comp], qtabs[comp]
                 block = [0.0] * 64
                 for yy in range(8):
                     sy = min(my * 8 + yy, h - 1)
@@ -273,36 +285,54 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
                         sx = min(mx * 8 + xx, w - 1)
                         block[yy * 8 + xx] = plane[sy * w + sx] - 128.0
                 coef = _fdct8x8(block)
-                zz = [
-                    _round_half_away(coef[ZIGZAG[k]] / q[ZIGZAG[k]])
-                    for k in range(64)
-                ]
-                # DC
-                diff = zz[0] - pred[comp]
-                pred[comp] = zz[0]
-                size, amp = _magnitude(diff)
-                code, ln = enc_dc[tsel][size]
+                blocks[comp].append(
+                    [
+                        _round_half_away(coef[ZIGZAG[k]] / q[ZIGZAG[k]])
+                        for k in range(64)
+                    ]
+                )
+    return qy, qc, blocks
+
+
+def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
+    """Baseline JFIF 4:4:4 encoder (see module doc). rgb is row-major
+    top-down RGB888, len == w*h*3."""
+    qy, qc, blocks = _quantized_blocks(w, h, rgb, quality)
+    enc_dc = [_build_encode_table(*HUFF_DC_LUMA), _build_encode_table(*HUFF_DC_CHROMA)]
+    enc_ac = [_build_encode_table(*HUFF_AC_LUMA), _build_encode_table(*HUFF_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    for bi in range(bx * by):
+        for comp in range(3):
+            tsel = 0 if comp == 0 else 1
+            zz = blocks[comp][bi]
+            # DC
+            diff = zz[0] - pred[comp]
+            pred[comp] = zz[0]
+            size, amp = _magnitude(diff)
+            code, ln = enc_dc[tsel][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+            # AC with run-length / ZRL / EOB
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[tsel][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, amp = _magnitude(zz[k])
+                code, ln = enc_ac[tsel][(run << 4) | size]
                 bw.write(code, ln)
-                if size:
-                    bw.write(amp, size)
-                # AC with run-length / ZRL / EOB
+                bw.write(amp, size)
                 run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[tsel][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, amp = _magnitude(zz[k])
-                    code, ln = enc_ac[tsel][(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(amp, size)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[tsel][0x00]  # EOB
-                    bw.write(code, ln)
+            if run:
+                code, ln = enc_ac[tsel][0x00]  # EOB
+                bw.write(code, ln)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -326,6 +356,181 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
     out += b"\x00\x3f\x00"  # Ss/Se/AhAl
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _prog_scan_header(comps: list[tuple[int, int]], ss: int, se: int,
+                      ah: int, al: int) -> bytes:
+    """SOS header for one progressive scan: comps = [(cid, TdTa), ...]."""
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, tsel in comps:
+        out += bytes([cid, tsel])
+    return out + bytes([ss, se, (ah << 4) | al])
+
+
+def _enc_ac_first(bw: _BitWriter, enc, zz: list[int], al: int) -> None:
+    """AC first scan for one block: run/size coding of the point-
+    transformed values sign*(abs>>Al) (T.81 G.1.2.2: AC point transform
+    truncates toward zero, unlike DC's arithmetic shift), EOBRUN kept at
+    1 (symbol 0x00 per block — an encoder choice that stays within the
+    Annex K table alphabet, which lacks the EOBn>0 symbols)."""
+    run = 0
+    for k in range(1, 64):
+        t = abs(zz[k]) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        v = t if zz[k] > 0 else -t
+        size, amp = _magnitude(v)
+        code, ln = enc[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(amp, size)
+        run = 0
+    if run:
+        code, ln = enc[0x00]  # EOB (EOBRUN = 1)
+        bw.write(code, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, enc, zz: list[int], ah: int, al: int) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3 successive
+    approximation; the libjpeg encode_mcu_AC_refine shape with EOBRUN
+    pinned at 1): correction bits for already-significant coefficients
+    ride behind the next emitted code; zero-history runs are coded
+    run/size=1 with a sign bit for newly-significant coefficients."""
+    absv = [abs(zz[k]) >> al for k in range(64)]
+    eob = 0
+    for k in range(1, 64):
+        if absv[k] == 1:
+            eob = k  # last NEWLY-significant coefficient
+    run = 0
+    pending: list[int] = []
+    for k in range(1, 64):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        # the ZRL drain must run at EVERY nonzero coefficient — including
+        # correction-only ones — so pending correction bits always belong
+        # to positions within the decoder's NEXT 16-zero walk (emitting
+        # ZRLs only at newly-significant coefficients let corrections
+        # accumulate across a ZRL boundary and desynced the bitstream;
+        # caught by the baseline-vs-progressive cross-decoding test)
+        while run > 15 and k <= eob:
+            code, ln = enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+        if t > 1:
+            # already significant in an earlier scan: one correction bit,
+            # appended after the next Huffman code; the zero run continues
+            pending.append(t & 1)
+            continue
+        code, ln = enc[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if zz[k] > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = enc[0x00]  # EOB (EOBRUN = 1)
+        bw.write(code, ln)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(w: int, h: int, rgb: bytes, quality: int = 90) -> bytes:
+    """Progressive JFIF 4:4:4 encoder (SOF2) — the SAME quantized
+    coefficients as encode_jpeg (shared _quantized_blocks front half),
+    entropy-coded with the standard 8-scan successive-approximation
+    script:
+
+      1. DC first, interleaved, Al=1         5. DC refine, Ah=1 Al=0
+      2-4. AC first per component, Al=1      6-8. AC refine per component
+
+    That script exercises every progressive scan class (spectral
+    selection, DC/AC successive approximation, interleaved + single-
+    component). Because the coefficients are bit-identical to the
+    baseline stream's, decode_jpeg(progressive bytes) must equal
+    decode_jpeg(baseline bytes) PIXEL FOR PIXEL — the cross-decoding
+    test that verifies both entropy paths against each other
+    (tests/test_jpeg.py)."""
+    qy, qc, blocks = _quantized_blocks(w, h, rgb, quality)
+    enc_dc = [_build_encode_table(*HUFF_DC_LUMA), _build_encode_table(*HUFF_DC_CHROMA)]
+    enc_ac = [_build_encode_table(*HUFF_AC_LUMA), _build_encode_table(*HUFF_AC_CHROMA)]
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    n_blocks = bx * by
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        zz_q = bytes(q[ZIGZAG[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz_q
+    # SOF2: 8-bit, 3 components, 1x1 sampling, qtable 0/1/1
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for cls, tid, (bits, vals) in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+        (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    # scan 1: DC first, interleaved, Al=1 (DC point transform is an
+    # ARITHMETIC shift — floor toward -inf — per T.81/libjpeg)
+    out += _prog_scan_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for bi in range(n_blocks):
+        for comp in range(3):
+            tsel = 0 if comp == 0 else 1
+            v = blocks[comp][bi][0] >> 1
+            size, amp = _magnitude(v - pred[comp])
+            pred[comp] = v
+            code, ln = enc_dc[tsel][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+    bw.flush()
+    out += bw.buf
+
+    # scans 2-4: AC first per component, Al=1
+    for comp, cid in ((0, 1), (1, 2), (2, 3)):
+        tsel = 0 if comp == 0 else 1
+        out += _prog_scan_header([(cid, tsel)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for bi in range(n_blocks):
+            _enc_ac_first(bw, enc_ac[tsel], blocks[comp][bi], 1)
+        bw.flush()
+        out += bw.buf
+
+    # scan 5: DC refine, interleaved (raw bits, no Huffman)
+    out += _prog_scan_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for bi in range(n_blocks):
+        for comp in range(3):
+            bw.write(blocks[comp][bi][0] & 1, 1)
+    bw.flush()
+    out += bw.buf
+
+    # scans 6-8: AC refine per component, Ah=1 Al=0
+    for comp, cid in ((0, 1), (1, 2), (2, 3)):
+        tsel = 0 if comp == 0 else 1
+        out += _prog_scan_header([(cid, tsel)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for bi in range(n_blocks):
+            _enc_ac_refine(bw, enc_ac[tsel], blocks[comp][bi], 1, 0)
+        bw.flush()
+        out += bw.buf
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -467,7 +672,13 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Baseline JFIF decoder (see module doc) -> (w, h, top-down RGB)."""
+    """Baseline AND progressive (SOF2, round 8) JFIF decoder (see module
+    doc) -> (w, h, top-down RGB). Progressive support covers the full
+    Huffman scan taxonomy: spectral selection, DC/AC successive
+    approximation (first + refinement scans), interleaved DC and
+    single-component AC scans, EOBRUN > 1, restarts between scans'
+    MCUs/blocks, and partially-transmitted files (missing later scans
+    decode at reduced precision, as the format intends)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -475,6 +686,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    prog = None  # progressive coefficient accumulation across scans
     while True:
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG: EOF before next marker")
@@ -492,6 +704,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if prog is not None and prog["scans"] > 0:
+                return _finish_progressive(frame, qtabs, prog)
             raise ValueError("EOI before SOS: no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
@@ -543,7 +757,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             if len(seg) < 2:
                 raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF header")
             prec, hh, ww, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -560,11 +774,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             if not comps:
                 raise ValueError("JPEG SOF declares zero components")
-            frame = {"w": ww, "h": hh, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"w": ww, "h": hh, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: progressive/"
-                "arithmetic/hierarchical)"
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}: "
+                "lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -574,6 +789,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             ns = seg[0]
             if len(seg) < 1 + 2 * ns:
                 raise ValueError("truncated JPEG SOS component list")
+            if frame["progressive"]:
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("truncated JPEG SOS progression params")
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                by_id = {c["id"]: (ci, c) for ci, c in enumerate(frame["comps"])}
+                scan = []
+                for c in range(ns):
+                    cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
+                    if cid not in by_id:
+                        raise ValueError(f"SOS names unknown component {cid}")
+                    ci, comp = by_id[cid]
+                    scan.append((ci, comp, tsel >> 4, tsel & 0x0F))
+                pos += seglen
+                if prog is None:
+                    prog = _init_progressive(frame, data, pos)
+                pos = _decode_progressive_scan(
+                    data, pos, frame, prog, scan, huff, restart_interval,
+                    ss, se, ah, al,
+                )
+                prog["scans"] += 1
+                continue
             if ns < len(frame["comps"]):
                 # a multi-scan baseline file (each scan covers a subset of
                 # the frame's components); report it honestly instead of
@@ -667,7 +905,12 @@ def _decode_scan(data, pos, frame, scan_sel, qtabs, huff, restart_interval):
                             for xx in range(8):
                                 v = _round_half_away(px[yy * 8 + xx] + 128.0)
                                 plane[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
-    # upsample (nearest) + color convert
+    return _planes_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _planes_to_rgb(w, h, comps, planes, hmax, vmax) -> tuple[int, int, bytes]:
+    """Shared back half of baseline and progressive decoding: nearest
+    upsample + YCbCr->RGB (or grayscale replicate)."""
     rgb = bytearray(w * h * 3)
     n = len(comps)
     for y in range(h):
@@ -691,3 +934,231 @@ def _decode_scan(data, pos, frame, scan_sel, qtabs, huff, restart_interval):
             else:
                 raise NotImplementedError(f"{n}-component JPEG")
     return w, h, bytes(rgb)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — round 8. Coefficients accumulate across
+# scans in ZIGZAG-index order; dequant + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+def _init_progressive(frame: dict, data: bytes, pos: int) -> dict:
+    """Allocate the per-component coefficient arrays (MCU-padded block
+    grids) and record both the padded and the actual block dims —
+    interleaved scans iterate the padded MCU grid, single-component
+    scans the component's own (non-padded) raster, per T.81 A.2."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError(f"sampling factors {hmax}x{vmax} > 2x2")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    total_blocks = 0
+    for c in comps:
+        c["wb_pad"], c["hb_pad"] = mcux * c["h"], mcuy * c["v"]
+        comp_w = (w * c["h"] + hmax - 1) // hmax
+        comp_h = (h * c["v"] + vmax - 1) // vmax
+        c["wb"] = (comp_w + 7) // 8
+        c["hb"] = (comp_h + 7) // 8
+        n = c["wb_pad"] * c["hb_pad"]
+        total_blocks += n
+        coefs.append([[0] * 64 for _ in range(n)])
+    # same fail-before-allocating spirit as the baseline scan: the FIRST
+    # progressive scan costs >= 1 bit per block (a DC-refinement bit is
+    # the cheapest possible), so a frame declaring more blocks than the
+    # remaining bits is corrupt
+    if total_blocks > (len(data) - pos) * 8:
+        raise ValueError(
+            f"truncated JPEG: frame declares {w}x{h} ({total_blocks} blocks) "
+            f"but only {len(data) - pos} bytes remain"
+        )
+    return {"mcux": mcux, "mcuy": mcuy, "hmax": hmax, "vmax": vmax,
+            "coefs": coefs, "scans": 0}
+
+
+def _ac_refine_span(br: _BitReader, blk: list[int], k: int, se: int,
+                    p1: int, m1: int) -> None:
+    """Correction-bit pass over [k, se]: every already-nonzero coefficient
+    consumes one bit; a 1 bit moves it one quantum away from zero unless
+    this pass already touched it (the & p1 guard, T.81 G.1.2.3)."""
+    while k <= se:
+        if blk[k] != 0 and br.bits(1) and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+        k += 1
+
+
+def _dec_ac_first(br, ac_tab, blk, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _dec_ac_refine(br, ac_tab, blk, ss, se, al, eobrun) -> int:
+    p1, m1 = 1 << al, -1 << al
+    if eobrun > 0:
+        _ac_refine_span(br, blk, ss, se, p1, m1)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            if s != 1:
+                raise ValueError("corrupt AC refinement code (size > 1)")
+            s_val = p1 if br.bits(1) else m1
+        else:
+            if r != 15:  # EOB(n): finish this block with corrections only
+                new_eobrun = (1 << r) - 1
+                if r:
+                    new_eobrun += br.bits(r)
+                _ac_refine_span(br, blk, k, se, p1, m1)
+                return new_eobrun
+            s_val = 0  # ZRL: skip 16 zero-history positions
+        # advance over r zero-HISTORY coefficients, refining nonzero ones
+        while k <= se:
+            if blk[k] != 0:
+                if br.bits(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if s_val and k <= se:
+            blk[k] = s_val
+        k += 1
+    return 0
+
+
+def _decode_progressive_scan(
+    data, pos, frame, prog, scan, huff, restart_interval, ss, se, ah, al
+) -> int:
+    """Decode ONE progressive scan's entropy data into prog['coefs'];
+    returns the stream position after the scan (the next marker)."""
+    comps = frame["comps"]
+    if ss == 0:
+        if se != 0:
+            raise ValueError(f"bad progressive spectral range {ss}..{se}")
+        kind = "dc_first" if ah == 0 else "dc_refine"
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must cover one component")
+        if not (ss <= se <= 63):
+            raise ValueError(f"bad progressive spectral range {ss}..{se}")
+        kind = "ac_first" if ah == 0 else "ac_refine"
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    eobrun = 0
+    mcu_count = 0
+
+    def tables(ci_scan, comp, td, ta):
+        try:
+            if kind == "dc_first":
+                return huff[(0, td)]
+            if kind in ("ac_first", "ac_refine"):
+                return huff[(1, ta)]
+            return None  # dc_refine: raw bits
+        except KeyError as e:
+            raise ValueError(f"missing Huffman table {e}") from None
+
+    def maybe_restart():
+        nonlocal pred, eobrun, mcu_count
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            br.sync_restart()
+            pred = [0] * len(scan)
+            eobrun = 0
+
+    if kind in ("dc_first", "dc_refine") and len(scan) > 1:
+        # interleaved DC scan: MCU order over the padded grid
+        for my in range(prog["mcuy"]):
+            for mx in range(prog["mcux"]):
+                maybe_restart()
+                mcu_count += 1
+                for si, (ci, comp, td, ta) in enumerate(scan):
+                    tab = tables(si, comp, td, ta)
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            idx = (my * comp["v"] + by) * comp["wb_pad"] + (
+                                mx * comp["h"] + bx
+                            )
+                            blk = prog["coefs"][ci][idx]
+                            if kind == "dc_first":
+                                size = _huff_decode(br, tab)
+                                diff = _extend(br.bits(size), size) if size else 0
+                                pred[si] += diff
+                                blk[0] = pred[si] << al
+                            else:
+                                if br.bits(1):
+                                    blk[0] |= 1 << al
+    else:
+        # single-component scan (DC or AC): the component's own raster
+        ci, comp, td, ta = scan[0]
+        tab = tables(0, comp, td, ta)
+        for row in range(comp["hb"]):
+            for col in range(comp["wb"]):
+                maybe_restart()
+                mcu_count += 1
+                blk = prog["coefs"][ci][row * comp["wb_pad"] + col]
+                if kind == "dc_first":
+                    size = _huff_decode(br, tab)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    pred[0] += diff
+                    blk[0] = pred[0] << al
+                elif kind == "dc_refine":
+                    if br.bits(1):
+                        blk[0] |= 1 << al
+                elif kind == "ac_first":
+                    eobrun = _dec_ac_first(br, tab, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _dec_ac_refine(br, tab, blk, ss, se, al, eobrun)
+    # the scan's entropy bits end here; drop the partial byte and return
+    # the position of the next marker (any 0xFF fill handled by the
+    # caller's marker loop)
+    return br.pos
+
+
+def _finish_progressive(frame: dict, qtabs: dict, prog: dict):
+    """Dequantize + IDCT the accumulated coefficients, then the shared
+    upsample/color tail."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        try:
+            q = qtabs[c["tq"]]
+        except KeyError as e:
+            raise ValueError(f"missing quant table {e}") from None
+        cw, ch = c["wb_pad"] * 8, c["hb_pad"] * 8
+        c["cw"], c["ch"] = cw, ch
+        plane = [0] * (cw * ch)
+        for idx, blk in enumerate(prog["coefs"][ci]):
+            nat = [0.0] * 64
+            for k in range(64):
+                if blk[k]:
+                    nat[ZIGZAG[k]] = blk[k] * q[ZIGZAG[k]]
+            px = _idct8x8(nat)
+            ox, oy = (idx % c["wb_pad"]) * 8, (idx // c["wb_pad"]) * 8
+            for yy in range(8):
+                base = (oy + yy) * cw + ox
+                for xx in range(8):
+                    v = _round_half_away(px[yy * 8 + xx] + 128.0)
+                    plane[base + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        planes.append(plane)
+    return _planes_to_rgb(w, h, comps, planes, prog["hmax"], prog["vmax"])

@@ -462,12 +462,12 @@ def decode_image(content: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload -> (w, h, row-major top-down RGB bytes).
 
     REAL for uncompressed 24-bit BMP, 8-bit RGB PNG (pure-Python +
-    stdlib zlib), and — round 6 — baseline JFIF JPEG (pure-Python
-    Huffman + IDCT, operators/jpegcodec.py; the repo's last env gate
-    closed). Progressive/arithmetic JPEG and WebP-class formats raise
-    NotImplementedError; a production deployment swaps Pillow or
-    libjpeg-turbo in behind this same seam without touching any Spark
-    plumbing."""
+    stdlib zlib), baseline JFIF JPEG (round 6: pure-Python Huffman +
+    IDCT, operators/jpegcodec.py), and — round 8 — progressive JPEG
+    (SOF2: spectral selection + successive approximation). Arithmetic-
+    coded JPEG and WebP-class formats raise NotImplementedError; a
+    production deployment swaps Pillow or libjpeg-turbo in behind this
+    same seam without touching any Spark plumbing."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
