@@ -595,6 +595,53 @@ def synth_dc_jpeg(i: int) -> bytes:
     return bytes(out)
 
 
+def synth_dc_jpeg_progressive(i: int) -> bytes:
+    """PROGRESSIVE twin of synth_dc_jpeg (round 8): the same planted DC
+    coefficients (Y = i%29-14, Cb = i%13-6, Cr = i%11-5; quality-50
+    Annex K quant tables) carried by a two-scan SOF2 stream — DC first
+    at Al=1, then the DC refinement bit — with NO AC scans at all (a
+    legal partial progression whose untransmitted bands decode as zero).
+    The decoded image is therefore bit-identical to synth_dc_jpeg(i)'s,
+    so the SAME closed-form DuckDB oracle predicts it, which is what
+    lets the driver hash-check the progressive decode path end to end
+    (multimodal_pipeline 'jpeg_prog' leg)."""
+    dcs = (i % 29 - 14, i % 13 - 6, i % 11 - 5)
+    qy = _scale_qtable(QTABLE_LUMA, 50)
+    qc = _scale_qtable(QTABLE_CHROMA, 50)
+    enc_dc = [_build_encode_table(*HUFF_DC_LUMA), _build_encode_table(*HUFF_DC_CHROMA)]
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(q[ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for cls, tid, (bits, vals) in ((0, 0, HUFF_DC_LUMA), (0, 1, HUFF_DC_CHROMA)):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    # scan 1: DC first, interleaved, Al=1
+    out += _prog_scan_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    for dc, tsel in zip(dcs, (0, 1, 1)):
+        size, amp = _magnitude(dc >> 1)
+        code, ln = enc_dc[tsel][size]
+        bw.write(code, ln)
+        if size:
+            bw.write(amp, size)
+    bw.flush()
+    out += bw.buf
+    # scan 2: DC refinement bit per component
+    out += _prog_scan_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for dc in dcs:
+        bw.write(dc & 1, 1)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------

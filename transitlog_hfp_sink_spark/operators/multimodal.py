@@ -704,15 +704,24 @@ JPEG_DC_STATS_SCHEMA = T.StructType(
 )
 
 
-def synth_dc_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_dc_jpegs(
+    df: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
     """Deterministic REAL baseline-JPEG payloads keyed by id: DC-only
     8x8 3-component files from operators/jpegcodec.synth_dc_jpeg, whose
     decoded (flat) pixel is a closed-form function of the id — the
     oracle-friendly synthesis for the jpeg decode leg (round 6; the same
     pattern as synth_images' analytic BMP/PNG pixel law, adapted to a
     lossy codec by planting the quantized coefficients directly).
+    progressive=True (round 8) emits the two-scan SOF2 twin carrying the
+    SAME coefficients, so the identical closed form predicts its decode.
     Arrow-batched mapInPandas; bytes never hit the driver."""
-    from transitlog_hfp_sink_spark.operators.jpegcodec import synth_dc_jpeg
+    from transitlog_hfp_sink_spark.operators.jpegcodec import (
+        synth_dc_jpeg,
+        synth_dc_jpeg_progressive,
+    )
+
+    synth = synth_dc_jpeg_progressive if progressive else synth_dc_jpeg
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -721,7 +730,7 @@ def synth_dc_jpegs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": ids,
                     "media_type": "image",
-                    "content": ids.map(lambda i: synth_dc_jpeg(int(i))),
+                    "content": ids.map(lambda i: synth(int(i))),
                 }
             )
 

@@ -1535,7 +1535,13 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    the pixel count (x -1 if the decode is NOT flat —
                    n_distinct_px folds into the checked value), out_w/
                    out_h the dims, feat_sum the order-sensitive
-                   6112r+6176g+6240b; doc_id%5==2 subset."""
+                   6112r+6176g+6240b; doc_id%5==2 subset;
+    part='jpeg_prog' — REAL PROGRESSIVE-JPEG decode (round 8): the same
+                   planted coefficients carried by a two-scan SOF2
+                   stream (DC first at Al=1 + the refinement bit), so
+                   the identical closed form predicts the decode and
+                   the successive-approximation reconstruction is
+                   hash-checked; doc_id%5==3 subset."""
     from transitlog_hfp_sink_spark.operators.multimodal import (
         audio_stats,
         decode_stats,
@@ -1640,6 +1646,23 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_h=F.col("img_h"),
         feat_sum=F.col("px_wsum").cast("double"),
     )
+    # jpeg_prog leg (round 8): the SAME planted coefficients carried by a
+    # two-scan PROGRESSIVE (SOF2) stream — DC first at Al=1 + the DC
+    # refinement bit, no AC scans — so the identical closed form predicts
+    # the decode and the driver hash-checks the progressive path end to
+    # end (successive-approximation reconstruction included)
+    jpp = docs.where(F.col("doc_id") % 5 == 3)
+    jpeg_prog_leg = leg(
+        jpeg_dc_stats(synth_dc_jpegs(jpp, progressive=True)), "jpeg_prog",
+        n_bytes=F.col("px_sum"),
+        content_md5=F.col("rgb_md5"),
+        frame_idx=F.when(F.col("n_distinct_px") == 1, F.col("n_px"))
+        .otherwise(-F.col("n_px"))
+        .cast("int"),
+        out_w=F.col("img_w"),
+        out_h=F.col("img_h"),
+        feat_sum=F.col("px_wsum").cast("double"),
+    )
     return (
         meta_leg.unionByName(frame_leg)
         .unionByName(resize_leg)
@@ -1648,6 +1671,7 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audio_leg)
         .unionByName(video_leg)
         .unionByName(jpeg_leg)
+        .unionByName(jpeg_prog_leg)
     )
 
 
@@ -1814,6 +1838,48 @@ FROM (
           0.25 * ((0.7071067811865476 * 0.7071067811865476)
                   * CAST((doc_id % 11 - 5) * 17 AS DOUBLE)) + 128.0 AS fcr
         FROM documents WHERE doc_id % 5 = 2
+      )
+    )
+  )
+)
+UNION ALL
+-- jpeg_prog leg (round 8): the SAME closed form over the PROGRESSIVE
+-- (SOF2) twin files (synth_dc_jpeg_progressive): two DC scans at
+-- successive approximation carry identical planted coefficients, so a
+-- correct progressive reconstruction must land on the same analytic
+-- pixel — any defect in the Al-shift/refinement-bit path flips the hash
+SELECT 'jpeg_prog' AS part, media_id,
+       CAST(64 * (r + g + b) AS BIGINT) AS n_bytes,
+       md5(CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR) || ','
+           || CAST(b AS VARCHAR)) AS content_md5,
+       CAST(64 AS INTEGER) AS frame_idx,
+       CAST(8 AS INTEGER) AS out_w,
+       CAST(8 AS INTEGER) AS out_h,
+       CAST(6112*r + 6176*g + 6240*b AS DOUBLE) AS feat_sum
+FROM (
+  SELECT media_id,
+    CAST(CASE WHEN rr >= 0 THEN floor(rr + 0.5) ELSE -floor(-rr + 0.5) END AS INTEGER) AS r,
+    CAST(CASE WHEN gg >= 0 THEN floor(gg + 0.5) ELSE -floor(-gg + 0.5) END AS INTEGER) AS g,
+    CAST(CASE WHEN bb >= 0 THEN floor(bb + 0.5) ELSE -floor(-bb + 0.5) END AS INTEGER) AS b
+  FROM (
+    SELECT media_id,
+      yy + 1.402 * (cr - 128.0) AS rr,
+      yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) AS gg,
+      yy + 1.772 * (cb - 128.0) AS bb
+    FROM (
+      SELECT media_id,
+        CAST(CASE WHEN fy >= 0 THEN floor(fy + 0.5) ELSE -floor(-fy + 0.5) END AS DOUBLE) AS yy,
+        CAST(CASE WHEN fcb >= 0 THEN floor(fcb + 0.5) ELSE -floor(-fcb + 0.5) END AS DOUBLE) AS cb,
+        CAST(CASE WHEN fcr >= 0 THEN floor(fcr + 0.5) ELSE -floor(-fcr + 0.5) END AS DOUBLE) AS cr
+      FROM (
+        SELECT doc_id AS media_id,
+          0.25 * ((0.7071067811865476 * 0.7071067811865476)
+                  * CAST((doc_id % 29 - 14) * 16 AS DOUBLE)) + 128.0 AS fy,
+          0.25 * ((0.7071067811865476 * 0.7071067811865476)
+                  * CAST((doc_id % 13 - 6) * 17 AS DOUBLE)) + 128.0 AS fcb,
+          0.25 * ((0.7071067811865476 * 0.7071067811865476)
+                  * CAST((doc_id % 11 - 5) * 17 AS DOUBLE)) + 128.0 AS fcr
+        FROM documents WHERE doc_id % 5 = 3
       )
     )
   )
