@@ -442,3 +442,30 @@ def test_app_sql_bad_histogram_bounds_is_argparse_error():
         )
         assert proc.returncode == 2, (bad, proc.stderr[-500:])
         assert "expected lo,hi,nbuckets" in proc.stderr, (bad, proc.stderr[-500:])
+
+
+def test_app_build_index_n_buckets_flag(spark, tmp_path):
+    """--n-buckets (round-8 review: the production sizing rule needs a
+    CLI knob) controls the postings partition count; the written layout
+    must carry at most that many tb=K directories and serve correctly."""
+    import os
+
+    from transitlog_hfp_sink_spark.operators.search import bm25_serve
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "idx")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-m", "transitlog_hfp_sink_spark.app", "build-index",
+         "--kind", "postings", "--input", src, "--output", out,
+         "--n-buckets", "8"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    dirs = {d for d in os.listdir(f"{out}/postings") if d.startswith("tb=")}
+    assert 1 < len(dirs) <= 8, dirs
+    served = bm25_serve(spark, out, [(1, "the data")], topk=3).collect()
+    assert isinstance(served, list)  # serve path reads the 8-bucket meta

@@ -302,3 +302,22 @@ def test_bm25_serve_scans_only_matched_buckets(spark, corpus, tmp_path):
         for r in spark.read.parquet(f"{path}/postings").select("tb").distinct().collect()
     }
     assert len(all_buckets) > 1
+
+
+def test_search_tokens_py_matches_spark_tokenizer(spark):
+    """The serving-side bucket pruner depends on search_tokens_py being
+    bit-identical to the Spark search_tokens expression — pinned here on
+    punctuation, casing, unicode, digits, and whitespace shapes."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        search_tokens,
+        search_tokens_py,
+    )
+
+    texts = [
+        "Hello, World!", "  a  b\tc ", "", "UPPER lower 123", "x—y–z",
+        "tab\there", "dots...and, commas", "ümlaut Ünicode", "a" * 50,
+        "mixed 42numbers7 ok",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r["t"]) for r in df.select(search_tokens("text").alias("t")).collect()]
+    assert got == [search_tokens_py(t) for t in texts]

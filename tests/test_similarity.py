@@ -815,3 +815,33 @@ def test_ivf_served_prune_lists_prunes_and_matches(spark, sf_dir, tmp_path):
     assert all(any(f"list_id={li}/" in f for li in probed) for f in files), files
     all_lists = {r["list_id"] for r in index.select("list_id").distinct().collect()}
     assert len(all_lists) > len(set(probed))
+
+
+def test_ivf_served_prune_drops_null_query_embeddings(spark, sf_dir):
+    """A NULL query embedding in a pruned serve must be DROPPED (no
+    result rows) — the documented contract of every driver-side query
+    path (ivfpq/pq ADC) — not crash plan construction (round-8 review
+    caught a TypeError on list(None))."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_lists=8, max_iter=6)
+    index = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.when(F.col("vec_id") == 2, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    got = ivf_topk(
+        emb, queries, k=3, n_lists=8, nprobe=2, centroids=cents, index=index
+    ).collect()
+    qids = {r["query_id"] for r in got}
+    assert 2 not in qids and qids == {0, 1, 3}

@@ -336,6 +336,11 @@ def _build_index(argv: list[str]) -> int:
     p.add_argument("--n-lists", type=int, default=None,
                    help="ivf: list count (default 16; NOT combinable with "
                    "--update-from, which inherits the old index's lists)")
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="postings: term-hash partition count (default 256; "
+                   "production sizing rule: scale with the corpus so one "
+                   "bucket stays a few hundred MB — see SCALING.md's "
+                   "round-8 BM25 serving probe)")
     args = p.parse_args(argv)
     if args.update_from and os.path.abspath(args.update_from) == os.path.abspath(
         args.output
@@ -376,10 +381,17 @@ def _build_index(argv: list[str]) -> int:
                 write_postings_index,
             )
 
+            from transitlog_hfp_sink_spark.operators.search import (
+                N_TERM_BUCKETS,
+            )
+
             # serving layout (round 8): postings partitioned by the
             # term-hash bucket so bm25_serve prunes to the query terms'
             # tb=K/ directories instead of scanning the whole index
-            write_postings_index(postings, doclens, args.output)
+            write_postings_index(
+                postings, doclens, args.output,
+                n_buckets=args.n_buckets or N_TERM_BUCKETS,
+            )
             report = {
                 "postings_rows": spark.read.parquet(f"{args.output}/postings").count(),
                 "docs": spark.read.parquet(f"{args.output}/doclens").count(),

@@ -312,6 +312,18 @@ def term_bucket_py(term: str, n_buckets: int = N_TERM_BUCKETS) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:12], 16) % n_buckets
 
 
+def search_tokens_py(text: str) -> list[str]:
+    """Python twin of search_tokens (normalize_text + split) — ONE place
+    for the tokenizer law the serving-side bucket pruner depends on: if
+    this drifted from the Spark expression, bm25_serve would prune the
+    wrong buckets and silently drop matching documents. Pinned against
+    the Spark side in tests/test_search.py."""
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    return norm.split(" ")
+
+
 def write_postings_index(
     postings: DataFrame,
     doclens: DataFrame,
@@ -344,9 +356,13 @@ def write_postings_index(
     # index-wide scalars captured at build time so serving never scans
     # doclens: n_docs and avgdl are constants of the index, and avgdl is
     # deterministic (integer dl sums are exact in double at any partial
-    # order), so the stored value equals what the ad-hoc agg would compute
-    n_docs, avgdl = doclens.agg(
-        F.count("*"), F.avg("dl")
+    # order), so the stored value equals what the ad-hoc agg would
+    # compute. Aggregated from the JUST-WRITTEN parquet, not the input
+    # lineage — `doclens` is typically a lazy tokenize+agg over the raw
+    # corpus, and re-running it here would be a third full corpus pass
+    # (round-8 review); the written file is a tiny columnar scan.
+    n_docs, avgdl = (
+        spark.read.parquet(f"{path}/doclens").agg(F.count("*"), F.avg("dl"))
     ).collect()[0]
     spark.createDataFrame(
         [(n_buckets, int(n_docs), float(avgdl) if avgdl is not None else 0.0)],
@@ -375,11 +391,8 @@ def bm25_serve(
         "query_id", F.explode(F.array_distinct(search_tokens("qtext"))).alias("term")
     )
     terms: set[str] = set()
-    for _qid, qtext in queries:  # normalize exactly like search_tokens
-        import re as _re
-
-        norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", qtext.lower())).strip()
-        terms.update(norm.split(" "))
+    for _qid, qtext in queries:  # the shared tokenizer law (one place)
+        terms.update(search_tokens_py(qtext))
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     postings = (
         spark.read.parquet(f"{path}/postings")

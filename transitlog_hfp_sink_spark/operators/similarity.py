@@ -423,6 +423,9 @@ def ivf_topk(
             qrows = _collect_query_side(
                 queries, query_id_col, _as_double(vec_col), max_query_rows
             )
+            # NULL embeddings are dropped (no result rows) — the same
+            # contract as ivfpq_topk/pq_adc_topk's driver-side query path
+            qrows = [r for r in qrows if r["__qv"] is not None]
             probed = sorted(
                 {
                     li
@@ -432,6 +435,18 @@ def ivf_topk(
             )
             if len(probed) < len(cents):
                 c = c.where(F.col("list_id").isin(probed))
+            # rebuild the broadcast query side FROM the collected rows so
+            # the pruning union and the in-plan probe lists are derived
+            # from one evaluation — a nondeterministic `queries` plan
+            # (sample()/rand()-derived) could otherwise probe a list the
+            # static filter excluded (round-8 review)
+            qid_type = dict(
+                queries.select(F.col(query_id_col).alias("query_id")).dtypes
+            )["query_id"]
+            queries = index.sparkSession.createDataFrame(
+                [(r["query_id"], list(r["__qv"])) for r in qrows],
+                schema=f"`{query_id_col}` {qid_type}, `{vec_col}` array<double>",
+            )
     else:
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
