@@ -366,3 +366,87 @@ def test_progressive_eobrun_spanning_blocks_hand_vector():
     w, h, rgb = decode_jpeg(bytes(out))
     assert (w, h) == (8, 16)
     assert rgb == bytes([128]) * (8 * 16 * 3)
+
+
+def test_hand_built_420_progressive_padded_vs_actual_block_rasters():
+    """Progressive 4:2:0 twin of the baseline 4:2:0 hand vector, with
+    w=24 so the luma's ACTUAL block raster (3x2) differs from its
+    MCU-PADDED grid (4x2): the interleaved DC scans must walk the padded
+    grid while the single-component AC scan walks only the 6 real
+    blocks — the index mapping T.81 A.2 prescribes. Flat gray (Y DC 16,
+    chroma 0, all-1 quant tables) decoded pixel-exactly to (130,130,130).
+    Scan script: DC first interleaved at Al=1, per-component AC first
+    (all EOBs), DC refinement bits over the padded grid."""
+    from transitlog_hfp_sink_spark.operators.jpegcodec import (
+        _build_encode_table,
+        _magnitude,
+        _prog_scan_header,
+    )
+
+    w, h = 24, 16  # mcux=2: luma wb_pad=4 vs wb=3; chroma 2==2
+    head = (
+        b"\xff\xd8"
+        + _dqt_ones(0)
+        + _dqt_ones(1)
+        + b"\xff\xc2"  # SOF2
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1])
+        + _dht(0, 0, HUFF_DC_LUMA)
+        + _dht(1, 0, HUFF_AC_LUMA)
+        + _dht(0, 1, HUFF_DC_CHROMA)
+        + _dht(1, 1, HUFF_AC_CHROMA)
+    )
+    enc_dc = [_build_encode_table(*HUFF_DC_LUMA), _build_encode_table(*HUFF_DC_CHROMA)]
+    enc_ac = [_build_encode_table(*HUFF_AC_LUMA), _build_encode_table(*HUFF_AC_CHROMA)]
+    out = bytearray(head)
+
+    # scan 1: DC first, interleaved, Al=1 — padded MCU grid (2 MCUs x
+    # [4 Y, Cb, Cr]); every block's DC is 16, so v = 8: luma diffs
+    # 8,0,0,0,0,0,0,0 across the two MCUs, chroma v=0 throughout
+    out += _prog_scan_header([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for _m in range(2):
+        for _yb in range(4):
+            v = 8
+            size, amp = _magnitude(v - pred[0])
+            pred[0] = v
+            code, ln = enc_dc[0][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+        for comp in (1, 2):
+            size, amp = _magnitude(0 - pred[comp])
+            pred[comp] = 0
+            code, ln = enc_dc[1][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+    bw.flush()
+    out += bw.buf
+
+    # scans 2-4: AC first per component — the NON-padded rasters:
+    # luma 3x2 = 6 blocks, chroma 2x1 = 2 blocks each; all AC zero -> EOB
+    for cid, tsel, nblocks in ((1, 0, 6), (2, 1, 2), (3, 1, 2)):
+        out += _prog_scan_header([(cid, tsel)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        code, ln = enc_ac[tsel][0x00]
+        for _ in range(nblocks):
+            bw.write(code, ln)
+        bw.flush()
+        out += bw.buf
+
+    # scan 5: DC refinement over the padded grid — bit 16&1 = 0 per block
+    out += _prog_scan_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for _ in range(2 * (4 + 1 + 1)):
+        bw.write(0, 1)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+
+    gw, gh, rgb = decode_jpeg(bytes(out))
+    assert (gw, gh) == (w, h)
+    assert rgb == bytes([130, 130, 130]) * (w * h)
