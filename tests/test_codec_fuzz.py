@@ -245,3 +245,10 @@ def test_png_lying_ihdr_rejected_before_inflating():
     with pytest.raises(ValueError, match="PNG pixel data mismatch"):
         decode_png(data)
     assert time.monotonic() - t0 < 1.0
+
+
+def test_encode_wav_rejects_out_of_range_samples_with_named_error():
+    with pytest.raises(ValueError, match="int16 PCM range"):
+        encode_wav(8000, [0, 70000, 1])
+    with pytest.raises(ValueError, match="-40000"):
+        encode_wav(8000, [-40000])

@@ -287,7 +287,11 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
     """RIFF/WAVE PCM16 little-endian from int16 samples (interleaved if
     channels > 1). The real audio container format, dependency-free."""
     n = len(samples)
-    data = struct.pack(f"<{n}h", *samples)
+    try:
+        data = struct.pack(f"<{n}h", *samples)
+    except struct.error:
+        bad = next(s for s in samples if not -32768 <= s <= 32767)
+        raise ValueError(f"sample {bad} outside the int16 PCM range") from None
     byte_rate = sample_rate * channels * 2
     block_align = channels * 2
     return (
