@@ -167,9 +167,12 @@ def main(only: list[str]) -> int:
     spark = build_session(app_name="oracle-check", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver testdata tables are single parquet FILES; tool-synthesized
+        # inputs (tools/stress_sf1.py) are Spark DIRECTORY outputs — glob
+        # the parts in that case so the sweep runs at sf1 too (round 8)
+        path = f"{SF_DIR}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
