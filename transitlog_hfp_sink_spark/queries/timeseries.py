@@ -572,13 +572,9 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw on-disk schema (ts = int64 nanos under the legacy conf);
         # convert exactly as the batch reader does so stream and batch align
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        # file-stream sources need a directory: point at sf_dir with a glob
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        # file-stream sources need a directory; layout-aware (round 8)
+        _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
+        stream = _rs.option("maxFilesPerTrigger", "1").parquet(_path)
         if dict(stream.dtypes).get("ts") == "bigint":
             stream = stream.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
@@ -616,11 +612,8 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     with _pinned_stream_confs(spark):
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
+        stream = _rs.parquet(_path)
         if dict(stream.dtypes).get("ts") == "bigint":
             stream = stream.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
@@ -667,11 +660,8 @@ def _run_stream_join(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def _stream():
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
+        s = _rs.parquet(_path)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
@@ -735,6 +725,24 @@ WHERE l.event_type = 'click' AND r.event_type = 'error'
 """
 
 
+def _events_stream_reader(spark: SparkSession, sf_dir: str, raw_schema):
+    """File-stream reader over the events table for BOTH input layouts
+    (round 8): the driver testdata ships events.parquet as a FLAT FILE
+    (file-stream sources need a directory, so stream sf_dir with a name
+    glob), while tool-synthesized inputs (tools/stress_sf1.py) are Spark
+    DIRECTORY outputs whose part files the name glob would silently
+    exclude — the sf1 sweep caught every streaming entry reading 0 rows.
+    Returns the reader so callers can add their own options before
+    .parquet() is applied via load_events()."""
+    import os
+
+    rs = spark.readStream.schema(raw_schema)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        return rs, path
+    return rs.option("pathGlobFilter", "events.parquet"), sf_dir
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EXACT DEDUP with bounded state
     (dropDuplicatesWithinWatermark): the events stream unioned with a
@@ -761,11 +769,8 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
         def _stream():
-            s = (
-                spark.readStream.schema(raw_schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-            )
+            _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
+            s = _rs.parquet(_path)
             if dict(s.dtypes).get("ts") == "bigint":
                 s = s.withColumn(
                     "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
