@@ -29,6 +29,10 @@ DST = "/tmp/spark_graft_stress_sf1"
 COPIES = 10
 
 
+def _stride(df, key: str = "event_id") -> int:
+    return df.agg(F.max(key)).first()[0] + 1
+
+
 def _shifted_copies(df, key: str, n_copies: int, stride: int | None = None):
     """Union n key-shifted copies of df; stride = max(key)+1 so shifted
     keys never collide even when the key domain is sparse. Referential
@@ -57,17 +61,37 @@ def build_input_relational(spark) -> None:
     10x — the harder stress for windows/sessions than widening the time
     range would be. synth_hfp derives vehicles/routes from event_id, so
     shifted ids synthesize genuinely new fleet activity."""
-    if os.path.exists(f"{DST}/lineitem.parquet"):
-        return
     from transitlog_hfp_sink_spark.sources.files import TABLES
 
-    ev = read_table(spark, SRC, "events")
-    # keep ts as raw nanos on disk? read_table converted to timestamp;
-    # write micros-precision timestamps — read_table passes non-bigint
-    # ts through unchanged, and every consumer goes through read_table.
-    _shifted_copies(ev, "event_id", COPIES).repartition(32).write.mode(
-        "overwrite"
-    ).parquet(f"{DST}/events.parquet")
+    if not os.path.exists(f"{DST}/events.parquet/_SUCCESS"):
+        ev = read_table(spark, SRC, "events")
+        # keep ts as raw nanos on disk? read_table converted to timestamp;
+        # write micros-precision timestamps — read_table passes non-bigint
+        # ts through unchanged, and every consumer goes through read_table.
+        # Each copy's ts shifts by copy_idx MICROSECONDS (round 8): the
+        # HFP natural key derives (vehicle, tst, ...) from event columns,
+        # and byte-identical timestamps across copies made ~9% of derived
+        # keys collide with DIVERGENT payloads — violating the redelivery
+        # contract (a redelivered message is byte-identical) that the M3
+        # dedup view and its oracle shortcut are defined under. A copy-index SECONDS
+        # skew (tst truncates to seconds) keeps per-hour density at the full 10x while every derived
+        # natural key stays unique, so the sf1 sweep measures the engine,
+        # not a synthetic-input contract violation.
+        ev_stride = _stride(ev)
+        copies = [
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * ev_stride)
+            ).withColumn("ts", F.expr(f"timestampadd(SECOND, {i}, ts)"))
+            for i in range(COPIES)
+        ]
+        out = copies[0]
+        for leg in copies[1:]:
+            out = out.unionByName(leg)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{DST}/events.parquet"
+        )
+    if os.path.exists(f"{DST}/lineitem.parquet"):
+        return
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     lineitem = spark.read.parquet(f"{SRC}/lineitem.parquet")
     # ONE stride over the shared orderkey domain: orders and lineitem
