@@ -666,3 +666,67 @@ def test_reregistration_memo_survives_failed_and_partial_calls(spark, sf_dir, ca
     msgs = [r.message for r in caplog.records if "replaced" in r.message]
     assert msgs and "(2.0, 22.0, 10)" in msgs[0], msgs
     assert "inf" not in msgs[0]  # the failed bounds never became the memo
+
+
+def test_odo_delta_null_event_type_tie_matches_duckdb(spark, tmp_path):
+    """Round-8 sf1 sweep regression: a NULL event_type row on the SAME
+    second as a non-NULL one made the odo lag sequence diverge between
+    engines — Spark's implicit ASC ordering is NULLS FIRST, DuckDB's is
+    NULLS LAST. The view now pins NULLS FIRST explicitly on both sides;
+    this test plants the tie and compares the view against a DuckDB run
+    of the same window text."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (vehicle, tst, event_type, journey_type, odo)
+        ("v1", datetime.datetime(2024, 1, 1, 10, 0, 0), "VP", "journey", 100.0),
+        # the tie second: NULL event_type must order BEFORE 'PAS'
+        ("v1", datetime.datetime(2024, 1, 1, 10, 0, 5), None, "deadrun", 250.0),
+        ("v1", datetime.datetime(2024, 1, 1, 10, 0, 5), "PAS", "journey", 150.0),
+        ("v1", datetime.datetime(2024, 1, 1, 10, 0, 9), "DEP", "journey", 300.0),
+    ]
+    schema = ("unique_vehicle_id string, tst timestamp, event_type string, "
+              "journey_type string, odo double")
+    df = (
+        spark.createDataFrame(rows, schema)
+        .withColumn("is_ongoing", F.lit(True))
+        .withColumn("oday", F.to_date(F.lit("2024-01-01")))
+    )
+    df.createOrReplaceTempView("vehicles_dedup")
+    from transitlog_hfp_sink_spark.catalog import register_counter_view
+
+    register_counter_view(spark)
+    got = spark.table("vehicles_odo_delta").collect()[0]
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE v AS SELECT * FROM (VALUES
+          ('v1', TIMESTAMP '2024-01-01 10:00:00', 'VP',  'journey', 100.0),
+          ('v1', TIMESTAMP '2024-01-01 10:00:05', NULL,  'deadrun', 250.0),
+          ('v1', TIMESTAMP '2024-01-01 10:00:05', 'PAS', 'journey', 150.0),
+          ('v1', TIMESTAMP '2024-01-01 10:00:09', 'DEP', 'journey', 300.0)
+        ) t(unique_vehicle_id, tst, event_type, journey_type, odo)
+    """)
+    want = con.execute("""
+        WITH steps AS (
+          SELECT unique_vehicle_id, odo - lag(odo) OVER w AS step, odo
+          FROM v
+          WINDOW w AS (PARTITION BY unique_vehicle_id
+                       ORDER BY tst, event_type NULLS FIRST,
+                                journey_type NULLS FIRST)
+        )
+        SELECT count(*),
+               CAST(sum(CASE WHEN step IS NULL THEN CAST(0 AS DECIMAL(30,12))
+                             WHEN step >= 0 THEN CAST(step AS DECIMAL(30,12))
+                             ELSE CAST(odo AS DECIMAL(30,12)) END) AS DOUBLE),
+               sum(CASE WHEN step < 0 THEN 1 ELSE 0 END)
+        FROM steps
+    """).fetchone()
+    assert (got["n_obs"], got["odo_delta"], got["n_resets"]) == want
+    # the tie-resolved sequence: 100 -> 250 (NULL first) -> 150 (reset!)
+    # -> 300: one reset, delta = 150 + 150 + 150 = 450
+    assert (got["n_obs"], got["n_resets"]) == (4, 1)
+    assert got["odo_delta"] == 450.0

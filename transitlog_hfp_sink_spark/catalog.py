@@ -347,7 +347,12 @@ def register_counter_view(spark: SparkSession) -> None:
 
     One lag window per (vehicle, oday) ordered by the full natural key,
     then a hash-agg; deltas sum as DECIMAL so both engines agree exactly
-    (double group-sums are partial-merge order-dependent in Spark). At
+    (double group-sums are partial-merge order-dependent in Spark).
+    NULLS FIRST is EXPLICIT on the nullable order keys: Spark's ASC
+    default is nulls-first but DuckDB's is nulls-last, so an implicit
+    ordering silently diverges the lag sequence the first time a NULL
+    event_type lands on the same second as a non-NULL one (found by the
+    round-8 sf1 sweep — the gate fixtures never sampled that tie). At
     scale this partitions by vehicle+day — high cardinality, bounded
     per-key state."""
     spark.sql(
@@ -360,7 +365,8 @@ def register_counter_view(spark: SparkSession) -> None:
             FROM vehicles_dedup
             WHERE is_ongoing AND odo IS NOT NULL AND oday IS NOT NULL
             WINDOW w AS (PARTITION BY unique_vehicle_id, oday
-                         ORDER BY tst, event_type, journey_type)
+                         ORDER BY tst, event_type NULLS FIRST,
+                                  journey_type NULLS FIRST)
         )
         SELECT unique_vehicle_id, oday,
                count(*) AS n_obs,

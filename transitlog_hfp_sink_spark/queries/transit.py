@@ -277,7 +277,8 @@ odo_steps AS (
   FROM hfp_vehicles
   WHERE is_ongoing AND odo IS NOT NULL AND oday IS NOT NULL
   WINDOW w AS (PARTITION BY unique_vehicle_id, oday
-               ORDER BY tst, event_type, journey_type)
+               ORDER BY tst, event_type NULLS FIRST,
+                                  journey_type NULLS FIRST)
 ),
 odo_agg AS (
   SELECT unique_vehicle_id, oday, count(*) AS n_obs,
