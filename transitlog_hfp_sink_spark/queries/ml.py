@@ -1279,7 +1279,10 @@ SELECT 'bigram' AS part, doc_id, CAST(count(*) AS BIGINT) AS n_units,
 FROM bscored GROUP BY 2
 UNION ALL
 SELECT 'nb' AS part, doc_id, n_units,
-       round((prior + CAST(sum_w AS DOUBLE)) / n_units, 4) AS score
+       -- + 0.0 normalizes SIGNED ZERO (same class as the multimodal
+       -- feature leg, found at sf1): a log-odds sum can land just below
+       -- zero, where DuckDB's round keeps -0.0 but Spark's yields +0.0
+       round((prior + CAST(sum_w AS DOUBLE)) / n_units, 4) + 0.0 AS score
 FROM nbdoc CROSS JOIN nbprior
 """
 
