@@ -30,7 +30,25 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side partial aggregation; shuffle carries only |groups| rows."""
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    # sum_charge is computed in INTEGER CENTS end to end (round-8 sf1
+    # sweep): the decimal formulation hides three cross-engine hazards —
+    # (a) double->decimal(18,2) cast ties (Spark HALF_UP vs DuckDB
+    # HALF_EVEN) on values sitting exactly on the 2 dp half boundary,
+    # (b) DuckDB's decimal multiply pipeline rounded an inner product
+    # (its (18,2)x(18,2) result carries width 18, not 36), and (c)
+    # DuckDB's int128->double conversion is not correctly rounded for
+    # sums past 2^53. The cents law floor(x*100+0.5) is a single
+    # engine-identical IEEE op (== HALF_UP for the non-negative inputs,
+    # so Spark's values are unchanged); the bigint product/sum is exact
+    # on both engines; and the final value is assembled from two
+    # exactly-representable pieces (quot < 2^53 and rem < 1e6) with one
+    # deterministic rounding each — no wide-integer conversion anywhere.
+    cents = lambda c: F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    charge_u = (
+        cents("l_extendedprice")
+        * (F.lit(100) - cents("l_discount"))
+        * (F.lit(100) + cents("l_tax"))
+    )
     n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
@@ -39,11 +57,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(charge_u).alias("__charge_u"),
             (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
             n.alias("count_order"),
+        )
+        # integer DIV/% keep both pieces exactly double-representable;
+        # the two casts and one add are the only roundings, all
+        # deterministic IEEE ops (see the charge_u comment above)
+        .withColumn(
+            "sum_charge",
+            F.expr(
+                "CAST(__charge_u DIV 1000000 AS DOUBLE)"
+                " + CAST(__charge_u % 1000000 AS DOUBLE) / 1e6"
+            ),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
         )
     )
 
@@ -53,7 +86,16 @@ SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  -- integer-cents law + two-piece double assembly (see the Spark twin's
+  -- comment for the three cross-engine hazards this dodges)
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+           * (100 + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT))) // 1000000
+       AS DOUBLE)
+  + CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+             * (100 + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT))) % 1000000
+         AS DOUBLE) / 1e6 AS sum_charge,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
   CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,

@@ -362,19 +362,43 @@ FROM events GROUP BY 1
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, user_decile): all 4 grouping-set combos."""
     ev = read_table(spark, sf_dir, "events")
+    # value goes through the engine-agnostic picounits law
+    # floor(value*1e12 + 0.5) instead of a double->decimal(30,12) cast:
+    # the sf1 sweep caught the grand-total row (1M inputs) accumulating
+    # the cast's HALF_UP-vs-HALF_EVEN tie bias past the double-repr
+    # threshold. floor/multiply/add are single IEEE ops identical on
+    # both engines; value*1e12 < 2^53 stays exact; the bigint sum is
+    # exact; the final /1e12 rounds once, deterministically.
+    micro = F.floor(F.col("value") * F.lit(1e12) + F.lit(0.5)).cast("decimal(20,0)")
     return (
         ev.withColumn("user_decile", (F.col("user_id") % 10).cast("int"))
         .cube("event_type", "user_decile")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("sum_value"),
+            F.sum(micro).alias("__sv"),
         )
+        # two-piece double assembly: the picounit total passes 2^53 at
+        # scale, where a direct wide-integer->double conversion is not
+        # correctly rounded in every engine; DIV/% pieces are exactly
+        # representable and the one divide + one add round identically
+        .withColumn(
+            "sum_value",
+            F.expr(
+                "CAST(__sv DIV 1000000000000 AS DOUBLE)"
+                " + CAST(__sv % 1000000000000 AS DOUBLE) / 1e12"
+            ),
+        )
+        .select("event_type", "user_decile", "n", "sum_value")
     )
 
 
 ORACLE_CUBE = """
 SELECT event_type, CAST(user_id % 10 AS INTEGER) AS user_decile, count(*) AS n,
-  CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sum_value
+  -- picounits law + two-piece assembly, mirroring the Spark twin
+  CAST(sum(CAST(floor(value * 1e12 + 0.5) AS BIGINT)) // 1000000000000
+       AS DOUBLE)
+  + CAST(sum(CAST(floor(value * 1e12 + 0.5) AS BIGINT)) % 1000000000000
+         AS DOUBLE) / 1e12 AS sum_value
 FROM events
 GROUP BY CUBE (event_type, (CAST(user_id % 10 AS INTEGER)))
 """
