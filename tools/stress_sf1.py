@@ -68,15 +68,17 @@ def build_input_relational(spark) -> None:
         # keep ts as raw nanos on disk? read_table converted to timestamp;
         # write micros-precision timestamps — read_table passes non-bigint
         # ts through unchanged, and every consumer goes through read_table.
-        # Each copy's ts shifts by copy_idx MICROSECONDS (round 8): the
+        # Each copy's ts shifts by copy_idx SECONDS (round 8): the
         # HFP natural key derives (vehicle, tst, ...) from event columns,
         # and byte-identical timestamps across copies made ~9% of derived
         # keys collide with DIVERGENT payloads — violating the redelivery
         # contract (a redelivered message is byte-identical) that the M3
-        # dedup view and its oracle shortcut are defined under. A copy-index SECONDS
-        # skew (tst truncates to seconds) keeps per-hour density at the full 10x while every derived
-        # natural key stays unique, so the sf1 sweep measures the engine,
-        # not a synthetic-input contract violation.
+        # dedup view and its oracle shortcut are defined under. A seconds
+        # skew is the smallest that works (tst truncates to seconds, so a
+        # sub-second shift would leave the collisions in place); it keeps
+        # per-hour density at the full 10x while every derived natural
+        # key stays unique, so the sf1 sweep measures the engine, not a
+        # synthetic-input contract violation.
         ev_stride = _stride(ev)
         copies = [
             ev.withColumn(

@@ -57,7 +57,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge_u).alias("__charge_u"),
+            # widen to decimal(38,0) BEFORE the sum (ADVICE r8): per-row
+            # charge_u is ~1e11, so a BIGINT sum overflows int64 around
+            # sf100 while the DuckDB twin widens into HUGEINT — the
+            # decimal sum is exact at any scale and the downstream DIV/%
+            # integer pieces are unchanged (IntegralDivide on decimal
+            # yields the same bigint quotient)
+            F.sum(charge_u.cast("decimal(38,0)")).alias("__charge_u"),
             (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),

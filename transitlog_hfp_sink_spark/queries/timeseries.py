@@ -732,8 +732,8 @@ def _events_stream_reader(spark: SparkSession, sf_dir: str, raw_schema):
     glob), while tool-synthesized inputs (tools/stress_sf1.py) are Spark
     DIRECTORY outputs whose part files the name glob would silently
     exclude — the sf1 sweep caught every streaming entry reading 0 rows.
-    Returns the reader so callers can add their own options before
-    .parquet() is applied via load_events()."""
+    Returns (reader, path) so callers can add their own options before
+    applying .parquet(path) themselves."""
     import os
 
     rs = spark.readStream.schema(raw_schema)
