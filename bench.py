@@ -583,6 +583,37 @@ def bench_overrides():
 
 THROUGHPUT_ROWS = 2_000_000
 
+#: fixed-work calibration job size: ~0.75 s on the reference host at 32
+#: threads, run-to-run spread ±4% — large enough that task-dispatch noise
+#: amortizes (400M ran in 0.23 s, overhead-dominated), small enough that
+#: 2x(1+5) runs cost ~10 s of the bench budget. Term sum just fits int64:
+#: 3.2e9 x 2^31 ~ 6.9e18 < 2^63.
+CALIBRATION_ROWS = 3_200_000_000
+
+
+def calibration_run(spark, runs: int = 5) -> float:
+    """Fixed-work CPU calibration leg (VERDICT r8 #2): a deterministic
+    xxhash64 fold over an in-memory range — zero I/O, zero shuffle, one
+    whole-stage-codegen job sized by CALIBRATION_ROWS and parallelized
+    over the same CPUS the queries use. The min-of-N seconds is a pure
+    function of host CPU speed + ambient contention, so round-over-round
+    per-query deltas divide by the calibration ratio instead of being
+    adjudicated by the prose host-band argument (SCALING.md measured
+    identical code spanning 1.9x across sessions). Recorded twice
+    (bench start and end) so drift DURING the run is visible too."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        # shiftright(32) keeps each term in [-2^31, 2^31) so the 400M-term
+        # sum stays far inside int64 under ANSI overflow checking
+        spark.range(0, CALIBRATION_ROWS, 1, int(CPUS)).select(
+            F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("s")
+        ).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -602,6 +633,11 @@ def main() -> None:
 
     # warm the JVM/codegen once with a trivial job
     spark.range(1000).count()
+
+    # host-speed yardstick BEFORE any query work (see calibration_run);
+    # one warmup run first so C2 compilation of the hash loop is excluded
+    calibration_run(spark, runs=1)
+    calibration_s = calibration_run(spark)
 
     # streaming-transform throughput vs the 250k rows/s reference ceiling —
     # measured FIRST (fresh heap) and best-of-2 after a JIT warmup pass,
@@ -724,6 +760,11 @@ def main() -> None:
             best = min(best, time.time() - tq0)
         tpch_timings[name] = round(best, 3)
     tpch_total = round(sum(tpch_timings.values()), 3)
+
+    # the same fixed work re-timed after the full suite: if end/start
+    # diverges, ambient load CHANGED mid-run and per-query normalization
+    # should use the band, not one number
+    calibration_end_s = calibration_run(spark)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else SF_DIR)
     full = {
         "metric": "headline_queries_total_runtime",
@@ -739,6 +780,13 @@ def main() -> None:
         "tpch_22_shapes_total_s": tpch_total,
         "tpch_22_shapes_count": len(tpch_fns),
         "tpch_queries": tpch_timings,
+        # fixed-work host yardstick (VERDICT r8 #2): xxhash64 fold over
+        # range(400M) at CPUS threads, min-of-5, measured before the first
+        # query and again after the last — normalize cross-round per-query
+        # deltas by the ratio of calibration_s values
+        "calibration_s": calibration_s,
+        "calibration_end_s": calibration_end_s,
+        "calibration_rows": CALIBRATION_ROWS,
         "timing": f"min-of-{RUNS}, inputs pre-warmed",
         # per-entry measurement-mode disclosures (ADVICE r7): deltas that
         # come from WHAT is measured, not how fast the code is, are named
