@@ -755,12 +755,14 @@ def test_kernel_quantization_boundary_divergence_pinned(spark):
 
 
 def test_ivf_served_prune_lists_prunes_and_matches(spark, sf_dir, tmp_path):
-    """Round 8: the serving path's probed-lists pruning. With one query
-    and nprobe=2 of 8 lists, ivf_topk(index=...) must (a) return exactly
-    the unpruned result, (b) read ONLY the probed lists' partition
-    directories from an app-layout (partitionBy list_id) index, and
-    (c) keep the driver-side probe-list law equal to the in-plan
-    expression (the _nearest_lists_py twin)."""
+    """Round 8 (reworked round 9 for the cost-based auto): the serving
+    path's probed-lists pruning at PRODUCTION-SHAPED list counts. With one
+    query and nprobe=2 of 64 lists (coverage 1/32 <= the 1/8 auto
+    threshold), ivf_topk(index=...) must (a) return exactly the unpruned
+    result, (b) read ONLY the probed lists' partition directories from an
+    app-layout (partitionBy list_id) index, and (c) keep the driver-side
+    probe-list law equal to the in-plan expression (the _nearest_lists_py
+    twin)."""
     from pyspark.sql import functions as F
 
     from transitlog_hfp_sink_spark.operators.similarity import (
@@ -774,7 +776,7 @@ def test_ivf_served_prune_lists_prunes_and_matches(spark, sf_dir, tmp_path):
     from transitlog_hfp_sink_spark.sources.files import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(emb, n_lists=8, max_iter=6)
+    cents = ivf_centroids(emb, n_lists=64, max_iter=6)
     path = str(tmp_path / "ivf_assign")
     ivf_assign(emb, cents).repartition("list_id").write.partitionBy(
         "list_id"
@@ -785,12 +787,20 @@ def test_ivf_served_prune_lists_prunes_and_matches(spark, sf_dir, tmp_path):
     )
 
     pruned = ivf_topk(
-        emb, queries, k=3, n_lists=8, nprobe=2, centroids=cents, index=index
+        emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents, index=index
     )
     unpruned = ivf_topk(
-        emb, queries, k=3, n_lists=8, nprobe=2, centroids=cents, index=index,
+        emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents, index=index,
         prune_lists=False,
     )
+    # the default auto MUST have decided to prune here: the static IN
+    # filter lands in the scan's partition filters (rendered with the
+    # expression id: "list_id#20 IN (44,46)"), absent unpruned
+    import re
+
+    _in = re.compile(r"list_id#\d+ IN \(")
+    assert _in.search(pruned._jdf.queryExecution().executedPlan().toString())
+    assert not _in.search(unpruned._jdf.queryExecution().executedPlan().toString())
     p = sorted(tuple(r) for r in pruned.collect())
     u = sorted(tuple(r) for r in unpruned.collect())
     assert p == u and p
@@ -815,6 +825,89 @@ def test_ivf_served_prune_lists_prunes_and_matches(spark, sf_dir, tmp_path):
     assert all(any(f"list_id={li}/" in f for li in probed) for f in files), files
     all_lists = {r["list_id"] for r in index.select("list_id").distinct().collect()}
     assert len(all_lists) > len(set(probed))
+
+
+def test_ivf_served_prune_auto_cost_decision(spark, sf_dir):
+    """Round 9 (VERDICT r8 #5): prune_lists='auto' is cost-based.
+
+    - Toy coverage (nprobe=4 of 16 lists = 1/4 > 1/8): auto serves FULLY
+      DISTRIBUTED — no driver collect, no static IN filter — recovering
+      the r7 bench plan for embedding_topk_ivf_served.
+    - prune_lists=True still forces the pruned plan at the same shape.
+    - Both return identical rows (pruning is result-identical by
+      construction)."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_lists=16, max_iter=6)
+    index = ivf_assign(emb, cents)
+    # ONE query so the forced leg's probed union (4 of 16 lists) stays a
+    # strict subset — a multi-query union covering all lists would make
+    # even forced pruning skip the (then-useless) IN filter
+    queries = emb.where(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto = ivf_topk(
+        emb, queries, k=3, n_lists=16, nprobe=4, centroids=cents, index=index
+    )
+    forced = ivf_topk(
+        emb, queries, k=3, n_lists=16, nprobe=4, centroids=cents, index=index,
+        prune_lists=True,
+    )
+    import re
+
+    _in = re.compile(r"list_id#\d+ IN \(")
+    assert not _in.search(auto._jdf.queryExecution().executedPlan().toString())
+    assert _in.search(forced._jdf.queryExecution().executedPlan().toString())
+    a = sorted(tuple(r) for r in auto.collect())
+    f = sorted(tuple(r) for r in forced.collect())
+    assert a == f and a
+
+
+def test_ivf_served_prune_auto_falls_back_on_big_batch(spark, sf_dir):
+    """ADVICE r8: a query batch over max_query_rows previously executed
+    fully distributed and the round-8 prune default made it raise. Auto
+    now FALLS BACK to the unpruned distributed serve (same rows); only
+    the explicit prune_lists=True keeps the loud bound guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_lists=64, max_iter=6)
+    index = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto = ivf_topk(
+        emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents, index=index,
+        max_query_rows=4,
+    )
+    unpruned = ivf_topk(
+        emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents, index=index,
+        prune_lists=False,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, unpruned.collect())
+    )
+    with pytest.raises(ValueError, match="broadcast contract"):
+        ivf_topk(
+            emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents,
+            index=index, prune_lists=True, max_query_rows=4,
+        ).collect()
 
 
 def test_ivf_served_prune_drops_null_query_embeddings(spark, sf_dir):
