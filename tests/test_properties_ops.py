@@ -369,7 +369,9 @@ def test_minhash_lsh_pairs_verify_and_guaranteed_recall(spark, word_lists, thr):
 def test_jaccard_prune_equivalence_property(spark, word_lists, thr):
     """Round 8 (VERDICT r7 #1): on arbitrary small corpora (empty-set
     docs, exact clones, any length mix) both prune modes must emit the
-    EXACT pair set and values of the unpruned referee."""
+    EXACT pair set and values of the unpruned referee. Round 9 (VERDICT
+    r8 #3) extends the grid with verify='counts' — the co-occurrence
+    verify must be output-identical under every prune mode too."""
     from transitlog_hfp_sink_spark.operators.dedup import ngram_jaccard_pairs
 
     rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
@@ -383,6 +385,14 @@ def test_jaccard_prune_equivalence_property(spark, word_lists, thr):
             for r in ngram_jaccard_pairs(df, threshold=thr, prune=mode).collect()
         )
         assert got == ref, (mode, thr)
+    for mode in (None, "length", "prefix"):
+        got = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, threshold=thr, prune=mode, verify="counts"
+            ).collect()
+        )
+        assert got == ref, ("counts", mode, thr)
 
 
 # --- round 8 additions: winnow / BM25 / connected-components referees ------

@@ -200,6 +200,72 @@ def _verify_jaccard_pairs(
     )
 
 
+def _verify_jaccard_counts(
+    cands: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Co-occurrence-count verify (round 9, VERDICT r8 #3): exact Jaccard
+    for candidate pairs WITHOUT ever shuffling a shingle array.
+
+    The array verify (_verify_jaccard_pairs) drags two full shingle sets
+    through the pair-keyed joins — fine when pairs are few, but in the
+    sparse-output regime (huge candidate sets, tiny true-pair yield) the
+    prefix10 probe measured a 65 GB single-box shuffle that was almost
+    entirely array payload. Here the intersection size is counted from
+    the token join itself: explode each doc's distinct shingles once,
+    join candidates to the two token legs, and count matching tokens per
+    pair — every shuffled row is (id_a, id_b, token), no arrays anywhere.
+    Jaccard then derives exactly via |A∪B| = |A| + |B| - |A∩B|:
+
+        jaccard = inter / (sz_a + sz_b - inter)
+
+    — the same int-ratio double the array verify divides (set sizes are
+    identical), so round-to-6 values are bit-identical and the verified
+    pair set EQUALS the array verify's (pinned by the prune/verify
+    equivalence property test). Requires threshold > 0: pairs with zero
+    shared tokens drop out of the inner token join, which is only
+    correct because no such pair can reach a positive threshold.
+
+    Token legs and size legs are hinted SHUFFLE-HASH for the same
+    reason as _verify_jaccard_pairs: the pair-keyed side outgrows any
+    sort buffer first, and the build maps are |tokens|- or |docs|-row.
+    """
+    sized = shingles.select(
+        "id", F.col(shingle_col).alias("__sh"), F.size(shingle_col).alias("__sz")
+    )
+    toks = sized.select("id", F.explode("__sh").alias("tok"))
+    ta = toks.select(F.col("id").alias("id_a"), "tok").hint("shuffle_hash")
+    tb = toks.select(F.col("id").alias("id_b"), "tok").hint("shuffle_hash")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sized.select(F.col("id").alias("id_a"), F.col("__sz").alias("__sza")).hint(
+        "shuffle_hash"
+    )
+    sb = sized.select(F.col("id").alias("id_b"), F.col("__sz").alias("__szb")).hint(
+        "shuffle_hash"
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _hash31(arr: Column, hash_fn: str = "xxhash64") -> Column:
     """Per-shingle 31-bit hashes (hash64 folded into [0, 2^31)):
     keeps a*h+b inside signed-64 range under ANSI overflow checking."""
@@ -578,6 +644,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.0,
     prune: str | None = None,
+    verify: str = "arrays",
 ) -> DataFrame:
     """Exact word-shingle Jaccard for pairs sharing a blocking key —
     the oracle-checkable ground-truth dedup (and recall yardstick for the
@@ -620,13 +687,34 @@ def ngram_jaccard_pairs(
     verify stage still touches every qualifying pair — run minhash for
     production there (measured LINEAR, lsh10 probe); this referee prunes
     well on varied-length corpora (SCALING.md round-8 table measures
-    both)."""
+    both).
+
+    ``verify`` (round 9, VERDICT r8 #3) picks the exact-verify physical
+    plan, output-identical by construction:
+
+    - ``"arrays"`` (default): join the candidate pairs back to the
+      shingle ARRAYS and intersect/union per pair — cheapest when the
+      candidate set is modest (dense-output regimes).
+    - ``"counts"``: count shared tokens from the exploded token join
+      itself and derive jaccard as inter/(sza+szb-inter) — no shingle
+      array ever shuffles, so the sparse-output regime (the prefix10
+      probe's 65 GB array shuffle) ships (id_a, id_b, token) rows
+      instead. Requires ``threshold > 0`` (zero-overlap pairs drop out
+      of the inner token join)."""
     if prune not in (None, "length", "prefix"):
         raise ValueError(f"prune={prune!r}: expected None, 'length' or 'prefix'")
+    if verify not in ("arrays", "counts"):
+        raise ValueError(f"verify={verify!r}: expected 'arrays' or 'counts'")
     if prune is not None and not threshold > 0:
         raise ValueError(
             "prune requires threshold > 0: at t=0 every pair (even with "
             "zero overlap) belongs in the output, so nothing can be pruned"
+        )
+    if verify == "counts" and not threshold > 0:
+        raise ValueError(
+            "verify='counts' requires threshold > 0: zero-overlap pairs "
+            "drop out of the token join, which only preserves the output "
+            "when such pairs cannot qualify"
         )
     if threshold > 1:
         # Jaccard is bounded by 1; beyond it the unpruned path returns
@@ -638,7 +726,12 @@ def ngram_jaccard_pairs(
     ).withColumnRenamed("shingles", "sh")
     t_eff = threshold - JACCARD_PRUNE_SLACK
     if prune == "prefix":
-        return _jaccard_pairs_prefix(base, block_cols or [], threshold, t_eff)
+        return _jaccard_pairs_prefix(base, block_cols or [], threshold, t_eff, verify)
+    if verify == "counts":
+        # candidates carry ids only; the token-count verify never sees an
+        # array. localCheckpoint for the same lifecycle reasons as the
+        # prefix path (base is read by the block join AND both token legs)
+        base = base.localCheckpoint(eager=False)
     on = [F.col("a.id") < F.col("b.id")] + [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in (block_cols or [])
     ]
@@ -646,6 +739,13 @@ def ngram_jaccard_pairs(
         base = base.withColumn("__sz", F.size("sh"))
         sa, sb = F.col("a.__sz").cast("double"), F.col("b.__sz").cast("double")
         on.append(F.least(sa, sb) >= F.lit(t_eff) * F.greatest(sa, sb))
+    if verify == "counts":
+        cands = (
+            base.alias("a")
+            .join(base.alias("b"), on=on)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        return _verify_jaccard_counts(cands, base, threshold, shingle_col="sh")
     pairs = (
         base.alias("a")
         .join(base.alias("b"), on=on)
@@ -660,7 +760,11 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_pairs_prefix(
-    base: DataFrame, block_cols: list[str], threshold: float, t_eff: float
+    base: DataFrame,
+    block_cols: list[str],
+    threshold: float,
+    t_eff: float,
+    verify: str = "arrays",
 ) -> DataFrame:
     """Prefix-filtered candidate generation + exact verify (see
     ngram_jaccard_pairs). ``base`` = (id, *block_cols, sh).
@@ -722,4 +826,6 @@ def _jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if verify == "counts":
+        return _verify_jaccard_counts(cands, sh, threshold, shingle_col="sh")
     return _verify_jaccard_pairs(cands, sh, threshold, shingle_col="sh")
