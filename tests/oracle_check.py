@@ -13,6 +13,16 @@ emits bigint — values stringified equal, hashes differ). Spark dtypes and
 DuckDB arrow types are both mapped to a canonical name and must agree.
 
 Usage: python tests/oracle_check.py [query_name ...]
+       python tests/oracle_check.py --digest [query_name ...]
+
+--digest (round 9, VERDICT r8 #1): compare engine-side AGGREGATE
+digests instead of collected rows — count(*) plus two BIGINT sums of
+32-bit md5 slices over the canonicalized rows (the registry's own
+digest law, shared with queries/power.py). Neither engine materializes
+a row to the driver, so the sf1 pair-emitters (tens of millions of
+pair rows; the row-compare harness bound in rounds 1-8) verify too.
+Double columns canonicalize via the decimal(38,6) law, which is exact
+for the <= 6 dp rounded values every registry query emits.
 """
 
 from __future__ import annotations
@@ -160,6 +170,61 @@ def frame_key(rows, cols):
     return out
 
 
+def digest_main(only: list[str]) -> int:
+    """--digest mode: aggregate-digest comparison (module docstring)."""
+    import __spark_entry__ as entrymod
+    from transitlog_hfp_sink_spark.queries.power import (
+        agg_digest_spark,
+        agg_digest_sql,
+    )
+    from transitlog_hfp_sink_spark.session import build_session
+
+    spark = build_session(app_name="oracle-digest", master="local[32]",
+                          shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name in only or list(oracles):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            # the digest law's schema classes, derived from the LIVE
+            # Spark schema: round-6 doubles take the decimal(38,6)
+            # canonical form; everything else plain-casts
+            schema = [(c, t) for c, t in sdf.dtypes]
+            srow = tuple(agg_digest_spark(sdf, schema).collect()[0])
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t_spark = time.time() - t0
+        try:
+            orow = tuple(
+                con.execute(agg_digest_sql(oracles[name], schema)).fetchone()
+            )
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if srow == orow:
+            print(
+                f"PASS {name} (digest: n={srow[0]:,} d1={srow[1]} "
+                f"d2={srow[2]}; spark {t_spark:.1f}s, total {dt:.1f}s)"
+            )
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: spark={srow} oracle={orow} ({dt:.1f}s)")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail (digest mode, sf_dir={SF_DIR})")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
 def main(only: list[str]) -> int:
     import __spark_entry__ as entrymod
     from transitlog_hfp_sink_spark.session import build_session
@@ -270,4 +335,7 @@ def main(only: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--digest":
+        raise SystemExit(digest_main(argv[1:]))
+    raise SystemExit(main(argv))

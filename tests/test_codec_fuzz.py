@@ -1,6 +1,9 @@
-"""Codec robustness fuzz (round 8): the five pure-Python media codecs
-(BMP, PNG, WAV, AVI, baseline JPEG) must obey the malformed-input
-contract on ADVERSARIAL bytes, not just the happy-path fixtures:
+"""Codec robustness fuzz (round 8; progressive seeds round 9): the five
+pure-Python media codecs (BMP, PNG, WAV, AVI, baseline + progressive
+JPEG — the SOF2 corpus includes a content-rich 8-scan stream and the two
+hand-built vectors covering EOB-run-spanning-blocks and 4:2:0
+padded-vs-actual rasters) must obey the malformed-input contract on
+ADVERSARIAL bytes, not just the happy-path fixtures:
 
 - every truncation prefix of a valid file raises ValueError (or, where a
   prefix legitimately decodes a shorter-but-consistent file, succeeds) —
@@ -74,8 +77,25 @@ def _guarded(dec, blob):
 
 
 def _valid_files() -> dict[str, tuple[bytes, object]]:
+    # round 9 (VERDICT r8 #6): three more SOF2 seeds so the fuzz reaches
+    # the progressive-only decoder states the tiny jpgp seed cannot —
+    # jpgp_grad: 24x16 gradient, 8-scan script with REAL AC content and
+    #   successive-approximation refinement scans (correction bits);
+    # jpgp_eob: the hand-built EOBRUN=2 stream (one EOB code spanning
+    #   blocks — a path our own encoder never emits);
+    # jpgp_420: the hand-built 4:2:0 stream whose AC scans walk the
+    #   actual block raster while DC scans walk the MCU-padded grid.
+    from test_jpeg import (
+        build_420_progressive_hand_vector,
+        build_eobrun_hand_vector,
+    )
+
     w, h = 4, 3
     rgb = bytes(range(w * h * 3))
+    gw, gh = 24, 16
+    grad = bytes(
+        (x * 11 + y * 7) % 256 for y in range(gh) for x in range(gw) for _ in range(3)
+    )
     stride = (2 * 3 + 3) & ~3
     return {
         "bmp": (encode_bmp(w, h, rgb), decode_bmp),
@@ -87,17 +107,25 @@ def _valid_files() -> dict[str, tuple[bytes, object]]:
         ),
         "jpg": (encode_jpeg(w, h, rgb, quality=90), decode_jpeg),
         "jpgp": (encode_jpeg_progressive(w, h, rgb, quality=90), decode_jpeg),
+        "jpgp_grad": (encode_jpeg_progressive(gw, gh, grad, quality=90), decode_jpeg),
+        "jpgp_eob": (build_eobrun_hand_vector(), decode_jpeg),
+        "jpgp_420": (build_420_progressive_hand_vector(), decode_jpeg),
     }
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg", "jpgp"])
+FUZZ_FORMATS = [
+    "bmp", "png", "wav", "avi", "jpg", "jpgp", "jpgp_grad", "jpgp_eob", "jpgp_420",
+]
+
+
+@pytest.mark.parametrize("fmt", FUZZ_FORMATS)
 def test_every_truncation_prefix_fails_with_named_error(fmt):
     data, dec = _valid_files()[fmt]
     for n in range(len(data)):
         _guarded(dec, data[:n])
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg", "jpgp"])
+@pytest.mark.parametrize("fmt", FUZZ_FORMATS)
 def test_seeded_byte_mutations_stay_in_contract(fmt):
     data, dec = _valid_files()[fmt]
     rng = random.Random(20240807)
@@ -108,7 +136,7 @@ def test_seeded_byte_mutations_stay_in_contract(fmt):
         _guarded(dec, bytes(mutated))
 
 
-@pytest.mark.parametrize("fmt", ["bmp", "png", "wav", "avi", "jpg", "jpgp"])
+@pytest.mark.parametrize("fmt", FUZZ_FORMATS)
 def test_random_blobs_stay_in_contract(fmt):
     _, dec = _valid_files()[fmt]
     rng = random.Random(991)

@@ -334,17 +334,11 @@ def test_progressive_partial_file_decodes_at_reduced_precision():
         assert worst <= 120 and mean <= 16, (keep, worst, mean)
 
 
-def test_progressive_eobrun_spanning_blocks_hand_vector():
-    """EOBRUN > 1 (one EOB code covering several blocks) — a path our own
-    encoder never emits (it pins EOBRUN=1 to stay inside the Annex K
-    alphabet), pinned by a HAND-BUILT stream with a custom AC table:
-    grayscale 8x16 (two blocks), DC-first scan coding two zero diffs,
-    then one AC-first scan whose single EOB(r=1) symbol + one 0 ext bit
-    declares EOBRUN=2 — both blocks' AC all zero. Expected output: a
-    flat 128 gray plane."""
+def build_eobrun_hand_vector() -> bytes:
+    """The EOBRUN>1 hand-built progressive stream (see
+    test_progressive_eobrun_spanning_blocks_hand_vector); also a fuzz
+    seed in test_codec_fuzz.py (round 9, VERDICT r8 #6)."""
     import struct
-
-    from transitlog_hfp_sink_spark.operators.jpegcodec import decode_jpeg
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
@@ -363,20 +357,28 @@ def test_progressive_eobrun_spanning_blocks_hand_vector():
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0x00])
     out += bytes([0b00111111])
     out += b"\xff\xd9"
-    w, h, rgb = decode_jpeg(bytes(out))
+    return bytes(out)
+
+
+def test_progressive_eobrun_spanning_blocks_hand_vector():
+    """EOBRUN > 1 (one EOB code covering several blocks) — a path our own
+    encoder never emits (it pins EOBRUN=1 to stay inside the Annex K
+    alphabet), pinned by a HAND-BUILT stream with a custom AC table:
+    grayscale 8x16 (two blocks), DC-first scan coding two zero diffs,
+    then one AC-first scan whose single EOB(r=1) symbol + one 0 ext bit
+    declares EOBRUN=2 — both blocks' AC all zero. Expected output: a
+    flat 128 gray plane."""
+    from transitlog_hfp_sink_spark.operators.jpegcodec import decode_jpeg
+
+    w, h, rgb = decode_jpeg(build_eobrun_hand_vector())
     assert (w, h) == (8, 16)
     assert rgb == bytes([128]) * (8 * 16 * 3)
 
 
-def test_hand_built_420_progressive_padded_vs_actual_block_rasters():
-    """Progressive 4:2:0 twin of the baseline 4:2:0 hand vector, with
-    w=24 so the luma's ACTUAL block raster (3x2) differs from its
-    MCU-PADDED grid (4x2): the interleaved DC scans must walk the padded
-    grid while the single-component AC scan walks only the 6 real
-    blocks — the index mapping T.81 A.2 prescribes. Flat gray (Y DC 16,
-    chroma 0, all-1 quant tables) decoded pixel-exactly to (130,130,130).
-    Scan script: DC first interleaved at Al=1, per-component AC first
-    (all EOBs), DC refinement bits over the padded grid."""
+def build_420_progressive_hand_vector() -> bytes:
+    """The 4:2:0 padded-vs-actual-raster hand-built progressive stream
+    (see test_hand_built_420_progressive_padded_vs_actual_block_rasters);
+    also a fuzz seed in test_codec_fuzz.py (round 9, VERDICT r8 #6)."""
     from transitlog_hfp_sink_spark.operators.jpegcodec import (
         _build_encode_table,
         _magnitude,
@@ -446,7 +448,18 @@ def test_hand_built_420_progressive_padded_vs_actual_block_rasters():
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"
+    return bytes(out)
 
-    gw, gh, rgb = decode_jpeg(bytes(out))
-    assert (gw, gh) == (w, h)
-    assert rgb == bytes([130, 130, 130]) * (w * h)
+
+def test_hand_built_420_progressive_padded_vs_actual_block_rasters():
+    """Progressive 4:2:0 twin of the baseline 4:2:0 hand vector, with
+    w=24 so the luma's ACTUAL block raster (3x2) differs from its
+    MCU-PADDED grid (4x2): the interleaved DC scans must walk the padded
+    grid while the single-component AC scan walks only the 6 real
+    blocks — the index mapping T.81 A.2 prescribes. Flat gray (Y DC 16,
+    chroma 0, all-1 quant tables) decoded pixel-exactly to (130,130,130).
+    Scan script: DC first interleaved at Al=1, per-component AC first
+    (all EOBs), DC refinement bits over the padded grid."""
+    gw, gh, rgb = decode_jpeg(build_420_progressive_hand_vector())
+    assert (gw, gh) == (24, 16)
+    assert rgb == bytes([130, 130, 130]) * (24 * 16)

@@ -145,6 +145,42 @@ def digest_sql(oracle: str, schema: list[tuple[str, str]], qname: str) -> str:
     )
 
 
+def agg_digest_spark(df: DataFrame, schema: list[tuple[str, str]]) -> DataFrame:
+    """ORDER-INDEPENDENT aggregate digest of a result frame (round 9,
+    VERDICT r8 #1): count(*) plus two BIGINT sums of 32-bit md5 slices
+    over the same canonical row strings digest_spark hashes. Built for
+    results too large to driver-collect (the sf1 pair-emitters: tens of
+    millions of rows) — both engines aggregate fully engine-side and the
+    comparison ships THREE numbers. Sum bound: each slice term is
+    < 2^32, so even 2^30 rows stay under 2^62 — no overflow at any
+    realistic result size. Two independent slices (md5 chars 1-8 and
+    9-16) so a value error cannot cancel against a row-order artifact in
+    a single checksum."""
+    cols = sorted(schema, key=lambda ct: ct[0])
+    h = F.md5(F.concat_ws("|", *[_canon_spark(c, t) for c, t in cols]))
+    term = lambda lo: F.conv(F.substring(h, lo, 8), 16, 10).cast("bigint")  # noqa: E731
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(term(1)), F.lit(0)).cast("bigint").alias("d1"),
+        F.coalesce(F.sum(term(9)), F.lit(0)).cast("bigint").alias("d2"),
+    )
+
+
+def agg_digest_sql(oracle: str, schema: list[tuple[str, str]]) -> str:
+    """DuckDB twin of agg_digest_spark over an oracle's SQL text."""
+    cols = sorted(schema, key=lambda ct: ct[0])
+    exprs = ", ".join(_canon_sql(c, t) for c, t in cols)
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows,\n"
+        "  COALESCE(sum(('0x' || substr(h, 1, 8))::BIGINT), 0)::BIGINT AS d1,\n"
+        "  COALESCE(sum(('0x' || substr(h, 9, 8))::BIGINT), 0)::BIGINT AS d2\n"
+        "FROM (\n"
+        f"  SELECT md5(concat_ws('|', {exprs})) AS h\n"
+        f"  FROM (\n{oracle.strip()}\n) AS agg_digest_inner\n"
+        ") AS agg_digest_hashed"
+    )
+
+
 def tpch_power_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 19 TPC-H shapes, digested and unioned (see module doc)."""
     parts = [
