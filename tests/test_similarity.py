@@ -871,6 +871,119 @@ def test_ivf_served_prune_auto_cost_decision(spark, sf_dir):
     assert a == f and a
 
 
+def _write_app_ivf_layout(spark, sf_dir, tmp_path, n_lists=64):
+    """Replicate the `app build-index --kind ivf` layout (partitionBy
+    list_id + centroids.json with the round-9 manifest fields)."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_lists=n_lists, max_iter=6)
+    out = str(tmp_path / "ivf_layout")
+    index = ivf_assign(emb, cents)
+    index.repartition("list_id").write.partitionBy("list_id").parquet(
+        f"{out}/ivf_assign"
+    )
+    import os
+
+    lists = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{out}/ivf_assign")
+        if d.startswith("list_id=")
+    )
+    with open(f"{out}/centroids.json", "w") as f:
+        json.dump(
+            {
+                "n_lists": n_lists, "vec_col": "embedding",
+                "centroids": cents, "lists": lists,
+                "id_col": "vec_id", "id_type": dict(index.dtypes)["vec_id"],
+            },
+            f,
+        )
+    return out, emb, cents
+
+
+def test_ivf_serve_layout_matches_full_index_and_lists_only_probed(
+    spark, sf_dir, tmp_path
+):
+    """Round 9: the path-based ivf_serve (manifest-pruned directory-direct
+    reads) must return exactly ivf_topk over the FULL stored index at the
+    same nprobe, and its scan must name only probed list_id=K paths."""
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import ivf_serve, ivf_topk
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    out, emb, cents = _write_app_ivf_layout(spark, sf_dir, tmp_path)
+    queries = emb.where(F.col("vec_id").isin([5, 9])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivf_serve(spark, out, queries, k=3, nprobe=2)
+    full = ivf_topk(
+        emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents,
+        index=spark.read.parquet(f"{out}/ivf_assign"), prune_lists=False,
+    )
+    s = sorted(tuple(r) for r in served.collect())
+    u = sorted(tuple(r) for r in full.collect())
+    assert s == u and s
+
+    from transitlog_hfp_sink_spark.operators.similarity import _nearest_lists_py
+
+    vecs = {
+        r["query_id"]: [float(x) for x in r["embedding"]] for r in queries.collect()
+    }
+    probed = sorted(
+        {li for v in vecs.values() for li in _nearest_lists_py(v, cents, 2)}
+    )
+    import re
+
+    plan = explain_str(served, "formatted")
+    named = {int(m) for m in re.findall(r"list_id=(\d+)", plan)}
+    assert named and named <= set(probed), (named, probed)
+
+
+def test_ivf_serve_pre_manifest_layout_and_null_queries(spark, sf_dir, tmp_path):
+    """Pre-round-9 centroids.json (no manifest) falls back to one root
+    listing and still matches; an all-NULL query batch serves an empty,
+    correctly-typed frame."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import ivf_serve
+
+    out, emb, cents = _write_app_ivf_layout(spark, sf_dir, tmp_path)
+    queries = emb.where(F.col("vec_id").isin([5, 9])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with_manifest = sorted(
+        tuple(r) for r in ivf_serve(spark, out, queries, k=3, nprobe=2).collect()
+    )
+    with open(f"{out}/centroids.json") as f:
+        meta = json.load(f)
+    legacy = {k: v for k, v in meta.items() if k in ("n_lists", "vec_col", "centroids")}
+    with open(f"{out}/centroids.json", "w") as f:
+        json.dump(legacy, f)
+    got = sorted(
+        tuple(r) for r in ivf_serve(spark, out, queries, k=3, nprobe=2).collect()
+    )
+    assert got == with_manifest and got
+
+    nulls = queries.select(
+        "query_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    empty = ivf_serve(spark, out, nulls, k=3, nprobe=2)
+    assert empty.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert empty.count() == 0
+
+
 def test_ivf_served_prune_auto_falls_back_on_big_batch(spark, sf_dir):
     """ADVICE r8: a query batch over max_query_rows previously executed
     fully distributed and the round-8 prune default made it raise. Auto

@@ -256,6 +256,9 @@ def main() -> None:
     if family == "counts10":
         run_counts10(spark)
         return
+    if family == "sessionize10":
+        run_sessionize10(spark)
+        return
     if family == "semdedup10":
         run_semdedup10(spark)
         return
@@ -693,7 +696,8 @@ def run_counts10(spark) -> None:
     docs = synth_varied_docs(spark, n, vocab=vocab).repartition(32).persist()
     docs.count()
     results = []
-    for mode in ("arrays", "counts"):
+    modes = tuple(sys.argv[2:]) or ("arrays", "counts")
+    for mode in modes:
         sw0 = _shuffle_write_bytes(spark)
         t0 = time.time()
         n_pairs = ngram_jaccard_pairs(
@@ -727,6 +731,102 @@ def run_counts10(spark) -> None:
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended counts10 probe to SCALING.md")
+
+
+def run_sessionize10(spark) -> None:
+    """Round 9 (VERDICT r8 #7): scale-probe streaming_sessionize_state —
+    the one top-5 bench query without its own 10x measurement. Runs the
+    bounded applyInPandasWithState sessionization at sf0.1 (driver
+    testdata) and sf1 (the 10x synthesized events), timing the full
+    bounded stream and measuring the checkpoint STATE STORE on disk
+    (per-user session state + RocksDB-format-agnostic HDFS store files),
+    which is the thing that grows with keys, not rows.
+    Regenerate: `python tools/stress_sf1.py sessionize10` (needs the sf1
+    synthesis; runs build_input first if missing)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.queries.timeseries import (
+        _await_bounded,
+        _events_stream_reader,
+        _pinned_stream_confs,
+    )
+    from transitlog_hfp_sink_spark.streaming.stateful import streaming_sessionize
+
+    build_input(spark)
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+
+    results = []
+    for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        name = f"sess10_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix=f"sess10-ckpt-{label}-")
+        t0 = time.time()
+        with _pinned_stream_confs(spark):
+            raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            rs, path = _events_stream_reader(spark, sf_dir, raw_schema)
+            stream = rs.parquet(path)
+            if dict(stream.dtypes).get("ts") == "bigint":
+                stream = stream.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            sessions = streaming_sessionize(
+                stream, gap_seconds=1800, flush_final=True
+            )
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_bounded(spark, q, name)
+        n_sessions = spark.table(name).count()
+        n_users = spark.table(name).select("user_id").distinct().count()
+        dt = time.time() - t0
+        state_mb = _du(os.path.join(ckpt, "state")) / 1e6
+        results.append((label, dt, n_sessions, n_users, state_mb))
+        print(f"{label}: t={dt:.1f}s sessions={n_sessions:,} "
+              f"users={n_users:,} state={state_mb:.1f}MB", flush=True)
+    lines = [
+        "",
+        "## streaming sessionize-state 10x probe (round 9)",
+        "",
+        "VERDICT r8 #7: streaming_sessionize_state (bounded availableNow",
+        "applyInPandasWithState gap-sessionization) probed sf0.1 -> sf1.",
+        "The sf1 events table holds 10x the rows in the SAME hour span at",
+        "the same user cardinality class, so per-batch state (live",
+        "sessions per user) is the bounded quantity; checkpoint state",
+        "bytes are what a 100 TB deployment provisions the state store",
+        "for. One timed run per point (stream setup included).",
+        "Regenerate: `python tools/stress_sf1.py sessionize10`.",
+        "",
+        "| scale | time (s) | sessions | users | state on disk (MB) | r |",
+        "|---|---|---|---|---|---|",
+    ]
+    base = None
+    for label, dt, n_sessions, n_users, state_mb in results:
+        r = f"{dt / base:.2f}" if base else "—"
+        if base is None:
+            base = dt
+        lines.append(
+            f"| {label} | {dt:.1f} | {n_sessions:,} | {n_users:,} "
+            f"| {state_mb:.1f} | {r} |"
+        )
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended sessionize10 probe to SCALING.md")
 
 
 def run_lsh10(spark) -> None:

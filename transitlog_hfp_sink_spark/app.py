@@ -462,9 +462,27 @@ def _build_index(argv: list[str]) -> int:
             index.repartition("list_id").write.mode("overwrite").partitionBy(
                 "list_id"
             ).parquet(f"{args.output}/ivf_assign")
+            # round 9: record the LIST MANIFEST (which list_id=K/ dirs
+            # exist — one listing at build time) plus the id column/type,
+            # so ivf_serve opens only probed directories without any
+            # per-query discovery (the same amortization bm25_serve's
+            # meta got; empty lists simply have no directory)
+            jvm = spark.sparkContext._jvm
+            root = jvm.org.apache.hadoop.fs.Path(f"{args.output}/ivf_assign")
+            fs = root.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            lists = sorted(
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.listStatus(root)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("list_id=")
+            )
+            id_type = dict(index.dtypes)[id_col]
             with open(os.path.join(args.output, "centroids.json"), "w") as f:
                 json.dump({"n_lists": n_lists, "vec_col": args.vec_col,
-                           "centroids": cents}, f)
+                           "centroids": cents, "lists": lists,
+                           "id_col": id_col, "id_type": id_type}, f)
             report = {
                 "vectors": spark.read.parquet(f"{args.output}/ivf_assign").count(),
                 "n_lists": n_lists,

@@ -200,60 +200,66 @@ def _verify_jaccard_pairs(
     )
 
 
-def _verify_jaccard_counts(
-    cands: DataFrame,
-    shingles: DataFrame,
-    threshold: float,
-    shingle_col: str = "shingles",
+def _jaccard_pairs_counts(
+    base: DataFrame, block_cols: list[str], threshold: float, t_eff: float
 ) -> DataFrame:
-    """Co-occurrence-count verify (round 9, VERDICT r8 #3): exact Jaccard
-    for candidate pairs WITHOUT ever shuffling a shingle array.
+    """Co-occurrence-count path (round 9, VERDICT r8 #3): exact Jaccard
+    WITHOUT ever shuffling a shingle array — and without a separate
+    candidate stage at all.
 
     The array verify (_verify_jaccard_pairs) drags two full shingle sets
-    through the pair-keyed joins — fine when pairs are few, but in the
-    sparse-output regime (huge candidate sets, tiny true-pair yield) the
-    prefix10 probe measured a 65 GB single-box shuffle that was almost
-    entirely array payload. Here the intersection size is counted from
-    the token join itself: explode each doc's distinct shingles once,
-    join candidates to the two token legs, and count matching tokens per
-    pair — every shuffled row is (id_a, id_b, token), no arrays anywhere.
-    Jaccard then derives exactly via |A∪B| = |A| + |B| - |A∩B|:
+    through the pair-keyed joins — in the sparse-output regime (huge
+    candidate sets, tiny true-pair yield) the prefix10 probe measured a
+    65 GB single-box shuffle that was almost entirely array payload.
+    Here the exploded token table self-joins on (token, *blocks): the
+    only wide shuffle ships the token table itself (~16-byte rows), the
+    join output feeds a hash-agg whose MAP-SIDE partial combine collapses
+    co-occurring rows to one row per pair before the pair shuffle, and
+    Jaccard derives exactly from the intersection count via
+    |A∪B| = |A| + |B| - |A∩B|:
 
         jaccard = inter / (sz_a + sz_b - inter)
 
     — the same int-ratio double the array verify divides (set sizes are
-    identical), so round-to-6 values are bit-identical and the verified
-    pair set EQUALS the array verify's (pinned by the prune/verify
-    equivalence property test). Requires threshold > 0: pairs with zero
-    shared tokens drop out of the inner token join, which is only
-    correct because no such pair can reach a positive threshold.
-
-    Token legs and size legs are hinted SHUFFLE-HASH for the same
-    reason as _verify_jaccard_pairs: the pair-keyed side outgrows any
-    sort buffer first, and the build maps are |tokens|- or |docs|-row.
+    identical), so round-to-6 values are bit-identical and the emitted
+    pair set EQUALS the array path's (pinned by the prune/verify
+    equivalence property test). This subsumes candidate generation:
+    every pair with jaccard >= threshold > 0 shares >= 1 token, so it
+    appears in the self-join; pairs with zero overlap (which only
+    qualify at t=0) never do — hence the threshold > 0 entry guard. The
+    exactness-preserving LENGTH predicate is always fused into the join
+    (valid whenever t > 0). Scale boundary, stated: per-token join
+    fan-out is df(token)^2 — hot tokens are the dense-corpus boundary,
+    same as the block join's; AQE skew-join splits the survivors, and
+    near-dup-dense corpora belong to minhash regardless.
     """
-    sized = shingles.select(
-        "id", F.col(shingle_col).alias("__sh"), F.size(shingle_col).alias("__sz")
-    )
-    toks = sized.select("id", F.explode("__sh").alias("tok"))
-    ta = toks.select(F.col("id").alias("id_a"), "tok").hint("shuffle_hash")
-    tb = toks.select(F.col("id").alias("id_b"), "tok").hint("shuffle_hash")
-    inter = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
+    sized = base.select(
+        "id", *block_cols, F.col("sh"), F.size("sh").alias("__sz")
+    ).localCheckpoint(eager=False)
+    toks = sized.select("id", *block_cols, "__sz", F.explode("sh").alias("tok"))
+    sa, sb = F.col("a.__sz").cast("double"), F.col("b.__sz").cast("double")
+    on = [
+        F.col("a.tok") == F.col("b.tok"),
+        F.col("a.id") < F.col("b.id"),
+        F.least(sa, sb) >= F.lit(t_eff) * F.greatest(sa, sb),
+        *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols],
+    ]
+    co = (
+        toks.alias("a")
+        .join(toks.alias("b"), on=on)
+        # __sza/__szb are functionally dependent on the pair — carrying
+        # them as grouping keys costs 16 bytes/row in the (partially
+        # combined) pair shuffle and saves two post-agg size joins
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__sz").alias("__sza"),
+            F.col("b.__sz").alias("__szb"),
+        )
         .agg(F.count("*").alias("__inter"))
     )
-    sa = sized.select(F.col("id").alias("id_a"), F.col("__sz").alias("__sza")).hint(
-        "shuffle_hash"
-    )
-    sb = sized.select(F.col("id").alias("id_b"), F.col("__sz").alias("__szb")).hint(
-        "shuffle_hash"
-    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        co.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")
@@ -689,18 +695,22 @@ def ngram_jaccard_pairs(
     well on varied-length corpora (SCALING.md round-8 table measures
     both).
 
-    ``verify`` (round 9, VERDICT r8 #3) picks the exact-verify physical
-    plan, output-identical by construction:
+    ``verify`` (round 9, VERDICT r8 #3) picks the exact physical plan,
+    output-identical by construction:
 
-    - ``"arrays"`` (default): join the candidate pairs back to the
-      shingle ARRAYS and intersect/union per pair — cheapest when the
-      candidate set is modest (dense-output regimes).
-    - ``"counts"``: count shared tokens from the exploded token join
-      itself and derive jaccard as inter/(sza+szb-inter) — no shingle
-      array ever shuffles, so the sparse-output regime (the prefix10
-      probe's 65 GB array shuffle) ships (id_a, id_b, token) rows
-      instead. Requires ``threshold > 0`` (zero-overlap pairs drop out
-      of the inner token join)."""
+    - ``"arrays"`` (default): candidate pairs join back to the shingle
+      ARRAYS and intersect/union per pair — cheapest when the candidate
+      set is modest (dense-output regimes).
+    - ``"counts"``: the exploded token table SELF-JOINS on (token,
+      *blocks) and a map-side-combined hash-agg counts shared tokens per
+      pair; jaccard derives exactly as inter/(sza+szb-inter). No shingle
+      array ever shuffles (the prefix10 probe's 65 GB array shuffle
+      becomes ~16-byte token rows), and candidate generation is
+      SUBSUMED — every qualifying pair shares a token — so ``prune`` is
+      ignored (the length predicate is always fused into the join).
+      Requires ``threshold > 0`` (zero-overlap pairs never enter the
+      self-join). Boundary: per-token fan-out is df(token)^2 — hot
+      tokens are the dense-corpus wall, same as the block join's."""
     if prune not in (None, "length", "prefix"):
         raise ValueError(f"prune={prune!r}: expected None, 'length' or 'prefix'")
     if verify not in ("arrays", "counts"):
@@ -725,13 +735,14 @@ def ngram_jaccard_pairs(
         df, text_col, id_col, shingle_n, extra_cols=tuple(block_cols or [])
     ).withColumnRenamed("shingles", "sh")
     t_eff = threshold - JACCARD_PRUNE_SLACK
-    if prune == "prefix":
-        return _jaccard_pairs_prefix(base, block_cols or [], threshold, t_eff, verify)
     if verify == "counts":
-        # candidates carry ids only; the token-count verify never sees an
-        # array. localCheckpoint for the same lifecycle reasons as the
-        # prefix path (base is read by the block join AND both token legs)
-        base = base.localCheckpoint(eager=False)
+        # the token self-join SUBSUMES candidate generation (every
+        # qualifying pair shares a token), so prune modes are a no-op
+        # here — the length predicate is always fused, and a prefix stage
+        # would only add work ahead of the same self-join
+        return _jaccard_pairs_counts(base, block_cols or [], threshold, t_eff)
+    if prune == "prefix":
+        return _jaccard_pairs_prefix(base, block_cols or [], threshold, t_eff)
     on = [F.col("a.id") < F.col("b.id")] + [
         F.col(f"a.{c}") == F.col(f"b.{c}") for c in (block_cols or [])
     ]
@@ -739,13 +750,6 @@ def ngram_jaccard_pairs(
         base = base.withColumn("__sz", F.size("sh"))
         sa, sb = F.col("a.__sz").cast("double"), F.col("b.__sz").cast("double")
         on.append(F.least(sa, sb) >= F.lit(t_eff) * F.greatest(sa, sb))
-    if verify == "counts":
-        cands = (
-            base.alias("a")
-            .join(base.alias("b"), on=on)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
-        return _verify_jaccard_counts(cands, base, threshold, shingle_col="sh")
     pairs = (
         base.alias("a")
         .join(base.alias("b"), on=on)
@@ -760,11 +764,7 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_pairs_prefix(
-    base: DataFrame,
-    block_cols: list[str],
-    threshold: float,
-    t_eff: float,
-    verify: str = "arrays",
+    base: DataFrame, block_cols: list[str], threshold: float, t_eff: float
 ) -> DataFrame:
     """Prefix-filtered candidate generation + exact verify (see
     ngram_jaccard_pairs). ``base`` = (id, *block_cols, sh).
@@ -826,6 +826,4 @@ def _jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    if verify == "counts":
-        return _verify_jaccard_counts(cands, sh, threshold, shingle_col="sh")
     return _verify_jaccard_pairs(cands, sh, threshold, shingle_col="sh")

@@ -526,6 +526,85 @@ def ivf_topk(
     )
 
 
+def ivf_serve(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Serve top-k from an ``app build-index --kind ivf`` LAYOUT with
+    directory-direct probed-list reads (round 9 — the IVF twin of
+    bm25_serve's manifest treatment): load the stored centroids, compute
+    the probed-list union on the driver (`_nearest_lists_py`, the
+    tie-stable twin of the in-plan expression), intersect with the
+    build-time LIST MANIFEST, and open ONLY those ``list_id=K/``
+    directories — partition DISCOVERY never lists the unprobed
+    directories, so per-query cost tracks probed lists' files even at
+    thousands of lists. Result-identical to ivf_topk over the full
+    stored index at the same nprobe (every per-query probe list is a
+    subset of the union; the per-query re-probe inside the plan re-picks
+    each query's own lists).
+
+    The query batch is collected (bounded by max_query_rows — serving is
+    driver-pruned by definition here; use ivf_topk(prune_lists=False)
+    for corpus-scale query sets) and rebuilt as a literal frame so a
+    nondeterministic queries plan cannot probe a list the path set
+    excluded. NULL query embeddings are dropped (the ADC-family
+    contract). Layouts written before round 9 (no manifest in
+    centroids.json) fall back to one filesystem listing of the layout
+    root — still never a full-index scan."""
+    import json
+
+    with open(f"{path}/centroids.json") as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    qrows = _collect_query_side(
+        queries, query_id_col, _as_double(vec_col), max_query_rows
+    )
+    qrows = [r for r in qrows if r["__qv"] is not None]
+    probed = sorted(
+        {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
+    )
+    if "lists" in meta:
+        manifest = set(int(x) for x in meta["lists"])
+    else:  # pre-round-9 layout: one root listing (not a data scan)
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(f"{path}/ivf_assign")
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        manifest = {
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("list_id=")
+        }
+    hit = [li for li in probed if li in manifest]
+    qid_type = dict(
+        queries.select(F.col(query_id_col).alias("query_id")).dtypes
+    )["query_id"]
+    if not qrows or not hit:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, neighbor_id {meta.get('id_type', 'bigint')}, "
+            "cos_sim double, rank int",
+        )
+    index = (
+        spark.read.option("basePath", f"{path}/ivf_assign")
+        .parquet(*[f"{path}/ivf_assign/list_id={li}" for li in hit])
+    )
+    rebuilt = spark.createDataFrame(
+        [(r["query_id"], list(r["__qv"])) for r in qrows],
+        schema=f"`{query_id_col}` {qid_type}, `{vec_col}` array<double>",
+    )
+    return ivf_topk(
+        index, rebuilt, k=k, n_lists=len(cents), nprobe=nprobe,
+        centroids=cents, id_col=meta.get("id_col", "vec_id"), vec_col=vec_col,
+        query_id_col=query_id_col, index=index,
+        prune_lists=False,  # the path set already restricted the files
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (int8) — 4x-compressed embedding storage
 # ---------------------------------------------------------------------------
