@@ -136,8 +136,14 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller-owned unpersist needed for a registry query whose consuming
     action happens outside this function (VERDICT r6 #1)."""
     docs = read_table(spark, sf_dir, "documents", widen=True)
+    # verify="counts" (round 9): output-identical to the array verify —
+    # same oracle — via the token self-join that never shuffles a
+    # shingle array (measured 20x faster / 52x less shuffle at the
+    # prefix10 300k point, SCALING.md); the sf1 registry run is what
+    # made the array path's quadratic payload visible
     pairs = dd.ngram_jaccard_pairs(
-        docs, "text", "doc_id", block_cols=["source"], shingle_n=1, threshold=0.5
+        docs, "text", "doc_id", block_cols=["source"], shingle_n=1,
+        threshold=0.5, verify="counts",
     ).localCheckpoint(eager=True)
     pair_leg = pairs.select(
         F.lit("pair").alias("part"), "id_a", "id_b", F.col("jaccard").alias("score")
