@@ -182,6 +182,12 @@ def digest_main(only: list[str]) -> int:
     spark = build_session(app_name="oracle-digest", master="local[32]",
                           shuffle_partitions=32)
     con = duckdb.connect()
+    # digest mode exists for results too big to collect — cap DuckDB's
+    # memory and give it a spill directory so big window sorts (e.g. the
+    # sf1 winnow leg: per-character rows) spill instead of OOM-killing
+    # the process (first sf1 run died at 71 GB RSS)
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '40GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb-oracle-spill'")
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"

@@ -386,13 +386,18 @@ sham AS (
          if substr(sig_a, CAST(i AS INTEGER), 1) <> substr(sig_b, CAST(i AS INTEGER), 1)]) AS hamming
   FROM spair
 ),
-wpos AS (
-  SELECT id, norm, unnest(range(1, greatest(length(norm) - {k - 2}, 1))) AS p
-  FROM w
-),
 wh AS (
-  SELECT id, p, {_SQL_H48.format(s=f"substr(norm, CAST(p AS INTEGER), {k})")} AS hv
-  FROM wpos
+  -- per-doc struct-list comprehension, NOT an unnest-then-substr: the
+  -- unnest-first form materializes the full norm string once PER
+  -- CHARACTER POSITION (the sf1 digest sweep OOM-killed at 71 GB /
+  -- out-of-disk on spill); here each row carries only (id, p, hv) and
+  -- the window sort below spills in the tens of bytes per row
+  SELECT id, u.p AS p, u.hv AS hv FROM (
+    SELECT id,
+      unnest([{{'p': i, 'hv': {_SQL_H48.format(s=f"substr(norm, CAST(i AS INTEGER), {k})")}}}
+              for i in range(1, greatest(length(norm) - {k - 2}, 1))]) AS u
+    FROM w
+  )
 ),
 wfp AS (
   SELECT DISTINCT id,
