@@ -984,6 +984,58 @@ def test_ivf_serve_pre_manifest_layout_and_null_queries(spark, sf_dir, tmp_path)
     assert empty.count() == 0
 
 
+def test_ivfpq_serve_layout_matches_full_index(spark, sf_dir, tmp_path):
+    """Round 9: write_ivfpq_index + ivfpq_serve (the composed index as a
+    persisted serving artifact) must return exactly ivfpq_topk over the
+    FULL stored codes at the same nprobe, scan only probed list_id=K
+    paths, and serve an all-NULL batch as an empty typed frame."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        _nearest_lists_py,
+        ivfpq_serve,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "ivfpq_layout")
+    cents, books = write_ivfpq_index(emb, out, n_lists=16, m=8, k=16)
+
+    queries = emb.where(F.col("vec_id").isin([3, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivfpq_serve(spark, out, queries, k=3, nprobe=2)
+    full = ivfpq_topk(
+        spark.read.parquet(f"{out}/ivfpq_codes"), queries, cents, books,
+        k=3, nprobe=2,
+    )
+    s = sorted(tuple(r) for r in served.collect())
+    u = sorted(tuple(r) for r in full.collect())
+    assert s == u and s
+
+    vecs = {
+        r["query_id"]: [float(x) for x in r["embedding"]] for r in queries.collect()
+    }
+    probed = set()
+    for v in vecs.values():
+        probed.update(_nearest_lists_py(v, cents, 2))
+    plan = explain_str(served, "formatted")
+    named = {int(m) for m in re.findall(r"list_id=(\d+)", plan)}
+    assert named and named <= probed, (named, probed)
+
+    nulls = queries.select(
+        "query_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    empty = ivfpq_serve(spark, out, nulls, k=3, nprobe=2)
+    assert empty.columns == ["query_id", "neighbor_id", "approx_dist2", "rank"]
+    assert empty.count() == 0
+
+
 def test_ivf_served_prune_auto_falls_back_on_big_batch(spark, sf_dir):
     """ADVICE r8: a query batch over max_query_rows previously executed
     fully distributed and the round-8 prune default made it raise. Auto

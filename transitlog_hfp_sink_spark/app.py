@@ -322,7 +322,7 @@ def _build_index(argv: list[str]) -> int:
     import json
 
     p = argparse.ArgumentParser(prog="app build-index")
-    p.add_argument("--kind", required=True, choices=["postings", "ivf"])
+    p.add_argument("--kind", required=True, choices=["postings", "ivf", "ivfpq"])
     p.add_argument("--input", required=True, help="corpus parquet path")
     p.add_argument("--output", required=True, help="index output dir")
     p.add_argument("--id-col", default=None, help="default: doc_id / vec_id")
@@ -395,6 +395,90 @@ def _build_index(argv: list[str]) -> int:
             report = {
                 "postings_rows": spark.read.parquet(f"{args.output}/postings").count(),
                 "docs": spark.read.parquet(f"{args.output}/doclens").count(),
+            }
+        elif args.kind == "ivfpq":
+            # the composed 100 TB index as a persisted serving artifact
+            # (round 9 — completes the build-index family): residual PQ
+            # codes partitioned by list_id + quantizers/manifest meta,
+            # served by similarity.ivfpq_serve. --update-from reuses the
+            # stored quantizers (retraining would orphan every
+            # historical code) and upserts only the new batch's codes —
+            # last-write-wins, same contract as the ivf/postings kinds.
+            from pyspark.sql import functions as F
+
+            from transitlog_hfp_sink_spark.operators.similarity import (
+                ivfpq_encode,
+                write_ivfpq_index,
+            )
+
+            id_col = args.id_col or "vec_id"
+            if args.update_from:
+                with open(
+                    os.path.join(args.update_from, "ivfpq_meta.json")
+                ) as f:
+                    meta = json.load(f)
+                if meta["vec_col"] != args.vec_col:
+                    raise ValueError(
+                        f"index was built on vec_col={meta['vec_col']!r}, "
+                        f"got --vec-col {args.vec_col!r}"
+                    )
+                cents, books = meta["centroids"], meta["codebooks"]
+                dim = len(cents[0])
+                bad = corpus.where(
+                    F.col(args.vec_col).isNull()
+                    | (F.size(args.vec_col) != dim)
+                ).select(F.col(id_col), F.size(args.vec_col).alias("dim")).head(1)
+                if bad:
+                    raise ValueError(
+                        f"vector dim mismatch vs trained quantizers: row "
+                        f"(id={bad[0][id_col]!r}, dim={bad[0]['dim']}) != "
+                        f"index dim {dim}"
+                    )
+                fresh = ivfpq_encode(
+                    corpus, cents, books, id_col=id_col, vec_col=args.vec_col
+                )
+                old = spark.read.parquet(f"{args.update_from}/ivfpq_codes")
+                merged = old.join(
+                    F.broadcast(fresh.select(id_col).distinct()),
+                    on=id_col, how="left_anti",
+                ).unionByName(fresh.select(*old.columns))
+                # write the merged codes in the serving layout and
+                # refresh the manifest; quantizers carry over unchanged
+                (
+                    merged.repartition("list_id")
+                    .write.mode("overwrite")
+                    .partitionBy("list_id")
+                    .parquet(f"{args.output}/ivfpq_codes")
+                )
+                jvm = spark.sparkContext._jvm
+                root = jvm.org.apache.hadoop.fs.Path(
+                    f"{args.output}/ivfpq_codes"
+                )
+                fs = root.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
+                )
+                lists = sorted(
+                    int(st.getPath().getName().split("=", 1)[1])
+                    for st in fs.listStatus(root)
+                    if st.isDirectory()
+                    and st.getPath().getName().startswith("list_id=")
+                )
+                with open(
+                    os.path.join(args.output, "ivfpq_meta.json"), "w"
+                ) as f:
+                    json.dump({**meta, "lists": lists}, f)
+                n_lists = int(meta["n_lists"])
+            else:
+                n_lists = args.n_lists if args.n_lists is not None else 16
+                write_ivfpq_index(
+                    corpus, args.output, n_lists=n_lists,
+                    id_col=id_col, vec_col=args.vec_col,
+                )
+            report = {
+                "vectors": spark.read.parquet(
+                    f"{args.output}/ivfpq_codes"
+                ).count(),
+                "n_lists": n_lists,
             }
         else:
             from transitlog_hfp_sink_spark.operators.similarity import (

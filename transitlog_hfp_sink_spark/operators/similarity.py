@@ -21,6 +21,7 @@ sf0.1 the expression path is faster for dim=64 (no Arrow transfer).
 from __future__ import annotations
 
 import math
+import os
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1417,6 +1418,124 @@ def ivfpq_encode(
         ]
     )
     return staged2.select(F.col(id_col), F.col("list_id").cast("int").alias("list_id"), codes.alias("codes"))
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 31,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Persist the composed IVF-PQ SERVING layout (round 9 — completes
+    the persisted-index family alongside write_postings_index and the
+    app's IVF layout): train coarse centroids + residual codebooks
+    (unless given — incremental rebuilds REUSE the stored quantizers,
+    since retraining would orphan every historical code), encode the
+    corpus map-only, write the (id, list_id, codes) table partitioned
+    by list_id, and record meta (quantizers + the LIST MANIFEST from
+    one build-time filesystem listing + the id column/type) so
+    ivfpq_serve opens only probed directories with zero per-query
+    discovery. Returns (centroids, codebooks)."""
+    import json
+
+    if (centroids is None) != (codebooks is None):
+        raise ValueError("centroids and codebooks must be given together")
+    if centroids is None:
+        centroids, codebooks = ivfpq_train(
+            corpus, n_lists=n_lists, m=m, k=k, vec_col=vec_col, seed=seed
+        )
+    index = ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col)
+    (
+        index.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/ivfpq_codes")
+    )
+    spark = corpus.sparkSession
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/ivfpq_codes")
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    lists = sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("list_id=")
+    )
+    with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_lists": len(centroids), "m": m, "k": k,
+                "vec_col": vec_col, "id_col": id_col,
+                "id_type": dict(index.dtypes)[id_col],
+                "centroids": centroids, "codebooks": codebooks,
+                "lists": lists,
+            },
+            f,
+        )
+    return centroids, codebooks
+
+
+def ivfpq_serve(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str | None = None,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Serve ADC top-k from a write_ivfpq_index layout with
+    directory-direct probed-list reads (the ivf_serve/bm25_serve
+    manifest treatment): probed-list union computed driver-side from
+    the stored centroids (queries are collected anyway — the ADC
+    tables are driver-built by contract), intersected with the
+    build-time manifest, and ONLY those ``list_id=K/`` directories are
+    opened. Result-identical to ivfpq_topk over the full stored index
+    at the same nprobe. NULL query embeddings are dropped; an empty
+    probed-bucket intersection serves an empty typed frame without
+    touching storage."""
+    import json
+
+    with open(f"{path}/ivfpq_meta.json") as f:
+        meta = json.load(f)
+    cents, books = meta["centroids"], meta["codebooks"]
+    vcol = vec_col or meta["vec_col"]
+    qrows = _collect_query_side(
+        queries, query_id_col, _as_double(vcol), max_query_rows
+    )
+    qrows = [r for r in qrows if r["__qv"] is not None]
+    probed = sorted(
+        {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
+    )
+    manifest = set(int(x) for x in meta["lists"])
+    hit = [li for li in probed if li in manifest]
+    qid_type = dict(
+        queries.select(F.col(query_id_col).alias("query_id")).dtypes
+    )["query_id"]
+    if not qrows or not hit:
+        return spark.createDataFrame(
+            [], f"query_id {qid_type}, neighbor_id {meta.get('id_type', 'bigint')}, "
+            "approx_dist2 double, rank int",
+        )
+    index = (
+        spark.read.option("basePath", f"{path}/ivfpq_codes")
+        .parquet(*[f"{path}/ivfpq_codes/list_id={li}" for li in hit])
+    )
+    rebuilt = spark.createDataFrame(
+        [(r["query_id"], list(r["__qv"])) for r in qrows],
+        schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
+    )
+    return ivfpq_topk(
+        index, rebuilt, cents, books, k=k, nprobe=nprobe,
+        id_col=meta.get("id_col", "vec_id"), vec_col=vcol,
+        query_id_col=query_id_col, max_query_rows=max_query_rows,
+    )
 
 
 def ivfpq_topk(
