@@ -531,3 +531,21 @@ def test_app_build_index_n_buckets_flag(spark, tmp_path):
     assert 1 < len(dirs) <= 8, dirs
     served = bm25_serve(spark, out, [(1, "the data")], topk=3).collect()
     assert isinstance(served, list)  # serve path reads the 8-bucket meta
+
+
+def test_meta_id_col_resolution():
+    """ADVICE r9: an incremental build-index update keys the upsert on
+    the META-recorded id column; an explicit --id-col that conflicts
+    with it fails loud up front (not as an AnalysisException in the
+    anti-join), and pre-round-9 metas (no id_col field) fall back to
+    the flag/default."""
+    import pytest
+
+    from transitlog_hfp_sink_spark.app import _meta_id_col
+
+    assert _meta_id_col({"id_col": "doc_id"}, None, "vec_id") == "doc_id"
+    assert _meta_id_col({"id_col": "doc_id"}, "doc_id", "vec_id") == "doc_id"
+    assert _meta_id_col({}, None, "vec_id") == "vec_id"  # pre-r9 meta
+    assert _meta_id_col({}, "custom", "vec_id") == "custom"
+    with pytest.raises(ValueError, match="id_col"):
+        _meta_id_col({"id_col": "doc_id"}, "other_id", "vec_id")

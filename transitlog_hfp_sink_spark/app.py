@@ -312,6 +312,22 @@ def _export(argv: list[str]) -> int:
         spark.stop()
 
 
+def _meta_id_col(meta: dict, flag_value: str | None, default: str) -> str:
+    """The id column an incremental index update should use (ADVICE r9):
+    the meta-recorded one wins; an explicit --id-col that CONFLICTS with
+    it fails loud here (the alternative was an opaque AnalysisException
+    deep in the upsert anti-join). Pre-round-9 metas lack the field and
+    fall back to the flag/default."""
+    recorded = meta.get("id_col")
+    if flag_value and recorded and flag_value != recorded:
+        raise ValueError(
+            f"index was built with id_col={recorded!r}, got --id-col "
+            f"{flag_value!r}: an incremental update must key on the "
+            "stored index's id column"
+        )
+    return flag_value or recorded or default
+
+
 def _build_index(argv: list[str]) -> int:
     """Build (or incrementally update) a persisted serving index — the
     index-once/query-many ops step the serving-shape benchmarks assume:
@@ -406,22 +422,30 @@ def _build_index(argv: list[str]) -> int:
             # last-write-wins, same contract as the ivf/postings kinds.
             from pyspark.sql import functions as F
 
+            from transitlog_hfp_sink_spark.operators.serving import (
+                fs_read_json,
+                fs_write_json,
+                list_partition_keys,
+            )
             from transitlog_hfp_sink_spark.operators.similarity import (
                 ivfpq_encode,
                 write_ivfpq_index,
             )
 
-            id_col = args.id_col or "vec_id"
             if args.update_from:
-                with open(
-                    os.path.join(args.update_from, "ivfpq_meta.json")
-                ) as f:
-                    meta = json.load(f)
+                meta = fs_read_json(
+                    spark, f"{args.update_from}/ivfpq_meta.json"
+                )
                 if meta["vec_col"] != args.vec_col:
                     raise ValueError(
                         f"index was built on vec_col={meta['vec_col']!r}, "
                         f"got --vec-col {args.vec_col!r}"
                     )
+                # the meta records the id column too (ADVICE r9): an
+                # update inherits it, and a conflicting explicit --id-col
+                # fails loud here instead of as an opaque
+                # AnalysisException in the anti-join below
+                id_col = _meta_id_col(meta, args.id_col, "vec_id")
                 cents, books = meta["centroids"], meta["codebooks"]
                 dim = len(cents[0])
                 bad = corpus.where(
@@ -450,25 +474,16 @@ def _build_index(argv: list[str]) -> int:
                     .partitionBy("list_id")
                     .parquet(f"{args.output}/ivfpq_codes")
                 )
-                jvm = spark.sparkContext._jvm
-                root = jvm.org.apache.hadoop.fs.Path(
-                    f"{args.output}/ivfpq_codes"
+                lists = list_partition_keys(
+                    spark, f"{args.output}/ivfpq_codes", "list_id"
                 )
-                fs = root.getFileSystem(
-                    spark.sparkContext._jsc.hadoopConfiguration()
+                fs_write_json(
+                    spark, f"{args.output}/ivfpq_meta.json",
+                    {**meta, "lists": lists},
                 )
-                lists = sorted(
-                    int(st.getPath().getName().split("=", 1)[1])
-                    for st in fs.listStatus(root)
-                    if st.isDirectory()
-                    and st.getPath().getName().startswith("list_id=")
-                )
-                with open(
-                    os.path.join(args.output, "ivfpq_meta.json"), "w"
-                ) as f:
-                    json.dump({**meta, "lists": lists}, f)
                 n_lists = int(meta["n_lists"])
             else:
+                id_col = args.id_col or "vec_id"
                 n_lists = args.n_lists if args.n_lists is not None else 16
                 write_ivfpq_index(
                     corpus, args.output, n_lists=n_lists,
@@ -481,12 +496,16 @@ def _build_index(argv: list[str]) -> int:
                 "n_lists": n_lists,
             }
         else:
+            from transitlog_hfp_sink_spark.operators.serving import (
+                fs_read_json,
+                fs_write_json,
+                list_partition_keys,
+            )
             from transitlog_hfp_sink_spark.operators.similarity import (
                 ivf_assign,
                 ivf_centroids,
             )
 
-            id_col = args.id_col or "vec_id"
             if args.update_from:
                 # incremental append: REUSE the old index's trained
                 # centroids (retraining from the new batch alone would
@@ -495,13 +514,18 @@ def _build_index(argv: list[str]) -> int:
                 # upsert it into the assignment table — a re-sent id's
                 # NEW vector wins via anti-join, same last-write-wins
                 # contract as update_postings
-                with open(os.path.join(args.update_from, "centroids.json")) as f:
-                    meta = json.load(f)
+                meta = fs_read_json(
+                    spark, f"{args.update_from}/centroids.json"
+                )
                 if meta["vec_col"] != args.vec_col:
                     raise ValueError(
                         f"index was built on vec_col={meta['vec_col']!r}, "
                         f"got --vec-col {args.vec_col!r}"
                     )
+                # inherit the recorded id column; a conflicting explicit
+                # --id-col fails loud (ADVICE r9; pre-r9 metas lack the
+                # field and fall back to the flag/default)
+                id_col = _meta_id_col(meta, args.id_col, "vec_id")
                 cents = meta["centroids"]
                 n_lists = meta["n_lists"]
                 # dimension guard, BEFORE assigning: a batch whose vectors
@@ -533,6 +557,7 @@ def _build_index(argv: list[str]) -> int:
                     on=id_col, how="left_anti",
                 ).unionByName(fresh)
             else:
+                id_col = args.id_col or "vec_id"
                 n_lists = args.n_lists if args.n_lists is not None else 16
                 cents = ivf_centroids(
                     corpus, n_lists=n_lists, vec_col=args.vec_col
@@ -551,22 +576,16 @@ def _build_index(argv: list[str]) -> int:
             # so ivf_serve opens only probed directories without any
             # per-query discovery (the same amortization bm25_serve's
             # meta got; empty lists simply have no directory)
-            jvm = spark.sparkContext._jvm
-            root = jvm.org.apache.hadoop.fs.Path(f"{args.output}/ivf_assign")
-            fs = root.getFileSystem(
-                spark.sparkContext._jsc.hadoopConfiguration()
-            )
-            lists = sorted(
-                int(st.getPath().getName().split("=", 1)[1])
-                for st in fs.listStatus(root)
-                if st.isDirectory()
-                and st.getPath().getName().startswith("list_id=")
+            lists = list_partition_keys(
+                spark, f"{args.output}/ivf_assign", "list_id"
             )
             id_type = dict(index.dtypes)[id_col]
-            with open(os.path.join(args.output, "centroids.json"), "w") as f:
-                json.dump({"n_lists": n_lists, "vec_col": args.vec_col,
-                           "centroids": cents, "lists": lists,
-                           "id_col": id_col, "id_type": id_type}, f)
+            fs_write_json(
+                spark, f"{args.output}/centroids.json",
+                {"n_lists": n_lists, "vec_col": args.vec_col,
+                 "centroids": cents, "lists": lists,
+                 "id_col": id_col, "id_type": id_type},
+            )
             report = {
                 "vectors": spark.read.parquet(f"{args.output}/ivf_assign").count(),
                 "n_lists": n_lists,

@@ -200,6 +200,95 @@ def _verify_jaccard_pairs(
     )
 
 
+def _verify_jaccard_pairs_counts(
+    cands: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Co-occurrence-count VERIFY for banded/blocked candidate pairs
+    (round 10, VERDICT r9 #4) — the LSH twin of _jaccard_pairs_counts:
+    output-identical to _verify_jaccard_pairs, but no shingle ARRAY ever
+    shuffles.
+
+    The array verify drags two full shingle sets through the pair-keyed
+    joins (pairs x 2 x doclen array elements of shuffle — the round-8
+    prefix10 probe measured 65 GB of exactly this payload). Here the
+    candidate-id-RESTRICTED token table self-joins on the token: the
+    only corpus-sized shuffle is the ~16-byte token rows themselves
+    (|candidate ids| x doclen, NOT pairs x doclen), the join output
+    collapses map-side into one row per co-occurring pair, and the
+    candidate inner-join then keeps exactly the candidate pairs.
+    Jaccard derives exactly from the intersection count via
+    |A∪B| = |A| + |B| - |A∩B| — the same int-ratio double the array
+    path divides, so round-to-6 values are bit-identical and the pair
+    set EQUALS the array verify's (pinned by the LSH verify-equivalence
+    property test).
+
+    Requires threshold > 0: a candidate pair with zero token overlap
+    never enters the self-join, which only preserves the output when
+    such pairs cannot qualify. Boundary, stated: the self-join
+    ENUMERATES every co-occurring pair of candidate ids (sum of
+    df(token)^2 over the restricted corpus) before the combine — hot
+    tokens are the dense-corpus wall, same as the exact referee's; the
+    trade is enumeration compute for shuffle bytes, measured on the
+    lsh10 probe (SCALING.md round 10)."""
+    if not threshold > 0:
+        raise ValueError(
+            "verify='counts' requires threshold > 0: zero-overlap pairs "
+            "drop out of the token join, which only preserves the output "
+            "when such pairs cannot qualify"
+        )
+    # read twice (id restriction + final pair join): materialize the
+    # candidate pipeline once — same lifecycle stance as the callers'
+    # shingle checkpoint (lazy, freed by the ContextCleaner on GC)
+    cands = cands.localCheckpoint(eager=False)
+    ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # explode_OUTER + null filter: see search.build_postings — the
+    # non-outer explode clones the shingle derivation into a size()>0
+    # filter pushed below the exchange when `shingles` is a raw plan
+    sized = (
+        shingles.join(ids, "id", "left_semi")
+        .select(
+            "id",
+            F.size(F.col(shingle_col)).alias("__sz"),
+            F.explode_outer(shingle_col).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+    )
+    co = (
+        sized.alias("a")
+        .join(
+            sized.alias("b"),
+            on=[F.col("a.tok") == F.col("b.tok"), F.col("a.id") < F.col("b.id")],
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__sz").alias("__sza"),
+            F.col("b.__sz").alias("__szb"),
+        )
+        .agg(F.count("*").alias("__inter"))
+    )
+    return (
+        co.join(cands, on=["id_a", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _jaccard_pairs_counts(
     base: DataFrame, block_cols: list[str], threshold: float, t_eff: float
 ) -> DataFrame:

