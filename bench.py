@@ -606,8 +606,9 @@ def calibration_run(spark, runs: int = 5) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
-        # shiftright(32) keeps each term in [-2^31, 2^31) so the 400M-term
-        # sum stays far inside int64 under ANSI overflow checking
+        # shiftright(32) keeps each term in [-2^31, 2^31) so the
+        # CALIBRATION_ROWS (3.2B)-term sum fits int64 under ANSI
+        # overflow checking (3.2e9 x 2^31 ~ 6.9e18 < 2^63)
         spark.range(0, CALIBRATION_ROWS, 1, int(CPUS)).select(
             F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("s")
         ).collect()
@@ -617,6 +618,18 @@ def calibration_run(spark, runs: int = 5) -> float:
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+#: a bench session whose start/end calibration disagrees by more than
+#: this fraction measured a CHANGING host (ambient load rose or decayed
+#: mid-run) — per-query numbers from such a window are not attributable
+#: to code. The round-9 builder sessions put stable windows at ~3% drift
+#: and the known-contended one at 21%.
+CALIBRATION_DRIFT_LIMIT = 0.05
+
+#: bounded so a persistently noisy host still produces a BENCH.json
+#: (lowest-drift attempt, drift recorded) instead of hanging the driver
+MAX_BENCH_ATTEMPTS = 3
 
 
 def main() -> None:
@@ -634,6 +647,40 @@ def main() -> None:
     # warm the JVM/codegen once with a trivial job
     spark.range(1000).count()
 
+    # calibration-gated measurement (round 10, VERDICT r9 #3): reject —
+    # i.e. re-run, up to MAX_BENCH_ATTEMPTS — any session whose start/end
+    # fixed-work calibrations disagree by more than the drift limit; keep
+    # the lowest-drift attempt and record every attempt's calibration
+    # pair, so cross-round comparisons normalize by a measured host speed
+    # (tools/bench_normalize.py) instead of a prose band argument.
+    attempts: list[dict] = []
+    for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
+        full = measure_suite(spark, qs)
+        full["bench_attempt"] = attempt
+        attempts.append(full)
+        if full["calibration_drift"] <= CALIBRATION_DRIFT_LIMIT:
+            break
+        print(
+            f"bench attempt {attempt}: calibration drift "
+            f"{full['calibration_drift']:.3f} > {CALIBRATION_DRIFT_LIMIT} "
+            "(unstable window) — re-running",
+            file=sys.stderr, flush=True,
+        )
+    full = min(attempts, key=lambda a: a["calibration_drift"])
+    full["calibration_attempts"] = [
+        {"attempt": a["bench_attempt"], "calibration_s": a["calibration_s"],
+         "calibration_end_s": a["calibration_end_s"],
+         "calibration_drift": a["calibration_drift"]}
+        for a in attempts
+    ]
+    _write_report(full)
+    spark.stop()
+
+
+def measure_suite(spark, qs) -> dict:
+    """One full measurement pass: calibration → throughput legs →
+    headline queries → TPC-H shapes → end calibration. Returns the
+    BENCH.json payload including its own calibration drift."""
     # host-speed yardstick BEFORE any query work (see calibration_run);
     # one warmup run first so C2 compilation of the hash loop is excluded
     calibration_run(spark, runs=1)
@@ -762,8 +809,8 @@ def main() -> None:
     tpch_total = round(sum(tpch_timings.values()), 3)
 
     # the same fixed work re-timed after the full suite: if end/start
-    # diverges, ambient load CHANGED mid-run and per-query normalization
-    # should use the band, not one number
+    # diverges, ambient load CHANGED mid-run — the attempt loop in main()
+    # rejects (re-runs) the window when the drift exceeds the limit
     calibration_end_s = calibration_run(spark)
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else SF_DIR)
     full = {
@@ -781,11 +828,15 @@ def main() -> None:
         "tpch_22_shapes_count": len(tpch_fns),
         "tpch_queries": tpch_timings,
         # fixed-work host yardstick (VERDICT r8 #2): xxhash64 fold over
-        # range(400M) at CPUS threads, min-of-5, measured before the first
-        # query and again after the last — normalize cross-round per-query
-        # deltas by the ratio of calibration_s values
+        # range(CALIBRATION_ROWS = 3.2B) at CPUS threads, min-of-5,
+        # measured before the first query and again after the last —
+        # cross-round per-query deltas normalize by the calibration ratio
+        # (tools/bench_normalize.py)
         "calibration_s": calibration_s,
         "calibration_end_s": calibration_end_s,
+        "calibration_drift": round(
+            abs(calibration_end_s - calibration_s) / calibration_s, 4
+        ),
         "calibration_rows": CALIBRATION_ROWS,
         "timing": f"min-of-{RUNS}, inputs pre-warmed",
         # per-entry measurement-mode disclosures (ADVICE r7): deltas that
@@ -806,6 +857,11 @@ def main() -> None:
             ),
         },
     }
+    return full
+
+
+def _write_report(full: dict) -> None:
+    timings = full["queries"]
     # full-precision metrics always land in a committed file the judge can
     # read regardless of any console-capture limits (VERDICT r3 #3:
     # BENCH_r03's 40-query line overflowed the driver's 2000-char tail
@@ -821,7 +877,9 @@ def main() -> None:
     # the fastest entries are elided (count recorded) rather than letting
     # the line truncate mid-JSON.
     compact = {
-        k: v for k, v in full.items() if k not in ("tpch_queries", "timing_notes")
+        k: v
+        for k, v in full.items()
+        if k not in ("tpch_queries", "timing_notes", "calibration_attempts")
     }
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["detail_file"] = "BENCH.json"
@@ -835,7 +893,6 @@ def main() -> None:
             line = json.dumps(compact, separators=(",", ":"))
     sys.stdout.flush()
     print("\n" + line, flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

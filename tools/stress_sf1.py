@@ -249,12 +249,19 @@ def run_relational(spark) -> None:
 
 def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "docs"
-    # counts10 reads per-run shuffle-byte deltas off the UI REST API
-    extra = {"spark.ui.enabled": "true"} if family == "counts10" else None
+    # counts10/lshcounts10 read per-run shuffle-byte deltas off the UI
+    extra = (
+        {"spark.ui.enabled": "true"}
+        if family in ("counts10", "lshcounts10")
+        else None
+    )
     spark = build_session(app_name="stress-sf1", master="local[32]",
                           shuffle_partitions=32, extra_conf=extra)
     if family == "counts10":
         run_counts10(spark)
+        return
+    if family == "lshcounts10":
+        run_lshcounts10(spark)
         return
     if family == "sessionize10":
         run_sessionize10(spark)
@@ -848,6 +855,91 @@ def run_sessionize10(spark) -> None:
     print("appended sessionize10 probe to SCALING.md")
 
 
+def synth_lsh_docs(spark, n: int, skew: bool, words: int = 25):
+    """The lsh10/lshcounts10 probe corpus: 25 vocab-hashed words per doc;
+    consecutive groups of 10 share a template with one mutated word per
+    member (within-group 1-gram Jaccard ~0.85 >= 0.7 — true pairs grow
+    LINEARLY with n); with skew, 0.5% of docs (every 200th) are
+    near-copies of ONE hot template (a celebrity duplicate cluster whose
+    pair output is quadratic in its own size by emission semantics)."""
+    gid = F.col("id") - (F.col("id") % 10)  # group template key
+    hot = (F.col("id") % 200 == 0) & F.lit(skew)
+    tpl = F.when(hot, F.lit(-1)).otherwise(gid)  # hot docs share one template
+    # one mutated word per member keeps pairs NEAR-dup, not exact
+    mut_pos = F.col("id") % words
+    word = lambda j: F.when(  # noqa: E731
+        F.lit(j) == mut_pos, F.concat(F.lit("m"), F.col("id"))
+    ).otherwise(
+        F.concat(F.lit("w"), F.pmod(F.hash(tpl, F.lit(j), F.lit(99)), F.lit(50000)))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(j) for j in range(words)]).alias("text"),
+    )
+
+
+def run_lshcounts10(spark) -> None:
+    """Round 10 (VERDICT r9 #4): rerun the lsh10 probe's 500k points with
+    the new verify='counts' co-occurrence verify against the shipped
+    verify='arrays' baseline, recording wall time AND shuffle-write
+    bytes (UI REST API, same protocol as counts10). The array verify
+    ships two shingle arrays per surviving candidate through the
+    SHUFFLE-HASH verify join; counts restricts the token table to
+    candidate ids and self-joins it, so the corpus-sized shuffle is the
+    ~16-byte token rows, not pairs x arrays. Pair-set equality across
+    modes is asserted in-probe (full equality pinned by
+    tests/test_dedup.py::test_lsh_counts_verify_output_identical).
+    Regenerate: `python tools/stress_sf1.py lshcounts10`.
+    """
+    from transitlog_hfp_sink_spark.operators.dedup import minhash_lsh_pairs
+
+    n = 500_000
+    results = []
+    for skew in (False, True):
+        docs = synth_lsh_docs(spark, n, skew).repartition(32).persist()
+        docs.count()
+        counts_seen = set()
+        for mode in ("arrays", "counts"):
+            sw0 = _shuffle_write_bytes(spark)
+            t0 = time.time()
+            n_pairs = minhash_lsh_pairs(
+                docs, "text", "doc_id", num_perm=64, bands=16, shingle_n=1,
+                threshold=0.7, verify=mode,
+            ).count()
+            dt = time.time() - t0
+            gb = (_shuffle_write_bytes(spark) - sw0) / 1e9
+            counts_seen.add(n_pairs)
+            results.append((skew, mode, dt, n_pairs, gb))
+            print(f"n={n} skew={skew} verify={mode}: t={dt:.1f}s "
+                  f"pairs={n_pairs} shuffle_write={gb:.1f}GB", flush=True)
+        assert len(counts_seen) == 1, f"verify changed the output: {counts_seen}"
+        docs.unpersist()
+    lines = [
+        "",
+        "## LSH counts-verify rerun of the lsh10 500k points (round 10)",
+        "",
+        "VERDICT r9 #4: minhash_lsh_pairs gained verify='counts' — the LSH",
+        "candidates join the candidate-id-restricted exploded token table",
+        "and jaccard derives from the map-side-combined co-occurrence count",
+        "(operators/dedup.py:_verify_jaccard_pairs_counts), output-identical",
+        "to the array verify (pinned in tests). Same synthetic and protocol",
+        "as the round-7 lsh10 probe at its 500k points; shuffle WRITE bytes",
+        "from the UI REST API; pair-count equality asserted in-probe.",
+        "Regenerate: `python tools/stress_sf1.py lshcounts10`.",
+        "",
+        "| n docs | hot template | verify | time (s) | pairs | shuffle write (GB) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for skew, mode, dt, n_pairs, gb in results:
+        lines.append(
+            f"| {n:,} | {'yes' if skew else 'no'} | {mode} | {dt:.1f} "
+            f"| {n_pairs:,} | {gb:.1f} |"
+        )
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended lshcounts10 probe to SCALING.md")
+
+
 def run_lsh10(spark) -> None:
     """VERDICT r6 #5: measure banded-LSH minhash pair cost in the regime
     the sf1 table can't reach — 10x steps with PLANTED near-dup density
@@ -868,28 +960,10 @@ def run_lsh10(spark) -> None:
     """
     from transitlog_hfp_sink_spark.operators.dedup import minhash_lsh_pairs
 
-    words = 25
-
-    def synth_docs(n: int, skew: bool):
-        gid = F.col("id") - (F.col("id") % 10)  # group template key
-        hot = (F.col("id") % 200 == 0) & F.lit(skew)
-        tpl = F.when(hot, F.lit(-1)).otherwise(gid)  # hot docs share one template
-        # one mutated word per member keeps pairs NEAR-dup, not exact
-        mut_pos = F.col("id") % words
-        word = lambda j: F.when(  # noqa: E731
-            F.lit(j) == mut_pos, F.concat(F.lit("m"), F.col("id"))
-        ).otherwise(
-            F.concat(F.lit("w"), F.pmod(F.hash(tpl, F.lit(j), F.lit(99)), F.lit(50000)))
-        )
-        return spark.range(n).select(
-            F.col("id").alias("doc_id"),
-            F.concat_ws(" ", *[word(j) for j in range(words)]).alias("text"),
-        )
-
     results = []
     for n in (50_000, 500_000):
         for skew in (False, True):
-            docs = synth_docs(n, skew).repartition(32).persist()
+            docs = synth_lsh_docs(spark, n, skew).repartition(32).persist()
             docs.count()  # materialize outside the timed window
             t0 = time.time()
             n_pairs = minhash_lsh_pairs(

@@ -200,6 +200,20 @@ def _verify_jaccard_pairs(
     )
 
 
+def _check_verify_mode(verify: str, threshold: float) -> None:
+    """Entry guard shared by the banded verify call sites: the counts
+    verify is only output-preserving at threshold > 0 (fail at plan
+    construction, not mid-job)."""
+    if verify not in ("arrays", "counts"):
+        raise ValueError(f"verify={verify!r}: expected 'arrays' or 'counts'")
+    if verify == "counts" and not threshold > 0:
+        raise ValueError(
+            "verify='counts' requires threshold > 0: zero-overlap pairs "
+            "drop out of the token join, which only preserves the output "
+            "when such pairs cannot qualify"
+        )
+
+
 def _verify_jaccard_pairs_counts(
     cands: DataFrame,
     shingles: DataFrame,
@@ -454,6 +468,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 7,
     hash_fn: str = "xxhash64",
+    verify: str = "arrays",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash -> banded LSH blocking -> exact
     word-shingle Jaccard verification >= threshold.
@@ -468,9 +483,19 @@ def minhash_lsh_pairs(
     equality key needs no re-hash, and the string is portable to the
     DuckDB twin); the xxhash64 fast path compresses it to 8 bytes to
     shrink the band-join shuffle.
+
+    verify (round 10, VERDICT r9 #4) picks the exact-Jaccard verify
+    physical plan, output-identical by construction: "arrays" joins the
+    candidates back to the shingle ARRAYS (default — cheapest when the
+    candidate set is modest); "counts" derives jaccard from co-occurrence
+    counts over the candidate-restricted token table, so no shingle
+    array ever shuffles (_verify_jaccard_pairs_counts; requires
+    threshold > 0 — at t=0 zero-overlap candidates belong in the output
+    and only the array verify can see them).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    _check_verify_mode(verify, threshold)
 
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed, hash_fn)
     banded = banded_keys(sig, num_perm, bands, hash_fn)
@@ -500,6 +525,8 @@ def minhash_lsh_pairs(
     # must survive executor loss inside one dedup job should persist the
     # index with build_minhash_index (parquet) and join against that.
     sh = shingle_frame(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    if verify == "counts":
+        return _verify_jaccard_pairs_counts(cands, sh, threshold)
     return _verify_jaccard_pairs(cands, sh, threshold)
 
 
@@ -544,6 +571,7 @@ def incremental_minhash_pairs(
     seed: int = 7,
     hash_fn: str = "xxhash64",
     within_batch: bool = True,
+    verify: str = "arrays",
 ) -> DataFrame:
     """Near-dup pairs of a NEW ingest batch against a PERSISTED index
     (build_minhash_index) — the shape a 100 TB pipeline actually runs
@@ -558,9 +586,16 @@ def incremental_minhash_pairs(
     (asserted in tests/test_dedup.py and by the driver oracle's 'incr'
     leg) — incrementality changes cost, not semantics. Assumes new ids
     are not already in the index (re-ingest dedup is exact_dedup's job).
+
+    verify: same contract as minhash_lsh_pairs — "counts" is
+    particularly apt HERE, where the stored shingle table is
+    index-sized: the candidate-id semi-join restricts the token
+    self-join to docs the batch actually collided with, so neither the
+    historical shingle arrays nor their token rows ship in full.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    _check_verify_mode(verify, threshold)
     new_sig = minhash_signatures(
         new_docs, text_col, id_col, num_perm, shingle_n, seed, hash_fn
     )
@@ -598,6 +633,8 @@ def incremental_minhash_pairs(
     cands = cands.distinct()
     new_sh = shingle_frame(new_docs, text_col, id_col, shingle_n)
     all_sh = index_shingles.unionByName(new_sh)
+    if verify == "counts":
+        return _verify_jaccard_pairs_counts(cands, all_sh, threshold)
     return _verify_jaccard_pairs(cands, all_sh, threshold)
 
 
@@ -739,7 +776,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.0,
     prune: str | None = None,
-    verify: str = "arrays",
+    verify: str = "auto",
 ) -> DataFrame:
     """Exact word-shingle Jaccard for pairs sharing a blocking key —
     the oracle-checkable ground-truth dedup (and recall yardstick for the
@@ -787,9 +824,8 @@ def ngram_jaccard_pairs(
     ``verify`` (round 9, VERDICT r8 #3) picks the exact physical plan,
     output-identical by construction:
 
-    - ``"arrays"`` (default): candidate pairs join back to the shingle
-      ARRAYS and intersect/union per pair — cheapest when the candidate
-      set is modest (dense-output regimes).
+    - ``"arrays"``: candidate pairs join back to the shingle ARRAYS and
+      intersect/union per pair.
     - ``"counts"``: the exploded token table SELF-JOINS on (token,
       *blocks) and a map-side-combined hash-agg counts shared tokens per
       pair; jaccard derives exactly as inter/(sza+szb-inter). No shingle
@@ -799,11 +835,30 @@ def ngram_jaccard_pairs(
       ignored (the length predicate is always fused into the join).
       Requires ``threshold > 0`` (zero-overlap pairs never enter the
       self-join). Boundary: per-token fan-out is df(token)^2 — hot
-      tokens are the dense-corpus wall, same as the block join's."""
+      tokens are the dense-corpus wall, same as the block join's.
+    - ``"auto"`` (default since round 10, VERDICT r9 #5): counts iff it
+      is output-preserving (threshold > 0), else arrays. The planned
+      stats-based crossover rule turned out to have an EMPTY crossover:
+      structurally, the counts join enumerates one row per shared token
+      per in-block pair (sum over pairs of |A∩B|) while the array verify
+      ships |A|+|B| >= |A∩B| array elements for the SAME pairs — counts
+      never moves more data — and the same-session measurements on both
+      regime corpora confirm it wins the constant factors too
+      (near-dup-dense 50k: 60.1 s arrays -> 30.9 s counts; varied 30k:
+      33.8 s prefix-pruned arrays -> 6.3 s counts; SCALING.md round 10).
+      The only regime arrays can see that counts cannot is t=0, where
+      zero-overlap pairs belong in the output — exactly the guard.
+      Explicit modes are kept for the equivalence property grid and for
+      corpora a caller knows to be hot-token-bound on BOTH paths (those
+      belong to minhash regardless)."""
     if prune not in (None, "length", "prefix"):
         raise ValueError(f"prune={prune!r}: expected None, 'length' or 'prefix'")
-    if verify not in ("arrays", "counts"):
-        raise ValueError(f"verify={verify!r}: expected 'arrays' or 'counts'")
+    if verify not in ("arrays", "counts", "auto"):
+        raise ValueError(
+            f"verify={verify!r}: expected 'arrays', 'counts' or 'auto'"
+        )
+    if verify == "auto":
+        verify = "counts" if threshold > 0 else "arrays"
     if prune is not None and not threshold > 0:
         raise ValueError(
             "prune requires threshold > 0: at t=0 every pair (even with "
