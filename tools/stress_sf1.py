@@ -252,7 +252,7 @@ def main() -> None:
     # counts10/lshcounts10 read per-run shuffle-byte deltas off the UI
     extra = (
         {"spark.ui.enabled": "true"}
-        if family in ("counts10", "lshcounts10")
+        if family in ("counts10", "lshcounts10", "lshincr10")
         else None
     )
     spark = build_session(app_name="stress-sf1", master="local[32]",
@@ -262,6 +262,9 @@ def main() -> None:
         return
     if family == "lshcounts10":
         run_lshcounts10(spark)
+        return
+    if family == "lshincr10":
+        run_lshincr10(spark)
         return
     if family == "sessionize10":
         run_sessionize10(spark)
@@ -895,8 +898,11 @@ def run_lshcounts10(spark) -> None:
 
     n = 500_000
     results = []
-    for skew in (False, True):
-        docs = synth_lsh_docs(spark, n, skew).repartition(32).persist()
+    # words=25 is the original lsh10 corpus (short docs — array payload
+    # small by construction); words=200 is the regime the directive
+    # targets, where each verified pair drags 2x200 array elements
+    for words, skew in ((25, False), (25, True), (200, False)):
+        docs = synth_lsh_docs(spark, n, skew, words=words).repartition(32).persist()
         docs.count()
         counts_seen = set()
         for mode in ("arrays", "counts"):
@@ -909,8 +915,8 @@ def run_lshcounts10(spark) -> None:
             dt = time.time() - t0
             gb = (_shuffle_write_bytes(spark) - sw0) / 1e9
             counts_seen.add(n_pairs)
-            results.append((skew, mode, dt, n_pairs, gb))
-            print(f"n={n} skew={skew} verify={mode}: t={dt:.1f}s "
+            results.append((words, skew, mode, dt, n_pairs, gb))
+            print(f"n={n} words={words} skew={skew} verify={mode}: t={dt:.1f}s "
                   f"pairs={n_pairs} shuffle_write={gb:.1f}GB", flush=True)
         assert len(counts_seen) == 1, f"verify changed the output: {counts_seen}"
         docs.unpersist()
@@ -923,21 +929,103 @@ def run_lshcounts10(spark) -> None:
         "and jaccard derives from the map-side-combined co-occurrence count",
         "(operators/dedup.py:_verify_jaccard_pairs_counts), output-identical",
         "to the array verify (pinned in tests). Same synthetic and protocol",
-        "as the round-7 lsh10 probe at its 500k points; shuffle WRITE bytes",
-        "from the UI REST API; pair-count equality asserted in-probe.",
+        "as the round-7 lsh10 probe at its 500k points, plus a 200-word-doc",
+        "leg (the regime the directive targets: the array verify's payload",
+        "scales with doc length, the counts verify's narrow token rows",
+        "with the intersection); shuffle WRITE bytes from the UI REST API;",
+        "pair-count equality asserted in-probe.",
         "Regenerate: `python tools/stress_sf1.py lshcounts10`.",
         "",
-        "| n docs | hot template | verify | time (s) | pairs | shuffle write (GB) |",
-        "|---|---|---|---|---|---|",
+        "| n docs | words/doc | hot template | verify | time (s) | pairs | shuffle write (GB) |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for skew, mode, dt, n_pairs, gb in results:
+    for words, skew, mode, dt, n_pairs, gb in results:
         lines.append(
-            f"| {n:,} | {'yes' if skew else 'no'} | {mode} | {dt:.1f} "
+            f"| {n:,} | {words} | {'yes' if skew else 'no'} | {mode} | {dt:.1f} "
             f"| {n_pairs:,} | {gb:.1f} |"
         )
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended lshcounts10 probe to SCALING.md")
+
+
+def run_lshincr10(spark) -> None:
+    """Round 10 (VERDICT r9 #4, second leg): the INCREMENTAL verify —
+    where the counts shape actually lives. A 500k-doc persisted minhash
+    index (bands + shingles parquet) takes a 5k-doc ingest batch through
+    incremental_minhash_pairs under both verify modes. The array verify
+    joins the candidates against the FULL stored shingle table (both
+    SHUFFLE-HASH legs ship the historical index's arrays end to end);
+    the counts verify semi-restricts both token legs to the candidate
+    ids, so only the docs the batch actually collided with ship at all —
+    per-batch verify cost tracks the batch's collision set, not the
+    index. Pair-set equality across modes asserted in-probe.
+    Regenerate: `python tools/stress_sf1.py lshincr10`.
+    """
+    import tempfile
+
+    from transitlog_hfp_sink_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    n, nb = 500_000, 5_000
+    docs = synth_lsh_docs(spark, n + nb, False).repartition(32).persist()
+    docs.count()
+    old = docs.where(F.col("doc_id") < n)
+    new = docs.where(F.col("doc_id") >= n).persist()
+    new.count()
+    bands_df, sh_df = build_minhash_index(
+        old, "text", "doc_id", num_perm=64, bands=16, shingle_n=1
+    )
+    d = tempfile.mkdtemp(prefix="lshincr10-")
+    bands_df.write.parquet(f"{d}/bands")
+    sh_df.write.parquet(f"{d}/shingles")
+    stored_bands = spark.read.parquet(f"{d}/bands")
+    stored_sh = spark.read.parquet(f"{d}/shingles")
+    results = []
+    counts_seen = set()
+    for mode in ("arrays", "counts"):
+        sw0 = _shuffle_write_bytes(spark)
+        t0 = time.time()
+        n_pairs = incremental_minhash_pairs(
+            new, stored_bands, stored_sh, "text", "doc_id",
+            num_perm=64, bands=16, shingle_n=1, threshold=0.7, verify=mode,
+        ).count()
+        dt = time.time() - t0
+        gb = (_shuffle_write_bytes(spark) - sw0) / 1e9
+        counts_seen.add(n_pairs)
+        results.append((mode, dt, n_pairs, gb))
+        print(f"index={n} batch={nb} verify={mode}: t={dt:.1f}s "
+              f"pairs={n_pairs} shuffle_write={gb:.2f}GB", flush=True)
+    assert len(counts_seen) == 1, f"verify changed the output: {counts_seen}"
+    docs.unpersist()
+    new.unpersist()
+    lines = [
+        "",
+        "## LSH incremental-verify probe — counts vs arrays on a persisted index (round 10)",
+        "",
+        "VERDICT r9 #4, the leg where the counts verify pays: a 500k-doc",
+        "persisted minhash index (bands + shingles parquet, the",
+        "build_minhash_index serving shape) verifying a 5k-doc ingest",
+        "batch. The array verify's SHUFFLE-HASH legs ship the ENTIRE",
+        "stored shingle table (both sides key on id); the counts verify's",
+        "token legs are semi-restricted to the candidate ids, so per-batch",
+        "cost tracks the batch's collision set, not index size — the shape",
+        "a daily 100 TB ingest actually needs. Same corpus family as",
+        "lsh10 (words=25); shuffle WRITE bytes from the UI REST API.",
+        "Regenerate: `python tools/stress_sf1.py lshincr10`.",
+        "",
+        "| index docs | batch docs | verify | time (s) | pairs | shuffle write (GB) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for mode, dt, n_pairs, gb in results:
+        lines.append(
+            f"| {n:,} | {nb:,} | {mode} | {dt:.1f} | {n_pairs:,} | {gb:.2f} |"
+        )
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended lshincr10 probe to SCALING.md")
 
 
 def run_lsh10(spark) -> None:

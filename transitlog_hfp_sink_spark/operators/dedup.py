@@ -225,72 +225,85 @@ def _verify_jaccard_pairs_counts(
     output-identical to _verify_jaccard_pairs, but no shingle ARRAY ever
     shuffles.
 
-    The array verify drags two full shingle sets through the pair-keyed
-    joins (pairs x 2 x doclen array elements of shuffle — the round-8
-    prefix10 probe measured 65 GB of exactly this payload). Here the
-    candidate-id-RESTRICTED token table self-joins on the token: the
-    only corpus-sized shuffle is the ~16-byte token rows themselves
-    (|candidate ids| x doclen, NOT pairs x doclen), the join output
-    collapses map-side into one row per co-occurring pair, and the
-    candidate inner-join then keeps exactly the candidate pairs.
+    The CANDIDATE PAIRS join the exploded token table: once on id_a
+    (attaching A's tokens), once on (id_b, token) (keeping exactly the
+    intersection rows), then a map-side-combined count per pair.
     Jaccard derives exactly from the intersection count via
     |A∪B| = |A| + |B| - |A∩B| — the same int-ratio double the array
     path divides, so round-to-6 values are bit-identical and the pair
     set EQUALS the array verify's (pinned by the LSH verify-equivalence
-    property test).
+    test). Aggregation state is bounded by |candidates|; both token
+    legs are SEMI-RESTRICTED to the candidate ids.
+
+    WHEN IT PAYS, measured (SCALING.md round 10): the candidate-id
+    restriction is the whole value. On a full-corpus dedup (candidates
+    touch ~every doc) the arrays verify WINS — it ships one array row
+    per pair where this path ships |A| token rows per pair, and the
+    lshcounts10 probe measured arrays ahead on every leg (1.5 vs
+    2.6 GB shuffle at 25-word docs; 5.4 vs 9.7 GB at 200-word docs) —
+    so "arrays" stays the full-corpus default. On an INCREMENTAL verify
+    against a persisted index the picture inverts: the arrays verify
+    shuffles the ENTIRE stored shingle table through both join legs,
+    while this path ships only the docs the batch collided with
+    (lshincr10 probe) — counts is the daily-ingest shape.
+
+    Shape note (round-10 measurement): the exact referee's SUBSUMING
+    shape — self-join the candidate-id-restricted token table on the
+    token, aggregate, THEN intersect with the candidates — was tried
+    first and OOMed the lsh10 500k probe: its aggregation state is
+    every CO-OCCURRING pair of candidate ids (sum df(token)^2 groups,
+    ~1.5e9 on that corpus — docs sharing any common vocab word), which
+    the candidate restriction then discards. A verify must restrict to
+    candidate pairs BEFORE aggregating; the referee gets away with the
+    subsuming shape only because there candidates ARE all co-occurring
+    pairs. Both sides' token legs are semi-restricted to the candidate
+    ids, so an incremental run never ships the historical index's
+    tokens in full.
 
     Requires threshold > 0: a candidate pair with zero token overlap
-    never enters the self-join, which only preserves the output when
-    such pairs cannot qualify. Boundary, stated: the self-join
-    ENUMERATES every co-occurring pair of candidate ids (sum of
-    df(token)^2 over the restricted corpus) before the combine — hot
-    tokens are the dense-corpus wall, same as the exact referee's; the
-    trade is enumeration compute for shuffle bytes, measured on the
-    lsh10 probe (SCALING.md round 10)."""
+    never survives the intersection join, which only preserves the
+    output when such pairs cannot qualify."""
     if not threshold > 0:
         raise ValueError(
             "verify='counts' requires threshold > 0: zero-overlap pairs "
             "drop out of the token join, which only preserves the output "
             "when such pairs cannot qualify"
         )
-    # read twice (id restriction + final pair join): materialize the
-    # candidate pipeline once — same lifecycle stance as the callers'
-    # shingle checkpoint (lazy, freed by the ContextCleaner on GC)
+    # read three times (two id restrictions + the pair join):
+    # materialize the candidate pipeline once — same lifecycle stance as
+    # the callers' shingle checkpoint (lazy, freed on GC)
     cands = cands.localCheckpoint(eager=False)
-    ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    # explode_OUTER + null filter: see search.build_postings — the
-    # non-outer explode clones the shingle derivation into a size()>0
-    # filter pushed below the exchange when `shingles` is a raw plan
-    sized = (
-        shingles.join(ids, "id", "left_semi")
-        .select(
-            "id",
-            F.size(F.col(shingle_col)).alias("__sz"),
-            F.explode_outer(shingle_col).alias("tok"),
+
+    def _side_toks(side: str) -> DataFrame:
+        ids = cands.select(F.col(side).alias("id")).distinct()
+        # explode_OUTER + null filter: see search.build_postings — the
+        # non-outer explode clones the shingle derivation into a
+        # size()>0 filter pushed below the exchange on a raw plan
+        return (
+            shingles.join(ids, "id", "left_semi")
+            .select(
+                F.col("id").alias(side),
+                F.size(F.col(shingle_col)).alias("__sz" + side[-1]),
+                F.explode_outer(shingle_col).alias("tok"),
+            )
+            .where(F.col("tok").isNotNull())
         )
-        .where(F.col("tok").isNotNull())
-    )
-    co = (
-        sized.alias("a")
-        .join(
-            sized.alias("b"),
-            on=[F.col("a.tok") == F.col("b.tok"), F.col("a.id") < F.col("b.id")],
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__sz").alias("__sza"),
-            F.col("b.__sz").alias("__szb"),
-        )
+
+    # SHUFFLE-HASH hints, same stance as _verify_jaccard_pairs: the
+    # candidate table must never be broadcast (estimated bytes pass the
+    # threshold at probe scale while the real JVM build OOMs the driver
+    # — measured on the lshcounts10 500k leg; at 100 TB candidates are
+    # corpus-sized by definition). Build sides: cands for the first
+    # join, the b-leg tokens for the second.
+    inter = (
+        cands.hint("shuffle_hash")
+        .join(_side_toks("id_a"), "id_a")
+        .join(_side_toks("id_b").hint("shuffle_hash"), ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "__sza", "__szb")
         .agg(F.count("*").alias("__inter"))
     )
     return (
-        co.join(cands, on=["id_a", "id_b"])
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")
@@ -485,13 +498,16 @@ def minhash_lsh_pairs(
     shrink the band-join shuffle.
 
     verify (round 10, VERDICT r9 #4) picks the exact-Jaccard verify
-    physical plan, output-identical by construction: "arrays" joins the
-    candidates back to the shingle ARRAYS (default — cheapest when the
-    candidate set is modest); "counts" derives jaccard from co-occurrence
-    counts over the candidate-restricted token table, so no shingle
-    array ever shuffles (_verify_jaccard_pairs_counts; requires
-    threshold > 0 — at t=0 zero-overlap candidates belong in the output
-    and only the array verify can see them).
+    physical plan, output-identical by construction: "arrays" (default)
+    joins the candidates back to the shingle ARRAYS — MEASURED the right
+    full-corpus shape (lshcounts10 probe: ahead on shuffle and wall at
+    every doc length); "counts" derives jaccard from co-occurrence
+    counts over the candidate-id-RESTRICTED token table
+    (_verify_jaccard_pairs_counts; requires threshold > 0 — at t=0
+    zero-overlap candidates belong in the output and only the array
+    verify can see them) — the INCREMENTAL shape: against a persisted
+    index it ships only the collided docs' tokens instead of the whole
+    stored shingle table (lshincr10 probe).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -571,7 +587,7 @@ def incremental_minhash_pairs(
     seed: int = 7,
     hash_fn: str = "xxhash64",
     within_batch: bool = True,
-    verify: str = "arrays",
+    verify: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs of a NEW ingest batch against a PERSISTED index
     (build_minhash_index) — the shape a 100 TB pipeline actually runs
@@ -587,14 +603,21 @@ def incremental_minhash_pairs(
     leg) — incrementality changes cost, not semantics. Assumes new ids
     are not already in the index (re-ingest dedup is exact_dedup's job).
 
-    verify: same contract as minhash_lsh_pairs — "counts" is
-    particularly apt HERE, where the stored shingle table is
-    index-sized: the candidate-id semi-join restricts the token
-    self-join to docs the batch actually collided with, so neither the
-    historical shingle arrays nor their token rows ship in full.
+    verify: same physical-plan contract as minhash_lsh_pairs, but the
+    MEASURED default flips (round 10, lshincr10 probe): "auto" resolves
+    to "counts" whenever it is output-preserving (threshold > 0) —
+    against a persisted index the array verify shuffles the ENTIRE
+    stored shingle table through both join legs, while the counts
+    verify's candidate-id semi-restriction ships only the docs the
+    batch collided with (0.22 -> 0.13 GB shuffle at the 500k-index/
+    5k-batch point; the gap scales with index size). At t=0 auto falls
+    back to "arrays" (the only mode that can see zero-overlap pairs);
+    explicit modes are honored.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    if verify == "auto":
+        verify = "counts" if threshold > 0 else "arrays"
     _check_verify_mode(verify, threshold)
     new_sig = minhash_signatures(
         new_docs, text_col, id_col, num_perm, shingle_n, seed, hash_fn

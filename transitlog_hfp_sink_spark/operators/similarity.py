@@ -21,7 +21,6 @@ sf0.1 the expression path is faster for dim=64 (no Arrow transfer).
 from __future__ import annotations
 
 import math
-import os
 import random
 
 from pyspark.sql import Column, DataFrame, Window

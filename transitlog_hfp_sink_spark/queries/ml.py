@@ -334,18 +334,17 @@ def q_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_leg.unionByName(win_leg)
 
 
-def _fingerprint_oracle(
-    bits: int = 48,
-    band_bits: int = 16,
-    max_hamming: int = 3,
-    k: int = 8,
-    window: int = 4,
-    min_shared: int = 10,
-) -> str:
-    """DuckDB twin of q_fingerprint_pairs: the simhash leg re-derives the
-    48 per-bit sign tallies and band blocking; the winnow leg re-derives
-    the windowed k-gram hash minima via substr positions (Spark's
-    posexplode+window formulation selects the same minima set)."""
+#: the shared normalize CTE both fingerprint legs hang off
+_FP_W_CTE = """w AS (
+  SELECT doc_id AS id, string_split({norm}, ' ') AS words,
+         {norm} AS norm
+  FROM documents
+)"""
+
+
+def _fingerprint_simhash_ctes(bits: int = 48, band_bits: int = 16) -> str:
+    """The simhash leg's CTE chain (needs `w`): per-bit sign tallies,
+    band blocking, Hamming distance — ends at `sham`."""
     n_bands = bits // band_bits
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
@@ -358,13 +357,7 @@ def _fingerprint_oracle(
         f"SELECT id, sig, {b} AS band, substr(sig, {b * band_bits + 1}, {band_bits}) AS band_val FROM ssig"
         for b in range(n_bands)
     )
-    return f"""
-WITH w AS (
-  SELECT doc_id AS id, string_split({SQL_NORM.format(c='text')}, ' ') AS words,
-         {SQL_NORM.format(c='text')} AS norm
-  FROM documents
-),
-sh AS (SELECT id, {_SQL_TRIGRAMS} AS shingles FROM w),
+    return f"""sh AS (SELECT id, {_SQL_TRIGRAMS} AS shingles FROM w),
 shex AS (SELECT id, {_SQL_H48.format(s='unnest(shingles)')} AS h FROM sh),
 stall AS (
   SELECT id,
@@ -385,8 +378,17 @@ sham AS (
     len([i for i in range(1, {bits + 1})
          if substr(sig_a, CAST(i AS INTEGER), 1) <> substr(sig_b, CAST(i AS INTEGER), 1)]) AS hamming
   FROM spair
-),
-wh AS (
+)"""
+
+
+def _fingerprint_winnow_ctes(k: int = 8, window: int = 4) -> str:
+    """The winnow leg's fingerprint-SELECTION CTE chain (needs `w`) —
+    ends at `wfp` (id, fingerprint). Shared verbatim by the full oracle
+    below and tools/sf1_fingerprint_digest.py, which materializes `wfp`
+    ONCE and aggregates the pair join in id-buckets (the sf1-feasible
+    streamed formulation — the one-shot hash agg of the ~1e9-distinct-
+    pair table is what exceeded the box in rounds 8-9)."""
+    return f"""wh AS (
   -- per-doc struct-list comprehension, NOT an unnest-then-substr: the
   -- unnest-first form materializes the full norm string once PER
   -- CHARACTER POSITION (the sf1 digest sweep OOM-killed at 71 GB /
@@ -404,24 +406,74 @@ wfp AS (
     min(hv) OVER (PARTITION BY id ORDER BY p
                   ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fingerprint
   FROM wh
-),
-wsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp FROM wfp GROUP BY id),
+)"""
+
+
+#: the winnow pair-aggregation CTEs + final leg projection over a `wfp`
+#: relation (CTE or materialized table) — kept as templates so the full
+#: oracle and the bucketed sf1 tool (tools/sf1_fingerprint_digest.py)
+#: emit the SAME rows. bucket_filter lets the tool restrict one pass to
+#: `WHERE a.id % P = p` (pairs partition cleanly by id_a, so per-bucket
+#: digests SUM to the leg digest while the hash-agg state stays 1/P).
+_FP_WINNOW_AGG_CTES = """wsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp FROM {wfp} GROUP BY id),
 wpair AS (
   SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
-  FROM wfp a JOIN wfp b ON a.fingerprint = b.fingerprint AND a.id < b.id
+  FROM {wfp} a JOIN {wfp} b ON a.fingerprint = b.fingerprint AND a.id < b.id
+  {bucket_filter}
   GROUP BY 1, 2
   HAVING count(*) >= {min_shared}
-)
-SELECT 'simhash' AS part, id_a, id_b, CAST(hamming AS DOUBLE) AS metric,
-       CAST(NULL AS BIGINT) AS n_shared
-FROM sham WHERE hamming <= {max_hamming}
-UNION ALL
-SELECT 'winnow' AS part, id_a, id_b,
+)"""
+
+_FP_WINNOW_SELECT = """SELECT 'winnow' AS part, id_a, id_b,
        round(CAST(n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp), 6) AS metric,
        n_shared
 FROM wpair
 JOIN wsz sa ON sa.id = id_a
-JOIN wsz sb ON sb.id = id_b
+JOIN wsz sb ON sb.id = id_b"""
+
+_FP_SIMHASH_SELECT = """SELECT 'simhash' AS part, id_a, id_b, CAST(hamming AS DOUBLE) AS metric,
+       CAST(NULL AS BIGINT) AS n_shared
+FROM sham WHERE hamming <= {max_hamming}"""
+
+
+def _fingerprint_oracle(
+    bits: int = 48,
+    band_bits: int = 16,
+    max_hamming: int = 3,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 10,
+    parts: tuple[str, ...] = ("simhash", "winnow"),
+) -> str:
+    """DuckDB twin of q_fingerprint_pairs: the simhash leg re-derives the
+    48 per-bit sign tallies and band blocking; the winnow leg re-derives
+    the windowed k-gram hash minima via substr positions (Spark's
+    posexplode+window formulation selects the same minima set).
+
+    parts selects the union legs emitted (round 10): the digest-sum law
+    verifies legs independently, so the sf1 tool asks for the simhash
+    leg alone (single statement, trivially feasible) and replays the
+    winnow leg through the bucketed-streamed formulation instead."""
+    ctes = [_FP_W_CTE.format(norm=SQL_NORM.format(c="text"))]
+    selects = []
+    if "simhash" in parts:
+        ctes.append(_fingerprint_simhash_ctes(bits, band_bits))
+        selects.append(_FP_SIMHASH_SELECT.format(max_hamming=max_hamming))
+    if "winnow" in parts:
+        ctes.append(_fingerprint_winnow_ctes(k, window))
+        ctes.append(
+            _FP_WINNOW_AGG_CTES.format(
+                wfp="wfp", bucket_filter="", min_shared=min_shared
+            )
+        )
+        selects.append(_FP_WINNOW_SELECT)
+    if not selects:
+        raise ValueError(f"parts={parts!r}: nothing to emit")
+    cte_block = ",\n".join(ctes)
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {cte_block}
+{body}
 """
 
 
@@ -841,7 +893,22 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     part='pq_served' — the same fixed-codebook ADC but with the codes
                      table PERSISTED to parquet and read back before
                      scoring (round 5): the compressed-tier serving
-                     shape, persist→reload→ADC hash-checked end to end."""
+                     shape, persist→reload→ADC hash-checked end to end;
+    part='ivfpq_served' — the COMPOSED persisted serving chain end to
+                     end (round 10, VERDICT r9 #7): write_ivfpq_index
+                     with FIXED quantizers (first-8-vector coarse
+                     centroids + first-4-vector residual codebooks,
+                     round-before-argmin on both assignments) builds
+                     the list_id-partitioned codes layout + manifest
+                     meta; ivfpq_serve then probes nprobe=4 of the 8
+                     lists per query through manifest-pruned
+                     directory-direct reads and scores by residual ADC.
+                     The oracle replays coarse assignment, residual
+                     encode, per-query probe selection, and the ADC
+                     sums in SQL — so the build→manifest→serve→ADC
+                     chain is value-hash-checked, with a plan that
+                     reads only probed list_id=K/ paths
+                     (tests/test_similarity.py pins the path set)."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
     queries = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -911,6 +978,23 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_dist2").alias("cos_sim"),
         "rank",
     )
+    # ivfpq_served (round 10): the persisted composed-index chain with
+    # deterministic quantizers — coarse = the fixed 8-vector codebook,
+    # residual books = the fixed 4-vector PQ books (stand-ins exactly as
+    # _fixed_codebook stands in for a trained quantizer); round-to-6
+    # before BOTH argmins makes the stored codes replayable in SQL
+    cents8 = _fixed_codebook(emb)
+    ivfpq_dir = _tf.mkdtemp(prefix="ivfpq-served-")
+    sim.write_ivfpq_index(
+        emb, ivfpq_dir, centroids=cents8, codebooks=books, round_digits=6
+    )
+    ivfpq_leg = sim.ivfpq_serve(spark, ivfpq_dir, queries, k=3, nprobe=4).select(
+        F.lit("ivfpq_served").alias("part"),
+        F.col("query_id").cast("bigint").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("approx_dist2").alias("cos_sim"),
+        "rank",
+    )
     sd_pairs, sd_keep = sim.semantic_dedup(emb, _fixed_codebook(emb), threshold=0.3)
     sd_pair_leg = sd_pairs.select(
         F.lit("semdedup_pair").alias("part"),
@@ -935,6 +1019,7 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sd_keep_leg)
         .unionByName(pq_leg)
         .unionByName(pq_served_leg)
+        .unionByName(ivfpq_leg)
     )
 
 
@@ -1117,6 +1202,94 @@ SELECT query_id, neighbor_id, approx_dist2,
 FROM adc
 """
 
+#: IVF-PQ residual encode + probed ADC serving over the fixed quantizers
+#: — the SQL twin of write_ivfpq_index(round_digits=6) + ivfpq_serve
+#: (round 10, VERDICT r9 #7). Replays the WHOLE chain: coarse
+#: assignment (round-before-argmin over the 8 fixed centroids, ties to
+#: the lowest list), residual PQ codes (round-before-argmin over the 4
+#: fixed books per 8-wide subvector), per-query probe selection (the
+#: nprobe=4 nearest lists by FULL-precision distance, ties to the
+#: lowest list — _nearest_lists_py's stable order), per-(query, list)
+#: residual ADC tables (full precision, sequential folds matching
+#: _adc_tables), and the final m-lookup sum rounded to 6. A neighbor is
+#: scored iff its list is probed by the query — exactly ivfpq_topk's
+#: join on list_id.
+_ORACLE_IVFPQ_SERVED = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+cent AS (SELECT CAST(vec_id AS INTEGER) AS lid, CAST(embedding AS DOUBLE[]) AS cv
+         FROM embeddings WHERE vec_id < 8),
+bks AS (SELECT CAST(vec_id AS INTEGER) AS code, CAST(embedding AS DOUBLE[]) AS bv
+        FROM embeddings WHERE vec_id < 4),
+cd AS (
+  SELECT v.vec_id, cent.lid,
+    round(list_sum([(v.vv[i] - cent.cv[i]) * (v.vv[i] - cent.cv[i])
+                    for i in range(1, 65)]), 6) AS d
+  FROM v CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, lid FROM (
+    SELECT vec_id, lid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, lid ASC) AS rn
+    FROM cd) WHERE rn = 1
+),
+resid AS (
+  SELECT v.vec_id, a.lid,
+    [v.vv[i] - c.cv[i] for i in range(1, 65)] AS rv
+  FROM v JOIN assign a USING (vec_id) JOIN cent c ON c.lid = a.lid
+),
+jj AS (SELECT unnest(range(0, 8)) AS j),
+sub AS (
+  SELECT r.vec_id, jj.j, b.code,
+    round(list_sum([(r.rv[jj.j*8+i] - b.bv[jj.j*8+i])
+                    * (r.rv[jj.j*8+i] - b.bv[jj.j*8+i])
+                    for i in range(1, 9)]), 6) AS d
+  FROM resid r CROSS JOIN jj CROSS JOIN bks b
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn
+    FROM sub) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, lid FROM (
+    SELECT v.vec_id AS query_id, cent.lid,
+      row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY list_sum([(v.vv[i] - cent.cv[i]) * (v.vv[i] - cent.cv[i])
+                           for i in range(1, 65)]) ASC, cent.lid ASC) AS rn
+    FROM v CROSS JOIN cent WHERE v.vec_id < 32) WHERE rn <= 4
+),
+qresid AS (
+  SELECT q.query_id, q.lid,
+    [v.vv[i] - c.cv[i] for i in range(1, 65)] AS rv
+  FROM qprobe q JOIN v ON v.vec_id = q.query_id JOIN cent c ON c.lid = q.lid
+),
+qsub AS (
+  SELECT qr.query_id, qr.lid, jj.j, b.code,
+    list_sum([(qr.rv[jj.j*8+i] - b.bv[jj.j*8+i])
+              * (qr.rv[jj.j*8+i] - b.bv[jj.j*8+i])
+              for i in range(1, 9)]) AS d
+  FROM qresid qr CROSS JOIN jj CROSS JOIN bks b
+),
+score AS (
+  SELECT qs.query_id, c2.vec_id AS neighbor_id, qs.j, qs.d
+  FROM codes c2
+  JOIN assign a2 ON a2.vec_id = c2.vec_id
+  JOIN qsub qs ON qs.lid = a2.lid AND qs.j = c2.j AND qs.code = c2.code
+  WHERE c2.vec_id <> qs.query_id
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+    round(list_sum(list(d ORDER BY j)), 6) AS approx_dist2
+  FROM score GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist2,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY approx_dist2 ASC, neighbor_id ASC) AS rank
+FROM adc
+"""
+
 ORACLE_EMBEDDING_SKETCHES = f"""
 {_sketches_oracle().strip()}
 UNION ALL
@@ -1154,6 +1327,12 @@ SELECT 'pq_served' AS part, CAST(query_id AS BIGINT) AS id_a,
        neighbor_id AS id_b, approx_dist2 AS cos_sim,
        CAST(rank AS INTEGER) AS rank
 FROM ({_ORACLE_PQ_ADC.strip()}) pq_srv
+WHERE rank <= 3
+UNION ALL
+SELECT 'ivfpq_served' AS part, CAST(query_id AS BIGINT) AS id_a,
+       neighbor_id AS id_b, approx_dist2 AS cos_sim,
+       CAST(rank AS INTEGER) AS rank
+FROM ({_ORACLE_IVFPQ_SERVED.strip()}) ivfpq_srv
 WHERE rank <= 3
 """
 
