@@ -636,26 +636,33 @@ def main() -> None:
     from transitlog_hfp_sink_spark.session import build_session
     from transitlog_hfp_sink_spark.queries import queries as all_queries
 
-    spark = build_session(app_name="bench", master=f"local[{CPUS}]",
-                          shuffle_partitions=int(CPUS),
-                          # keep stdout clean: the driver's tail capture is
-                          # ~2000 chars and the \r progress bars were eating
-                          # it (BENCH_r03 parsed: null)
-                          extra_conf={"spark.ui.showConsoleProgress": "false"})
-    qs = all_queries()
-
-    # warm the JVM/codegen once with a trivial job
-    spark.range(1000).count()
-
     # calibration-gated measurement (round 10, VERDICT r9 #3): reject —
     # i.e. re-run, up to MAX_BENCH_ATTEMPTS — any session whose start/end
     # fixed-work calibrations disagree by more than the drift limit; keep
     # the lowest-drift attempt and record every attempt's calibration
     # pair, so cross-round comparisons normalize by a measured host speed
     # (tools/bench_normalize.py) instead of a prose band argument.
+    # Each attempt runs in a FRESH SparkSession: a retry measured inside
+    # a JVM that already ground through a full suite (aged heap, GC and
+    # code-cache state, accumulated shuffle dirs) is not the same
+    # instrument — the first gated run's attempt 2 showed broad
+    # unexplained inflation on untouched queries until sessions were
+    # isolated.
     attempts: list[dict] = []
     for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
-        full = measure_suite(spark, qs)
+        spark = build_session(
+            app_name="bench", master=f"local[{CPUS}]",
+            shuffle_partitions=int(CPUS),
+            # keep stdout clean: the driver's tail capture is ~2000 chars
+            # and the \r progress bars were eating it (BENCH_r03: null)
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        # warm the JVM/codegen once with a trivial job
+        spark.range(1000).count()
+        full = measure_suite(spark, all_queries())
+        spark.stop()
+        # a stopped session leaves the JVM's SparkContext gone; the next
+        # build_session call starts a clean one in this same process
         full["bench_attempt"] = attempt
         attempts.append(full)
         if full["calibration_drift"] <= CALIBRATION_DRIFT_LIMIT:
@@ -663,7 +670,7 @@ def main() -> None:
         print(
             f"bench attempt {attempt}: calibration drift "
             f"{full['calibration_drift']:.3f} > {CALIBRATION_DRIFT_LIMIT} "
-            "(unstable window) — re-running",
+            "(unstable window) — re-running in a fresh session",
             file=sys.stderr, flush=True,
         )
     full = min(attempts, key=lambda a: a["calibration_drift"])
@@ -674,7 +681,6 @@ def main() -> None:
         for a in attempts
     ]
     _write_report(full)
-    spark.stop()
 
 
 def measure_suite(spark, qs) -> dict:

@@ -43,15 +43,19 @@ def _host_factor(bench: dict) -> float | None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    threshold = 0.15
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
-    if len(args) != 2:
-        print(__doc__)
-        return 2
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="bench_normalize", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("old_file")
+    ap.add_argument("new_file")
+    ap.add_argument("--threshold", type=float, default=0.15,
+                    help="flag normalized ratios outside 1±threshold")
+    ns = ap.parse_args()
+    args = [ns.old_file, ns.new_file]
+    threshold = ns.threshold
     # the driver's BENCH_r{N}.json wraps bench.py's JSON line in
     # {"n":…, "rc":…, "parsed": {...}}; the repo's BENCH.json is bare
     old = json.load(open(args[0]))

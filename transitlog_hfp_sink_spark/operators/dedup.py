@@ -587,7 +587,7 @@ def incremental_minhash_pairs(
     seed: int = 7,
     hash_fn: str = "xxhash64",
     within_batch: bool = True,
-    verify: str = "auto",
+    verify: str = "arrays",
 ) -> DataFrame:
     """Near-dup pairs of a NEW ingest batch against a PERSISTED index
     (build_minhash_index) — the shape a 100 TB pipeline actually runs
@@ -603,21 +603,25 @@ def incremental_minhash_pairs(
     leg) — incrementality changes cost, not semantics. Assumes new ids
     are not already in the index (re-ingest dedup is exact_dedup's job).
 
-    verify: same physical-plan contract as minhash_lsh_pairs, but the
-    MEASURED default flips (round 10, lshincr10 probe): "auto" resolves
-    to "counts" whenever it is output-preserving (threshold > 0) —
-    against a persisted index the array verify shuffles the ENTIRE
-    stored shingle table through both join legs, while the counts
-    verify's candidate-id semi-restriction ships only the docs the
-    batch collided with (0.22 -> 0.13 GB shuffle at the 500k-index/
-    5k-batch point; the gap scales with index size). At t=0 auto falls
-    back to "arrays" (the only mode that can see zero-overlap pairs);
-    explicit modes are honored.
+    verify: same physical-plan contract as minhash_lsh_pairs, with a
+    MEASURED two-sided tradeoff here (round 10, both directions caught
+    by instruments the same round): "counts" pays when the stored index
+    dwarfs the batch's collision set — the array verify shuffles the
+    ENTIRE stored shingle table through both join legs while counts'
+    candidate-id semi-restriction ships only collided docs (lshincr10
+    probe: 0.22 -> 0.13 GB at a 500k-index/5k-batch point, gap linear
+    in index size) — but LOSES when candidates are dense relative to
+    the index (the calibration-normalized bench comparison flagged a
+    counts default at the sf0.1 point — 4k-doc index, 1k-doc near-dup-
+    dense batch — as a 3.5x wall regression: counts ships |A| token
+    rows per candidate pair, and with ~30x more pairs than batch docs
+    that dominates the small index's arrays). No lazy rule can see
+    index size vs candidate density up front, so the default stays
+    "arrays" and deployments whose index has outgrown their batches opt
+    into "counts".
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    if verify == "auto":
-        verify = "counts" if threshold > 0 else "arrays"
     _check_verify_mode(verify, threshold)
     new_sig = minhash_signatures(
         new_docs, text_col, id_col, num_perm, shingle_n, seed, hash_fn
