@@ -266,6 +266,9 @@ def main() -> None:
     if family == "lshincr10":
         run_lshincr10(spark)
         return
+    if family == "ivfpqserve10":
+        run_ivfpqserve10(spark)
+        return
     if family == "sessionize10":
         run_sessionize10(spark)
         return
@@ -1026,6 +1029,111 @@ def run_lshincr10(spark) -> None:
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended lshincr10 probe to SCALING.md")
+
+
+def run_ivfpqserve10(spark) -> None:
+    """Round 10 (beyond the brief — completes the serving-probe family):
+    does IVF-PQ serving cost track PROBED lists (ivfpq_serve's
+    manifest-direct paths) or TOTAL list count (root read + discovery +
+    IN-filter prune, what ivfpq_topk over spark.read.parquet(root)
+    pays)? bm2510 measured this for postings; this is the composed
+    index at production list counts, WITHOUT paying a k-means/encode
+    build: serving reads only (vec_id, list_id, codes) + the meta
+    quantizers, so the layout is synthesized directly — list_id =
+    id % n_lists, hash-expression int8 codes, seeded-RNG quantizers in
+    the meta. TIMING-ONLY (the ADC math runs on synthetic codes);
+    serve == topk value equality is pinned in tests on real indexes.
+    1M vectors, 16-query batch, nprobe=4, min-of-3 after a warmup.
+    Regenerate: `python tools/stress_sf1.py ivfpqserve10`.
+    """
+    import random
+    import tempfile
+
+    from transitlog_hfp_sink_spark.operators.serving import (
+        fs_write_json,
+        list_partition_keys,
+    )
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivfpq_serve,
+        ivfpq_topk,
+    )
+
+    n, m, kk, dim, nprobe = 1_000_000, 8, 16, 64, 4
+    rng = random.Random(7)
+    qrows = [(q, [rng.uniform(-1, 1) for _ in range(dim)]) for q in range(16)]
+    qdf = spark.createDataFrame(qrows, "query_id int, embedding array<double>")
+    results = []
+    for n_lists in (256, 2560):
+        cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_lists)]
+        books = [
+            [[rng.uniform(-1, 1) for _ in range(dim // m)] for _ in range(kk)]
+            for _ in range(m)
+        ]
+        d = tempfile.mkdtemp(prefix=f"ivfpqserve10-{n_lists}-")
+        codes = F.array(*[
+            F.pmod(F.xxhash64("id", F.lit(j)), F.lit(kk)).cast("tinyint")
+            for j in range(m)
+        ])
+        (
+            spark.range(n)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.pmod(F.col("id"), F.lit(n_lists)).cast("int").alias("list_id"),
+                codes.alias("codes"),
+            )
+            .repartition("list_id")
+            .write.partitionBy("list_id")
+            .parquet(f"{d}/ivfpq_codes")
+        )
+        fs_write_json(
+            spark, f"{d}/ivfpq_meta.json",
+            {"n_lists": n_lists, "m": m, "k": kk, "vec_col": "embedding",
+             "id_col": "vec_id", "id_type": "bigint", "centroids": cents,
+             "codebooks": books,
+             "lists": list_partition_keys(spark, f"{d}/ivfpq_codes", "list_id")},
+        )
+        for mode in ("served", "root"):
+            def _run():
+                if mode == "served":
+                    df = ivfpq_serve(spark, d, qdf, k=5, nprobe=nprobe)
+                else:
+                    df = ivfpq_topk(
+                        spark.read.parquet(f"{d}/ivfpq_codes"), qdf,
+                        cents, books, k=5, nprobe=nprobe,
+                    )
+                return df.count()
+
+            _run()  # warmup (JIT/codegen; file listings are NOT cached
+            # across runs — each spark.read.parquet builds a fresh index)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                n_rows = _run()
+                best = min(best, time.time() - t0)
+            results.append((n_lists, mode, best, n_rows))
+            print(f"n_lists={n_lists} mode={mode}: t={best:.2f}s rows={n_rows}",
+                  flush=True)
+    lines = [
+        "",
+        "## IVF-PQ serving probe — manifest paths vs root discovery at production list counts (round 10)",
+        "",
+        "1M synthetic vectors in the write_ivfpq_index LAYOUT (codes +",
+        "meta synthesized directly — serving never looks at how codes",
+        "were trained, so the probe skips the k-means/encode build),",
+        "16-query batch, nprobe=4, min-of-3 after a warmup. 'served' =",
+        "ivfpq_serve (manifest-pruned directory-direct reads); 'root' =",
+        "ivfpq_topk over spark.read.parquet(layout root) — pays full",
+        "partition DISCOVERY, then its probed-lists IN filter prunes the",
+        "scan. Regenerate: `python tools/stress_sf1.py ivfpqserve10`.",
+        "",
+        "| n_lists | mode | time (s) | result rows |",
+        "|---|---|---|---|",
+    ]
+    for n_lists, mode, best, n_rows in results:
+        lines.append(f"| {n_lists} | {mode} | {best:.2f} | {n_rows} |")
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended ivfpqserve10 probe to SCALING.md")
 
 
 def run_lsh10(spark) -> None:

@@ -415,9 +415,17 @@ def bm25_serve(
     bucket MANIFEST, the matched ``tb=K/`` paths are constructed directly
     (one listing each) instead of reading the layout root — partition
     DISCOVERY no longer touches the n_buckets unmatched directories, so
-    per-query cost tracks the matched buckets' files, full stop. Indexes
-    written before round 9 (no manifest) fall back to the root read +
-    IN-filter prune."""
+    per-query cost tracks the matched buckets' files, full stop.
+    Round 10 (VERDICT r9 #6): the read goes through the shared
+    manifest-serve helper (operators/serving.py:pruned_partition_read —
+    intersect + direct paths + None on empty), the same code path the
+    IVF / IVF-PQ serving layouts use, so the pruned shape cannot drift
+    between index kinds; a pre-round-9 layout (no manifest in meta)
+    takes the helper's fallback — ONE root listing reconstructs it
+    (previously a root read + IN filter; result-identical, and the
+    fallback behavior is now uniform across all three index kinds)."""
+    from transitlog_hfp_sink_spark.operators.serving import pruned_partition_read
+
     meta = spark.read.json(f"{path}/meta").collect()[0]
     n_buckets = int(meta["n_buckets"])
     qdf = spark.createDataFrame(queries, "query_id int, qtext string")
@@ -429,34 +437,20 @@ def bm25_serve(
         terms.update(search_tokens_py(qtext))
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     manifest = (
-        sorted(int(x) for x in meta["buckets"])
+        [int(x) for x in meta["buckets"]]
         if "buckets" in meta.__fields__ and meta["buckets"] is not None
         else None
     )
-    if manifest is not None:
-        # the shared manifest-serve read (round 10, VERDICT r9 #6): the
-        # same intersect + direct-path + None-on-empty helper the IVF /
-        # IVF-PQ serving paths use, so the pruned shape cannot drift
-        from transitlog_hfp_sink_spark.operators.serving import (
-            pruned_partition_read,
-        )
-
-        pruned = pruned_partition_read(
-            spark, f"{path}/postings", "tb", buckets, manifest
-        )
-        if pruned is None:
-            # no query term hashes into any existing bucket: the matched
-            # join is empty by construction — serve the empty index leg
-            # without touching storage (the schema came from the build)
-            postings = spark.createDataFrame([], meta["postings_schema"])
-        else:
-            postings = pruned.drop("tb")
+    pruned = pruned_partition_read(
+        spark, f"{path}/postings", "tb", buckets, manifest
+    )
+    if pruned is None:
+        # no query term hashes into any existing bucket: the matched
+        # join is empty by construction — serve the empty index leg
+        # without touching storage (the schema came from the build)
+        postings = spark.createDataFrame([], meta["postings_schema"])
     else:
-        postings = (
-            spark.read.parquet(f"{path}/postings")
-            .where(F.col("tb").isin(buckets))
-            .drop("tb")
-        )
+        postings = pruned.drop("tb")
     return bm25_score_postings(
         postings, None, query_terms, k1, b, topk,
         corpus_stats=(int(meta["n_docs"]), float(meta["avgdl"])),
