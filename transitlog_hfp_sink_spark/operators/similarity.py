@@ -536,6 +536,60 @@ def ivf_topk(
     )
 
 
+def _ann_serve_prepare(
+    spark,
+    meta: dict,
+    data_dir: str,
+    queries: DataFrame,
+    vcol: str,
+    query_id_col: str,
+    nprobe: int,
+    max_query_rows: int,
+):
+    """The ANN serving skeleton ivf_serve and ivfpq_serve share (round
+    10, VERDICT r9 #6 follow-through): bounded query-side collect, NULL
+    drop (the ADC-family contract), driver-side probed-list union
+    (`_nearest_lists_py`, the tie-stable twin of the in-plan
+    expression), manifest-pruned directory-direct read
+    (serving.pruned_partition_read; a pre-manifest meta falls back to
+    one root listing), and the literal rebuild of the query frame so a
+    nondeterministic queries plan cannot probe a list the path set
+    excluded. Returns (index, rebuilt_queries, qid_type) with
+    index=None when nothing can match (empty batch / no probed list in
+    the manifest) — the caller serves its typed empty frame."""
+    from transitlog_hfp_sink_spark.operators.serving import (
+        pruned_partition_read,
+    )
+
+    cents = meta["centroids"]
+    qrows = _collect_query_side(
+        queries, query_id_col, _as_double(vcol), max_query_rows
+    )
+    qrows = [r for r in qrows if r["__qv"] is not None]
+    probed = sorted(
+        {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
+    )
+    manifest = (
+        [int(x) for x in meta["lists"]] if "lists" in meta and meta["lists"] is not None
+        else None  # pre-round-9 layout: the helper lists the root once
+    )
+    qid_type = dict(
+        queries.select(F.col(query_id_col).alias("query_id")).dtypes
+    )["query_id"]
+    index = (
+        pruned_partition_read(spark, data_dir, "list_id", probed, manifest)
+        if qrows
+        else None
+    )
+    if index is None:
+        return None, None, qid_type
+    rebuilt = spark.createDataFrame(
+        [(r["query_id"], list(r["__qv"])) for r in qrows],
+        schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
+    )
+    return index, rebuilt, qid_type
+
+
 def ivf_serve(
     spark,
     path: str,
@@ -574,44 +628,20 @@ def ivf_serve(
     named differently from the corpus'. Meta IO goes through the
     Hadoop FS API (operators/serving.py), so a layout on s3a/abfs/gs
     serves exactly like a local one (VERDICT r9 #1)."""
-    from transitlog_hfp_sink_spark.operators.serving import (
-        fs_read_json,
-        pruned_partition_read,
-    )
+    from transitlog_hfp_sink_spark.operators.serving import fs_read_json
 
     meta = fs_read_json(spark, f"{path}/centroids.json")
     cents = meta["centroids"]
     vcol = vec_col or meta.get("vec_col", "embedding")
-    qrows = _collect_query_side(
-        queries, query_id_col, _as_double(vcol), max_query_rows
-    )
-    qrows = [r for r in qrows if r["__qv"] is not None]
-    probed = sorted(
-        {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
-    )
-    manifest = (
-        [int(x) for x in meta["lists"]] if "lists" in meta
-        else None  # pre-round-9 layout: the helper lists the root once
-    )
-    qid_type = dict(
-        queries.select(F.col(query_id_col).alias("query_id")).dtypes
-    )["query_id"]
-    index = (
-        pruned_partition_read(
-            spark, f"{path}/ivf_assign", "list_id", probed, manifest
-        )
-        if qrows
-        else None
+    index, rebuilt, qid_type = _ann_serve_prepare(
+        spark, meta, f"{path}/ivf_assign", queries, vcol, query_id_col,
+        nprobe, max_query_rows,
     )
     if index is None:
         return spark.createDataFrame(
             [], f"query_id {qid_type}, neighbor_id {meta.get('id_type', 'bigint')}, "
             "cos_sim double, rank int",
         )
-    rebuilt = spark.createDataFrame(
-        [(r["query_id"], list(r["__qv"])) for r in qrows],
-        schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
-    )
     return ivf_topk(
         index, rebuilt, k=k, n_lists=len(cents), nprobe=nprobe,
         centroids=cents, id_col=meta.get("id_col", "vec_id"), vec_col=vcol,
@@ -1527,41 +1557,20 @@ def ivfpq_serve(
     touching storage. Meta IO goes through the Hadoop FS API
     (operators/serving.py, round 10) so an object-store layout serves
     exactly like a local one."""
-    from transitlog_hfp_sink_spark.operators.serving import (
-        fs_read_json,
-        pruned_partition_read,
-    )
+    from transitlog_hfp_sink_spark.operators.serving import fs_read_json
 
     meta = fs_read_json(spark, f"{path}/ivfpq_meta.json")
     cents, books = meta["centroids"], meta["codebooks"]
     vcol = vec_col or meta["vec_col"]
-    qrows = _collect_query_side(
-        queries, query_id_col, _as_double(vcol), max_query_rows
-    )
-    qrows = [r for r in qrows if r["__qv"] is not None]
-    probed = sorted(
-        {li for r in qrows for li in _nearest_lists_py(list(r["__qv"]), cents, nprobe)}
-    )
-    qid_type = dict(
-        queries.select(F.col(query_id_col).alias("query_id")).dtypes
-    )["query_id"]
-    index = (
-        pruned_partition_read(
-            spark, f"{path}/ivfpq_codes", "list_id", probed,
-            [int(x) for x in meta["lists"]],
-        )
-        if qrows
-        else None
+    index, rebuilt, qid_type = _ann_serve_prepare(
+        spark, meta, f"{path}/ivfpq_codes", queries, vcol, query_id_col,
+        nprobe, max_query_rows,
     )
     if index is None:
         return spark.createDataFrame(
             [], f"query_id {qid_type}, neighbor_id {meta.get('id_type', 'bigint')}, "
             "approx_dist2 double, rank int",
         )
-    rebuilt = spark.createDataFrame(
-        [(r["query_id"], list(r["__qv"])) for r in qrows],
-        schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
-    )
     return ivfpq_topk(
         index, rebuilt, cents, books, k=k, nprobe=nprobe,
         id_col=meta.get("id_col", "vec_id"), vec_col=vcol,
