@@ -372,7 +372,14 @@ def test_app_build_index_subcommand(spark, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert json.loads(proc.stdout.strip().splitlines()[-1])["vectors"] == n_emb + 40
-    assert json.load(open(f"{ivf2}/centroids.json")) == cents  # reused, not retrained
+    cents2 = json.load(open(f"{ivf2}/centroids.json"))
+    # reused, not retrained — identical except the publish epoch, which
+    # MUST be fresh (round 11: every publish stamps its own epoch so
+    # serve can detect a crash between the data write and the meta)
+    assert {k: v for k, v in cents2.items() if k != "epoch"} == {
+        k: v for k, v in cents.items() if k != "epoch"
+    }
+    assert cents2["epoch"] != cents["epoch"]
     merged = spark.read.parquet(f"{ivf2}/ivf_assign")
     old_assign = {r["vec_id"]: r["list_id"] for r in index.collect()}
     new_assign = {r["vec_id"]: r["list_id"] for r in merged.collect()}

