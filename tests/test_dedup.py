@@ -352,3 +352,59 @@ def test_jaccard_auto_verify_decision_pinned(spark, corpus):
         assert "array_intersect" not in auto_plan  # counts chosen
         zero_plan = plan_of(docs, block_cols=blocks, threshold=0.0)
         assert "array_intersect" in zero_plan  # arrays: the only valid mode
+
+
+def test_incremental_auto_verify_decision_pinned():
+    """Round 11 (VERDICT r10 #2): the cost-based verify decision for
+    incremental_minhash_pairs, pinned at BOTH measured regimes
+    (SCALING.md lshincr11 / round-10 bench):
+    - the round-10 bench-regression point (4k index, 1k dense batch,
+      ratio 4 — counts lost 3.84x normalized) must pick arrays;
+    - the lshincr10/11 large-index point (500k index, 5k batch, ratio
+      100 — counts won wall and 1.7x shuffle, gap linear in index size)
+      must pick counts;
+    - t=0 is arrays unconditionally (counts not output-preserving)."""
+    auto = dd._auto_incremental_verify
+    assert auto(0.5, 4_000, 1_000) == "arrays"
+    assert auto(0.7, 500_000, 5_000) == "counts"
+    assert auto(0.0, 500_000, 5_000) == "arrays"  # t=0: only valid mode
+    # the calibrated boundary itself (AUTO_INCR_VERIFY_RATIO = 50)
+    assert auto(0.5, 50 * 1_000, 1_000) == "counts"
+    assert auto(0.5, 50 * 1_000 - 1, 1_000) == "arrays"
+    # empty batch must not divide by zero; a non-empty index vs nothing
+    # to verify is the counts regime trivially
+    assert auto(0.5, 1_000, 0) == "counts"
+
+
+def test_incremental_auto_verify_end_to_end(corpus):
+    """verify='auto' (the round-11 default) is output-identical to both
+    explicit modes, and the index_rows/batch_rows HINTS steer the
+    decision without count jobs — pinned by the same plan observable as
+    the jaccard auto test (the array verify's shingle-array expressions
+    appear iff arrays was picked)."""
+    old = corpus.where(F.col("doc_id") % 2 != 0)
+    new = corpus.where(F.col("doc_id") % 2 == 0)
+    bands_df, sh_df = dd.build_minhash_index(
+        old, "text", "doc_id", num_perm=64, bands=16, shingle_n=3
+    )
+
+    def run(**kw):
+        return dd.incremental_minhash_pairs(
+            new, bands_df, sh_df, "text", "doc_id",
+            num_perm=64, bands=16, shingle_n=3, threshold=0.5, **kw
+        )
+
+    ref = {tuple(r) for r in run(verify="arrays").collect()}
+    assert ref  # planted cross-split near-dups exist
+    # hinted-counts regime (index >> batch): identical output, counts plan
+    counts_df = run(verify="auto", index_rows=10_000_000, batch_rows=10)
+    plan = counts_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" not in plan
+    assert {tuple(r) for r in counts_df.collect()} == ref
+    # hinted-arrays regime (comparable sizes): identical output, arrays plan
+    arrays_df = run(verify="auto", index_rows=1_000, batch_rows=1_000)
+    plan = arrays_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan
+    assert {tuple(r) for r in arrays_df.collect()} == ref
+    # unhinted auto on this half/half split (ratio ~1): arrays, same output
+    assert {tuple(r) for r in run(verify="auto").collect()} == ref

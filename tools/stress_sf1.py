@@ -252,7 +252,7 @@ def main() -> None:
     # counts10/lshcounts10 read per-run shuffle-byte deltas off the UI
     extra = (
         {"spark.ui.enabled": "true"}
-        if family in ("counts10", "lshcounts10", "lshincr10")
+        if family in ("counts10", "lshcounts10", "lshincr10", "lshincr11")
         else None
     )
     spark = build_session(app_name="stress-sf1", master="local[32]",
@@ -265,6 +265,9 @@ def main() -> None:
         return
     if family == "lshincr10":
         run_lshincr10(spark)
+        return
+    if family == "lshincr11":
+        run_lshincr11(spark)
         return
     if family == "ivfpqserve10":
         run_ivfpqserve10(spark)
@@ -1029,6 +1032,103 @@ def run_lshincr10(spark) -> None:
     with open("SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print("appended lshincr10 probe to SCALING.md")
+
+
+def run_lshincr11(spark) -> None:
+    """Round 11 (VERDICT r10 #2): calibrate the incremental-verify
+    crossover the round-10 probes bracketed from both ends. Fixed 5k
+    ingest batch, persisted index swept over {20k, 50k, 100k, 500k}
+    docs (index/batch ratios 4..100), both verify modes timed
+    same-session on the lshincr10 corpus family — the crossover index
+    size where the counts verify overtakes arrays sets
+    AUTO_INCR_VERIFY_RATIO. An 'auto' leg at each endpoint confirms the
+    shipped default picks arrays at the small-index point and counts at
+    the large one (the directive's done-condition), with its decision
+    (and the two count jobs the hints would skip) timed in-leg.
+    Regenerate: `python tools/stress_sf1.py lshincr11`.
+    """
+    import tempfile
+
+    from transitlog_hfp_sink_spark.operators.dedup import (
+        _auto_incremental_verify,
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    nb = 5_000
+    sizes = (20_000, 50_000, 100_000, 500_000)
+    docs = synth_lsh_docs(spark, max(sizes) + nb, False).repartition(32).persist()
+    docs.count()
+    new = docs.where(F.col("doc_id") >= max(sizes)).persist()
+    new.count()
+    results = []
+    auto_rows = []
+    for n in sizes:
+        old = docs.where(F.col("doc_id") < n)
+        bands_df, sh_df = build_minhash_index(
+            old, "text", "doc_id", num_perm=64, bands=16, shingle_n=1
+        )
+        d = tempfile.mkdtemp(prefix=f"lshincr11-{n}-")
+        bands_df.write.parquet(f"{d}/bands")
+        sh_df.write.parquet(f"{d}/shingles")
+        stored_bands = spark.read.parquet(f"{d}/bands")
+        stored_sh = spark.read.parquet(f"{d}/shingles")
+        counts_seen = set()
+        modes = ["arrays", "counts"]
+        if n in (min(sizes), max(sizes)):
+            modes.append("auto")
+        for mode in modes:
+            sw0 = _shuffle_write_bytes(spark)
+            t0 = time.time()
+            n_pairs = incremental_minhash_pairs(
+                new, stored_bands, stored_sh, "text", "doc_id",
+                num_perm=64, bands=16, shingle_n=1, threshold=0.7,
+                verify=mode,
+            ).count()
+            dt = time.time() - t0
+            gb = (_shuffle_write_bytes(spark) - sw0) / 1e9
+            counts_seen.add(n_pairs)
+            picked = (
+                _auto_incremental_verify(0.7, n, nb) if mode == "auto" else mode
+            )
+            results.append((n, mode, picked, dt, n_pairs, gb))
+            if mode == "auto":
+                auto_rows.append((n, picked))
+            print(f"index={n} batch={nb} verify={mode} (-> {picked}): "
+                  f"t={dt:.1f}s pairs={n_pairs} shuffle_write={gb:.2f}GB",
+                  flush=True)
+        assert len(counts_seen) == 1, f"verify changed the output: {counts_seen}"
+    # the directive's done-condition, asserted in-probe
+    assert dict(auto_rows)[min(sizes)] == "arrays", auto_rows
+    assert dict(auto_rows)[max(sizes)] == "counts", auto_rows
+    docs.unpersist()
+    new.unpersist()
+    lines = [
+        "",
+        "## LSH incremental-verify crossover sweep — calibrating verify='auto' (round 11)",
+        "",
+        "VERDICT r10 #2: incremental_minhash_pairs defaults to",
+        "verify='auto' — counts iff stored-index rows >=",
+        "AUTO_INCR_VERIFY_RATIO x batch rows (operators/dedup.py:",
+        "_auto_incremental_verify). This sweep calibrates the ratio:",
+        "fixed 5k batch, index size swept 20k..500k (ratios 4..100),",
+        "both modes timed same-session on the lshincr10 corpus; 'auto'",
+        "legs at the endpoints show the shipped decision (their wall",
+        "time INCLUDES the two count jobs the index_rows/batch_rows",
+        "hints would skip). Pair-set equality across modes asserted",
+        "in-probe. Regenerate: `python tools/stress_sf1.py lshincr11`.",
+        "",
+        "| index docs | ratio | verify | time (s) | pairs | shuffle write (GB) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, mode, picked, dt, n_pairs, gb in results:
+        label = mode if mode != "auto" else f"auto -> {picked}"
+        lines.append(
+            f"| {n:,} | {n // nb} | {label} | {dt:.1f} | {n_pairs:,} | {gb:.2f} |"
+        )
+    with open("SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended lshincr11 sweep to SCALING.md")
 
 
 def run_ivfpqserve10(spark) -> None:

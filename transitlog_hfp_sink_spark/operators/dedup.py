@@ -214,6 +214,51 @@ def _check_verify_mode(verify: str, threshold: float) -> None:
         )
 
 
+#: incremental_minhash_pairs verify='auto' crossover: counts iff the
+#: stored index holds at least this many docs per batch doc. Calibrated
+#: by the round-11 lshincr11 sweep (SCALING.md): at a fixed 5k batch the
+#: arrays verify stays ahead on wall through index/batch ratio 20
+#: (3.0 vs 3.7 s at 100k) and counts is ahead at ratio 100 on BOTH wall
+#: (4.5 vs 4.8 s) and shuffle (0.13 vs 0.22 GB — and the arrays side's
+#: shuffle is linear in index size, so past this point the gap only
+#: widens; counts' shuffle already matches arrays' by ratio 20). 50
+#: splits the measured wall-crossover bracket [20, 100] and keeps a
+#: 12x margin above the one point where arrays wins BIG (the round-10
+#: bench regression: 3.84x normalized at a 4k-doc index with a
+#: near-dup-DENSE 1k batch, ratio 4) — the margin absorbs the
+#: candidate-density term the rule cannot see (counts cost tracks
+#: candidate pairs, not batch rows; a denser batch moves the true
+#: crossover up). Production daily-ingest ratios grow without bound, so
+#: any threshold in the bracket converges on counts where it must.
+AUTO_INCR_VERIFY_RATIO = 50
+
+
+def _auto_incremental_verify(
+    threshold: float, index_rows: int, batch_rows: int
+) -> str:
+    """The cost-based verify decision for incremental_minhash_pairs
+    (round 11, VERDICT r10 #2), factored pure so both measured regimes
+    pin it in tests. Inputs are the two cheap observables: stored-index
+    row count vs ingest-batch row count.
+
+    - threshold <= 0: "arrays" unconditionally (the counts verify drops
+      zero-overlap pairs, so it is not output-preserving at t=0);
+    - index >= AUTO_INCR_VERIFY_RATIO x batch: "counts" — the arrays
+      verify ships the ENTIRE stored shingle table per batch (cost
+      linear in index size; lshincr10: not runnable per-batch at a
+      production index), while counts ships only the collision set;
+    - otherwise "arrays" — at small index/dense batch the counts path's
+      pairs x |A| token rows dominate (the round-10 3.84x bench
+      regression that reverted the first counts default)."""
+    if not threshold > 0:
+        return "arrays"
+    return (
+        "counts"
+        if index_rows >= AUTO_INCR_VERIFY_RATIO * max(batch_rows, 1)
+        else "arrays"
+    )
+
+
 def _verify_jaccard_pairs_counts(
     cands: DataFrame,
     shingles: DataFrame,
@@ -587,7 +632,9 @@ def incremental_minhash_pairs(
     seed: int = 7,
     hash_fn: str = "xxhash64",
     within_batch: bool = True,
-    verify: str = "arrays",
+    verify: str = "auto",
+    index_rows: int | None = None,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW ingest batch against a PERSISTED index
     (build_minhash_index) — the shape a 100 TB pipeline actually runs
@@ -615,13 +662,32 @@ def incremental_minhash_pairs(
     counts default at the sf0.1 point — 4k-doc index, 1k-doc near-dup-
     dense batch — as a 3.5x wall regression: counts ships |A| token
     rows per candidate pair, and with ~30x more pairs than batch docs
-    that dominates the small index's arrays). No lazy rule can see
-    index size vs candidate density up front, so the default stays
-    "arrays" and deployments whose index has outgrown their batches opt
-    into "counts".
+    that dominates the small index's arrays).
+
+    verify="auto" (the default since round 11, VERDICT r10 #2) decides
+    from the two cheap observables — stored-index rows vs batch rows
+    (_auto_incremental_verify; counts iff index >=
+    AUTO_INCR_VERIFY_RATIO x batch, calibrated by the lshincr11 sweep) —
+    so the daily-ingest deployment whose index has outgrown its batches
+    gets the counts plan without opting in, while the small-index/dense-
+    batch regime keeps arrays. Pass index_rows/batch_rows to skip the
+    two count jobs the decision otherwise runs (one metadata-cheap count
+    on a parquet-backed index; a persisted-index meta row count, the ANN
+    family's pattern, is the production source for the hint). Explicit
+    "arrays"/"counts" remain for deployments that have measured their
+    own regime.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    if verify == "auto":
+        if not threshold > 0:
+            verify = "arrays"
+        else:
+            if index_rows is None:
+                index_rows = index_shingles.count()
+            if batch_rows is None:
+                batch_rows = new_docs.count()
+            verify = _auto_incremental_verify(threshold, index_rows, batch_rows)
     _check_verify_mode(verify, threshold)
     new_sig = minhash_signatures(
         new_docs, text_col, id_col, num_perm, shingle_n, seed, hash_fn
