@@ -634,28 +634,99 @@ def materialize(df) -> None:
 #: and the known-contended one at 21%.
 CALIBRATION_DRIFT_LIMIT = 0.05
 
+#: the median-of-gated-windows protocol (round 11, VERDICT r10 #4):
+#: one gate-accepted window still carried an 18% same-code spread across
+#: sessions 1.5 h apart (SCALING.md round 10) — the MEDIAN over several
+#: accepted windows is the estimator that shrinks that error bar, and
+#: the per-query spread across windows is recorded so a cross-round
+#: delta can be read against the instrument's own noise instead of a
+#: prose band.
+TARGET_BENCH_WINDOWS = 3
+
 #: bounded so a persistently noisy host still produces a BENCH.json
-#: (lowest-drift attempt, drift recorded) instead of hanging the driver
-MAX_BENCH_ATTEMPTS = 3
+#: (whatever windows were accepted, else the lowest-drift rejected
+#: attempt, drift recorded) instead of hanging the driver
+MAX_BENCH_ATTEMPTS = 6
+
+
+def _median(vals: list) -> float:
+    import statistics
+
+    return round(float(statistics.median(vals)), 3)
+
+
+def merge_windows(windows: list[dict]) -> dict:
+    """Fold N gate-accepted measurement windows into ONE report whose
+    top-level numbers are per-query MEDIANS (round 11, VERDICT r10 #4) —
+    the same keys a single-window report carried, so
+    tools/bench_normalize.py consumes the medians unchanged. The full
+    per-window detail rides along under "windows", and every median
+    carries its relative spread ((max-min)/median across windows) in
+    *_spread so a cross-round delta can be judged against the
+    instrument's own error bar."""
+    merged = dict(windows[-1])  # template: non-timing fields are shared
+
+    def med_map(key: str) -> tuple[dict, dict]:
+        meds, spreads = {}, {}
+        for q in windows[0][key]:
+            vals = [w[key][q] for w in windows]
+            m = _median(vals)
+            meds[q] = m
+            spreads[q] = round((max(vals) - min(vals)) / m, 3) if m > 0 else 0.0
+        return meds, spreads
+
+    merged["queries"], merged["queries_spread"] = med_map("queries")
+    merged["tpch_queries"], merged["tpch_queries_spread"] = med_map(
+        "tpch_queries"
+    )
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    merged["tpch_22_shapes_total_s"] = round(
+        sum(merged["tpch_queries"].values()), 3
+    )
+    for k in ("hfp_transform_rows_per_s", "hfp_streaming_pipeline_rows_per_s"):
+        merged[k] = int(_median([w[k] for w in windows]))
+    for k in ("hfp_transform_rows_per_s_band", "hfp_streaming_rows_per_s_band"):
+        merged[k] = [
+            min(w[k][0] for w in windows), max(w[k][1] for w in windows)
+        ]
+    for k in ("calibration_s", "calibration_end_s", "calibration_drift"):
+        merged[k] = _median([w[k] for w in windows])
+    spreads = [s for s in merged["queries_spread"].values()]
+    merged["median_query_spread"] = _median(spreads) if spreads else 0.0
+    merged["window_count"] = len(windows)
+    merged["timing"] = (
+        f"median-of-{len(windows)} gated windows; "
+        f"per-window {windows[0]['timing']}"
+    )
+    merged["windows"] = [
+        {k: w[k] for k in (
+            "bench_attempt", "value", "queries", "tpch_queries",
+            "tpch_22_shapes_total_s", "calibration_s", "calibration_end_s",
+            "calibration_drift", "hfp_transform_rows_per_s",
+            "hfp_streaming_pipeline_rows_per_s",
+        )}
+        for w in windows
+    ]
+    return merged
 
 
 def main() -> None:
     from transitlog_hfp_sink_spark.session import build_session
     from transitlog_hfp_sink_spark.queries import queries as all_queries
 
-    # calibration-gated measurement (round 10, VERDICT r9 #3): reject —
-    # i.e. re-run, up to MAX_BENCH_ATTEMPTS — any session whose start/end
-    # fixed-work calibrations disagree by more than the drift limit; keep
-    # the lowest-drift attempt and record every attempt's calibration
-    # pair, so cross-round comparisons normalize by a measured host speed
-    # (tools/bench_normalize.py) instead of a prose band argument.
-    # Each attempt runs in a FRESH SparkSession: a retry measured inside
-    # a JVM that already ground through a full suite (aged heap, GC and
-    # code-cache state, accumulated shuffle dirs) is not the same
-    # instrument — the first gated run's attempt 2 showed broad
-    # unexplained inflation on untouched queries until sessions were
-    # isolated.
+    # median-of-gated-windows measurement (round 11, VERDICT r10 #4, on
+    # top of the round-10 calibration gate): run fresh-session windows
+    # until TARGET_BENCH_WINDOWS pass the <=5% start/end calibration-
+    # drift gate (rejected windows re-run, MAX_BENCH_ATTEMPTS total);
+    # report per-query MEDIANS across the accepted windows plus each
+    # query's cross-window spread. Each attempt runs in a FRESH
+    # SparkSession: a retry measured inside a JVM that already ground
+    # through a full suite (aged heap, GC and code-cache state,
+    # accumulated shuffle dirs) is not the same instrument — the first
+    # gated run's attempt 2 showed broad unexplained inflation on
+    # untouched queries until sessions were isolated (round 10).
     attempts: list[dict] = []
+    accepted: list[dict] = []
     for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
         spark = build_session(
             app_name="bench", master=f"local[{CPUS}]",
@@ -673,18 +744,27 @@ def main() -> None:
         full["bench_attempt"] = attempt
         attempts.append(full)
         if full["calibration_drift"] <= CALIBRATION_DRIFT_LIMIT:
-            break
-        print(
-            f"bench attempt {attempt}: calibration drift "
-            f"{full['calibration_drift']:.3f} > {CALIBRATION_DRIFT_LIMIT} "
-            "(unstable window) — re-running in a fresh session",
-            file=sys.stderr, flush=True,
-        )
-    full = min(attempts, key=lambda a: a["calibration_drift"])
+            accepted.append(full)
+            if len(accepted) >= TARGET_BENCH_WINDOWS:
+                break
+        else:
+            print(
+                f"bench attempt {attempt}: calibration drift "
+                f"{full['calibration_drift']:.3f} > {CALIBRATION_DRIFT_LIMIT} "
+                "(unstable window) — re-running in a fresh session",
+                file=sys.stderr, flush=True,
+            )
+    if not accepted:
+        # persistently noisy host: fall back to the least-bad window and
+        # say so — the drift number in the report flags it
+        accepted = [min(attempts, key=lambda a: a["calibration_drift"])]
+        accepted[0]["gate_fallback"] = True
+    full = merge_windows(accepted)
     full["calibration_attempts"] = [
         {"attempt": a["bench_attempt"], "calibration_s": a["calibration_s"],
          "calibration_end_s": a["calibration_end_s"],
-         "calibration_drift": a["calibration_drift"]}
+         "calibration_drift": a["calibration_drift"],
+         "accepted": a["calibration_drift"] <= CALIBRATION_DRIFT_LIMIT}
         for a in attempts
     ]
     _write_report(full)
@@ -892,7 +972,8 @@ def _write_report(full: dict) -> None:
     compact = {
         k: v
         for k, v in full.items()
-        if k not in ("tpch_queries", "timing_notes", "calibration_attempts")
+        if k not in ("tpch_queries", "timing_notes", "calibration_attempts",
+                     "windows", "queries_spread", "tpch_queries_spread")
     }
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["detail_file"] = "BENCH.json"

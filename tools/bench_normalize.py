@@ -69,15 +69,24 @@ def main() -> int:
         return 2
     host_ratio = cal_new / cal_old
     common = sorted(set(old["queries"]) & set(new["queries"]))
+    # round 11: median-of-windows BENCH files carry per-query cross-window
+    # spreads — shown as ± columns so a delta reads against the
+    # instrument's own error bar, and a normalized ratio whose deviation
+    # is inside the combined spread is not flagged
+    sp_old = old.get("queries_spread", {})
+    sp_new = new.get("queries_spread", {})
     rows = []
     for q in common:
         t_old, t_new = float(old["queries"][q]), float(new["queries"][q])
         if t_old <= 0:
             continue
         raw = t_new / t_old
-        rows.append((q, t_old, t_new, raw, raw / host_ratio))
+        err = float(sp_old.get(q, 0.0)) + float(sp_new.get(q, 0.0))
+        rows.append((q, t_old, t_new, raw, raw / host_ratio, err))
     rows.sort(key=lambda r: -r[4])
-    flagged = [r for r in rows if abs(r[4] - 1.0) > threshold]
+    flagged = [
+        r for r in rows if abs(r[4] - 1.0) > max(threshold, r[5] / 2)
+    ]
 
     def _drift(b: dict) -> str:
         d = b.get("calibration_drift")
@@ -95,14 +104,24 @@ def main() -> int:
     print(f"{len(rows)} common queries: raw total {tot_old:.2f}→"
           f"{tot_new:.2f} s ({tot_new / tot_old:.3f}x raw, "
           f"{tot_new / tot_old / host_ratio:.3f}x normalized); "
-          f"{len(flagged)} outside ±{threshold:.0%} normalized")
+          f"{len(flagged)} outside ±{threshold:.0%} normalized "
+          "(and outside the windows' own spread)")
+    have_spread = bool(sp_old or sp_new)
     print()
-    print("| query | old (s) | new (s) | raw ratio | normalized ratio |")
-    print("|---|---|---|---|---|")
-    for q, t_old, t_new, raw, norm in rows:
-        mark = " **" if abs(norm - 1.0) > threshold else " "
+    if have_spread:
+        print("| query | old (s) | new (s) | raw ratio "
+              "| normalized ratio | window spread (old+new) |")
+        print("|---|---|---|---|---|---|")
+    else:
+        print("| query | old (s) | new (s) | raw ratio | normalized ratio |")
+        print("|---|---|---|---|---|")
+    for q, t_old, t_new, raw, norm, err in rows:
+        mark = (
+            " **" if abs(norm - 1.0) > max(threshold, err / 2) else " "
+        )
+        tail = f" ±{err:.0%} |" if have_spread else ""
         print(f"| {q}{mark.rstrip()} | {t_old:.2f} | {t_new:.2f} "
-              f"| {raw:.2f} | {norm:.2f} |")
+              f"| {raw:.2f} | {norm:.2f} |{tail}")
     return 0
 
 
