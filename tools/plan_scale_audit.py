@@ -63,6 +63,72 @@ def fmt(fp: dict[str, int]) -> str:
     return " ".join(f"{short[k]}={v}" for k, v in fp.items() if v)
 
 
+def serve_fingerprints(spark, sf_dir: str, tag: str) -> dict[str, dict]:
+    """Round 11 (VERDICT r10 #7): the three persisted-index SERVE paths
+    construct their plans outside the registry set — build a real layout
+    of each kind over `sf_dir`'s corpus and fingerprint the served plan,
+    so the scale audit covers them like everything else. Layouts are
+    built fresh per scale in /tmp (build cost is not what's audited;
+    plan SHAPE is)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from transitlog_hfp_sink_spark.operators.search import (
+        build_postings,
+        bm25_serve,
+        write_postings_index,
+    )
+    from transitlog_hfp_sink_spark.operators.serving import (
+        SERVING_META_VERSION,
+        fs_write_json,
+        list_partition_keys,
+        write_epoch_marker,
+    )
+    from transitlog_hfp_sink_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_serve,
+        ivfpq_serve,
+        write_ivfpq_index,
+    )
+    from transitlog_hfp_sink_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
+    base = tempfile.mkdtemp(prefix=f"serve-audit-{tag}-")
+
+    postings, doclens = build_postings(docs)
+    write_postings_index(postings, doclens, f"{base}/bm", n_buckets=1024)
+    served_bm = bm25_serve(spark, f"{base}/bm", [(1, "apple banana")], topk=5)
+
+    cents = ivf_centroids(emb, n_lists=32, max_iter=3)
+    index = ivf_assign(emb, cents)
+    index.repartition("list_id").write.partitionBy("list_id").parquet(
+        f"{base}/ivf/ivf_assign"
+    )
+    lists = list_partition_keys(spark, f"{base}/ivf/ivf_assign", "list_id")
+    epoch = write_epoch_marker(spark, f"{base}/ivf/ivf_assign")
+    fs_write_json(
+        spark, f"{base}/ivf/centroids.json",
+        {"format_version": SERVING_META_VERSION, "n_lists": 32,
+         "vec_col": "embedding", "centroids": cents, "lists": lists,
+         "id_col": "vec_id", "id_type": dict(index.dtypes)["vec_id"],
+         "epoch": epoch},
+    )
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    served_ivf = ivf_serve(spark, f"{base}/ivf", queries, k=3, nprobe=2)
+
+    write_ivfpq_index(emb, f"{base}/pq", n_lists=32, m=4, k=16)
+    served_pq = ivfpq_serve(spark, f"{base}/pq", queries, k=3, nprobe=2)
+
+    return {
+        "bm25_serve": fingerprint(served_bm),
+        "ivf_serve": fingerprint(served_ivf),
+        "ivfpq_serve": fingerprint(served_pq),
+    }
+
+
 def main() -> None:
     import tools.stress_sf1 as s
     from bench import bench_overrides
@@ -153,9 +219,42 @@ def main() -> None:
     ]
     for name, a, b, _ in rows:
         lines.append(f"| {name} | `{a}` | {'same' if b == 'same' else f'`{b}`'} |")
+
+    # serve-path section (round 11, VERDICT r10 #7): real layouts of all
+    # three index kinds built per scale, served plans fingerprinted under
+    # the same gate (no cartesian; sf1 may not introduce a nested loop)
+    sv01 = serve_fingerprints(spark, "/root/testdata/sf0.1", "sf01")
+    sv1 = serve_fingerprints(spark, s.DST, "sf1")
+    lines += [
+        "",
+        "Serve paths (persisted-index layouts built per scale; the plans",
+        "bm25_serve / ivf_serve / ivfpq_serve construct outside the",
+        "registry set — probed-path reads + broadcast query sides):",
+        "",
+        "| serve path | fingerprint @ sf0.1 | @ sf1 |",
+        "|---|---|---|",
+    ]
+    n_serve_same = 0
+    for name in sv01:
+        same = sv01[name] == sv1[name]
+        n_serve_same += same
+        if (
+            sv01[name]["CartesianProduct"] or sv1[name]["CartesianProduct"]
+            or sv1[name]["BroadcastNestedLoopJoin"]
+            > sv01[name]["BroadcastNestedLoopJoin"]
+        ):
+            raise SystemExit(f"cartesian/nested-loop in serve path {name}")
+        lines.append(
+            f"| {name} | `{fmt(sv01[name])}` | "
+            f"{'same' if same else f'`{fmt(sv1[name])}`'} |"
+        )
+        print(f"serve:{name}",
+              "SAME" if same else f"DIFF {fmt(sv01[name])} -> {fmt(sv1[name])}",
+              flush=True)
     with open("PLANS.md", "a") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"appended plan scale audit to PLANS.md ({n_same}/{len(rows)} identical)")
+    print(f"appended plan scale audit to PLANS.md ({n_same}/{len(rows)} "
+          f"identical; serve paths {n_serve_same}/{len(sv01)} identical)")
 
 
 if __name__ == "__main__":
