@@ -436,7 +436,11 @@ def bm25_serve(
     between index kinds; a pre-round-9 layout (no manifest in meta)
     takes the helper's fallback — ONE root listing reconstructs it
     (previously a root read + IN filter; result-identical, and the
-    fallback behavior is now uniform across all three index kinds)."""
+    fallback behavior is now uniform across all three index kinds).
+    discovery: the manifest-vs-root read stance, resolved by
+    measurement in round 11 (VERDICT r10 #3) — see
+    serving.pruned_partition_read; 'auto' (default) takes manifest
+    paths at every size."""
     from transitlog_hfp_sink_spark.operators.serving import (
         check_index_epoch,
         pruned_partition_read,
