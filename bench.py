@@ -710,37 +710,74 @@ def merge_windows(windows: list[dict]) -> dict:
     return merged
 
 
-def main() -> None:
+def _run_one_window(out_path: str) -> None:
+    """Child-process entry (`bench.py --one-window <path>`): run exactly
+    one measurement window in this fresh JVM and dump the full payload
+    as JSON. Exists so every window gets a genuinely new process — see
+    main()."""
     from transitlog_hfp_sink_spark.session import build_session
     from transitlog_hfp_sink_spark.queries import queries as all_queries
 
+    spark = build_session(
+        app_name="bench", master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        # keep stdout clean: the driver's tail capture is ~2000 chars
+        # and the \r progress bars were eating it (BENCH_r03: null)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # warm the JVM/codegen once with a trivial job
+    spark.range(1000).count()
+    full = measure_suite(spark, all_queries())
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump(full, f)
+
+
+def main() -> None:
+    import subprocess
+    import tempfile
+
     # median-of-gated-windows measurement (round 11, VERDICT r10 #4, on
-    # top of the round-10 calibration gate): run fresh-session windows
-    # until TARGET_BENCH_WINDOWS pass the <=5% start/end calibration-
-    # drift gate (rejected windows re-run, MAX_BENCH_ATTEMPTS total);
-    # report per-query MEDIANS across the accepted windows plus each
-    # query's cross-window spread. Each attempt runs in a FRESH
-    # SparkSession: a retry measured inside a JVM that already ground
-    # through a full suite (aged heap, GC and code-cache state,
-    # accumulated shuffle dirs) is not the same instrument — the first
-    # gated run's attempt 2 showed broad unexplained inflation on
-    # untouched queries until sessions were isolated (round 10).
+    # top of the round-10 calibration gate): run isolated windows until
+    # TARGET_BENCH_WINDOWS pass the <=5% start/end calibration-drift
+    # gate (rejected windows re-run, MAX_BENCH_ATTEMPTS total); report
+    # per-query MEDIANS across the accepted windows plus each query's
+    # cross-window spread.
+    #
+    # Each window runs in a FRESH SUBPROCESS, not just a fresh
+    # SparkSession: PySpark's JVM gateway outlives spark.stop(), so
+    # same-process retries re-measure inside a JVM that already ground
+    # through full suites — aged heap/GC/code-cache state the
+    # allocation-free calibration loop is BLIND to. Round 10 found the
+    # session-level form of this artifact (broad inflation on untouched
+    # queries inside one reused session); the first windowed run found
+    # the process-level remainder: accepted-window headline totals rose
+    # monotonically with attempt number (41.2 -> 44.1 -> 48.1 s) while
+    # their calibrations stayed flat (0.609/0.590/0.616). A subprocess
+    # per window makes windows exchangeable instead of age-ordered.
     attempts: list[dict] = []
     accepted: list[dict] = []
     for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
-        spark = build_session(
-            app_name="bench", master=f"local[{CPUS}]",
-            shuffle_partitions=int(CPUS),
-            # keep stdout clean: the driver's tail capture is ~2000 chars
-            # and the \r progress bars were eating it (BENCH_r03: null)
-            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        with tempfile.NamedTemporaryFile(
+            mode="r", suffix=".json", prefix="bench-window-", delete=False
+        ) as tf:
+            out_path = tf.name
+        # child stdout -> our stderr: the parent's stdout contract is
+        # ONE JSON line, printed last by _write_report
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-window",
+             out_path],
+            stdout=sys.stderr, stderr=sys.stderr,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        # warm the JVM/codegen once with a trivial job
-        spark.range(1000).count()
-        full = measure_suite(spark, all_queries())
-        spark.stop()
-        # a stopped session leaves the JVM's SparkContext gone; the next
-        # build_session call starts a clean one in this same process
+        if proc.returncode != 0:
+            print(f"bench attempt {attempt}: window subprocess failed "
+                  f"(rc={proc.returncode}) — retrying",
+                  file=sys.stderr, flush=True)
+            continue
+        with open(out_path) as f:
+            full = json.load(f)
+        os.unlink(out_path)
         full["bench_attempt"] = attempt
         attempts.append(full)
         if full["calibration_drift"] <= CALIBRATION_DRIFT_LIMIT:
@@ -751,12 +788,15 @@ def main() -> None:
             print(
                 f"bench attempt {attempt}: calibration drift "
                 f"{full['calibration_drift']:.3f} > {CALIBRATION_DRIFT_LIMIT} "
-                "(unstable window) — re-running in a fresh session",
+                "(unstable window) — re-running in a fresh process",
                 file=sys.stderr, flush=True,
             )
     if not accepted:
-        # persistently noisy host: fall back to the least-bad window and
-        # say so — the drift number in the report flags it
+        # persistently noisy host (or every subprocess failed): fall
+        # back to the least-bad window and say so — the drift number in
+        # the report flags it
+        if not attempts:
+            raise SystemExit("bench: every window subprocess failed")
         accepted = [min(attempts, key=lambda a: a["calibration_drift"])]
         accepted[0]["gate_fallback"] = True
     full = merge_windows(accepted)
@@ -990,4 +1030,7 @@ def _write_report(full: dict) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one-window":
+        _run_one_window(sys.argv[2])
+    else:
+        main()
