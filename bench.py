@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from transitlog_hfp_sink_spark.functions.localrel import values_df
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -101,7 +103,7 @@ def _bm25_postings_query():
             postings.write.parquet(d + "/postings")
             doclens.write.parquet(d + "/doclens")
             state[sf_dir] = d
-        qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
+        qdf = values_df(spark, BM25_QUERIES, "query_id int, qtext string")
         query_terms = qdf.select(
             "query_id",
             F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),
@@ -146,7 +148,7 @@ def _hybrid_postings_query():
             postings.write.parquet(d + "/postings")
             doclens.write.parquet(d + "/doclens")
             state[sf_dir] = d
-        qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
+        qdf = values_df(spark, BM25_QUERIES, "query_id int, qtext string")
         query_terms = qdf.select(
             "query_id",
             F.explode(F.array_distinct(search_tokens("qtext"))).alias("term"),

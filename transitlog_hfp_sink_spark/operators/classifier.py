@@ -84,6 +84,12 @@ def train_nb_classifier(
         docs, text_col, num_features, salt,
         (F.col(label_col) == positive).alias("__pos"),
     )
+    # result-identity filter (feature = pmod(md5(..)) over never-NULL
+    # tokens): nb_score's broadcast weights join infers IsNotNull(feature)
+    # on this subtree; stating it here keeps the tot/weights/unseen_w
+    # branches' exchanges canonically equal so the tokenize+hash partial
+    # count runs once per execution (the lm.py reuse idiom, guide §2.4)
+    feats = feats.where(F.col("feature").isNotNull())
     cnt = feats.groupBy("feature").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("c_neg"),
@@ -111,8 +117,15 @@ def train_nb_classifier(
 
 def _unseen_w(weights: DataFrame, num_features: int, k: float) -> DataFrame:
     """Log-odds of a feature bucket with zero training occurrences, as a
-    1-row DataFrame (keeps the scoring plan driver-free)."""
-    return weights.select("t_pos", "t_neg").limit(1).select(
+    1-row DataFrame (keeps the scoring plan driver-free). The c_pos/c_neg
+    filter is a result identity (conditional sums are never negative or
+    NULL here) that pins this limit branch's partial aggregate to the
+    model branch's shape so they share one exchange — the oov_logp reuse
+    idiom (operators/lm.py, guide §2.4); without it the branch re-runs
+    the tokenize+hash pass with a DISTINCT-shaped partial."""
+    return weights.where(
+        (F.col("c_pos") >= 0) & (F.col("c_neg") >= 0)
+    ).select("t_pos", "t_neg").limit(1).select(
         (
             F.log(k / (F.col("t_pos") + k * num_features))
             - F.log(k / (F.col("t_neg") + k * num_features))

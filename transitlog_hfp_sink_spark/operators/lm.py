@@ -42,6 +42,11 @@ def train_unigram_lm(
     toks = docs.select(
         F.explode(F.split(normalize_text(text_col), " ")).alias("term")
     )
+    # identity filter, same reuse rationale as train_bigram_lm: lm_score's
+    # broadcast model join infers IsNotNull(term) on this subtree; stating
+    # it here keeps the stats and model branches' exchanges canonically
+    # equal so the tokenize+count map side runs once per execution
+    toks = toks.where(F.col("term").isNotNull())
     cnt = toks.groupBy("term").agg(F.count("*").alias("c"))
     stats = cnt.agg(
         F.sum("c").alias("total"), F.count("*").alias("v")
@@ -57,8 +62,17 @@ def train_unigram_lm(
 
 def oov_logp(lm: DataFrame, k: float = SMOOTH_K):
     """The smoothed log-prob of an unseen token, as a 1-row DataFrame
-    (keeps the whole plan driver-free)."""
-    return lm.select("total", "v").limit(1).select(
+    (keeps the whole plan driver-free).
+
+    The `c >= 0` filter is a result identity (c = count(*) >= 1): without
+    it, column pruning rewrites this limit branch's copy of the term
+    aggregation into a DISTINCT-shaped partial (no count function), the
+    branch stops sharing the model's exchange, and the corpus is
+    tokenized a THIRD time per scoring run just to read total/v
+    (measured round 11: a 13-14 core-s stage at sf0.1). Referencing c
+    keeps the partial aggregate identical so ReuseExchange folds the
+    branch into the model's map work (guide §2.4)."""
+    return lm.where(F.col("c") >= 0).select("total", "v").limit(1).select(
         F.log(k / (F.col("total") + k * F.col("v"))).alias("oov_logp")
     )
 
@@ -135,6 +149,14 @@ def train_bigram_lm(
     are ~100s of MB; beyond that, drop the hint and the term join
     degrades to a shuffle join)."""
     bi = _doc_bigrams(docs, text_col, id_col)
+    # result-identity filter (split() tokens are never NULL): the score
+    # join later infers exactly this IsNotNull on its broadcast build
+    # side, and without it here the pairs/hist branches' exchanges stop
+    # being canonically equal — the bigram explode+partial-count map side
+    # then runs TWICE per execution (measured round 11: two 8.7-10.5
+    # core-s stages -> one; 2.52 s -> 1.84 s wall at sf0.1). Stating the
+    # filter once makes every consumer share one exchange (guide §2.4).
+    bi = bi.where(F.col("prev").isNotNull() & F.col("term").isNotNull())
     pairs = bi.groupBy("prev", "term").agg(F.count("*").alias("c2"))
     hist = pairs.groupBy("prev").agg(F.sum("c2").alias("c1h"))
     vstat = (

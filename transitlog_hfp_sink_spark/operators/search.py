@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.functions.localrel import values_df
 
 #: BM25 parameters (Robertson/Sparck Jones defaults, Lucene-compatible)
 K1 = 1.2
@@ -184,7 +185,7 @@ def bm25_search(
     queries: [(query_id, query_text)]. Query text goes through the same
     normalize/tokenize as the corpus."""
     spark = SparkSession.getActiveSession()
-    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    qdf = values_df(spark, queries, "query_id int, qtext string")
     query_terms = qdf.select(
         "query_id", F.explode(F.array_distinct(search_tokens("qtext"))).alias("term")
     )
@@ -207,6 +208,15 @@ def bm25_search(
     tf = matched.groupBy("query_id", "term", "doc_id").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
+    # result-identity filter (tf = count(*) >= 1; dl = size(tokens), never
+    # NULL here) that references BOTH aggregate outputs: without it the
+    # dfreq branch prunes tf/dl out of its partial aggregate, the two
+    # branches' exchanges stop being canonically equal, and the
+    # tokenize+explode map side runs TWICE per execution (measured: the
+    # two ~9-11 core-s stages in the round-11 profile). Pinning the
+    # partial-aggregate column set makes ReuseExchange fire, so the
+    # corpus-sized map work runs once (guide §2.4).
+    tf = tf.where((F.col("tf") > 0) & F.col("dl").isNotNull())
     dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), on="term")
@@ -460,7 +470,7 @@ def bm25_serve(
         spark, meta_doc.get("epoch"), f"{path}/postings", "bm25_serve"
     )
     n_buckets = int(meta["n_buckets"])
-    qdf = spark.createDataFrame(queries, "query_id int, qtext string")
+    qdf = values_df(spark, queries, "query_id int, qtext string")
     query_terms = qdf.select(
         "query_id", F.explode(F.array_distinct(search_tokens("qtext"))).alias("term")
     )

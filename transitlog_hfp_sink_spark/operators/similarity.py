@@ -26,6 +26,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from transitlog_hfp_sink_spark.functions.localrel import values_df
+
 
 #: prune_lists="auto" threshold (VERDICT r8 #5): serving-path list
 #: pruning pays a driver collect of the query batch, so auto prunes only
@@ -502,9 +504,10 @@ def ivf_topk(
             qid_type = dict(
                 queries.select(F.col(query_id_col).alias("query_id")).dtypes
             )["query_id"]
-            queries = index.sparkSession.createDataFrame(
+            queries = values_df(
+                index.sparkSession,
                 [(r["query_id"], list(r["__qv"])) for r in qrows],
-                schema=f"`{query_id_col}` {qid_type}, `{vec_col}` array<double>",
+                f"`{query_id_col}` {qid_type}, `{vec_col}` array<double>",
             )
     else:
         c = corpus.select(
@@ -586,9 +589,10 @@ def _ann_serve_prepare(
     )
     if index is None:
         return None, None, qid_type
-    rebuilt = spark.createDataFrame(
+    rebuilt = values_df(
+        spark,
         [(r["query_id"], list(r["__qv"])) for r in qrows],
-        schema=f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
+        f"`{query_id_col}` {qid_type}, `{vcol}` array<double>",
     )
     return index, rebuilt, qid_type
 
@@ -1369,8 +1373,9 @@ def pq_adc_topk(
     qid_type = dict(
         queries.select(F.col(query_id_col).alias("query_id")).dtypes
     )["query_id"]
-    q = corpus_codes.sparkSession.createDataFrame(
-        data, schema=f"query_id {qid_type}, __tabs array<array<double>>"
+    q = values_df(
+        corpus_codes.sparkSession, data,
+        f"query_id {qid_type}, __tabs array<array<double>>",
     )
     c = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "codes")
     scored = c.join(
@@ -1663,9 +1668,9 @@ def ivfpq_topk(
     qid_type = dict(
         queries.select(F.col(query_id_col).alias("query_id")).dtypes
     )["query_id"]
-    q3 = index.sparkSession.createDataFrame(
-        data,
-        schema=f"query_id {qid_type}, list_id int, __tabs array<array<double>>",
+    q3 = values_df(
+        index.sparkSession, data,
+        f"query_id {qid_type}, list_id int, __tabs array<array<double>>",
     )
     c = index.select(F.col(id_col).alias("neighbor_id"), "list_id", "codes")
     # the probed-list union is already known locally — push it as a static
