@@ -523,9 +523,18 @@ def bench_overrides():
         sigs = trajectory_signatures(
             v, "unique_vehicle_id", ("tst", "jrn"), "lat", "long", m=8
         )
-        queries = sigs.where(F.substring("id", -1, 1) == "0").select(
-            F.col("id").alias("query_id"), "sig"
-        )
+        # the `| size(sig) < -100` disjunct is a result identity (size()
+        # of the non-null signature array is >= 0) that references the
+        # aggregate output, so the query-id predicate cannot be split
+        # and pushed below the signature aggregation: without it the
+        # filter reaches the SCAN and the query side re-runs the whole
+        # synth+window+aggregate pipeline (round-11 profile: 10 stages,
+        # 1.5 s wall for 1.7 core-s — pure stage latency). Pinned above
+        # the agg, ReuseExchange folds the query side into the corpus
+        # side's exchange (guide §2.4); results row-identical (verified).
+        queries = sigs.where(
+            (F.substring("id", -1, 1) == "0") | (F.size("sig") < -100)
+        ).select(F.col("id").alias("query_id"), "sig")
         return trajectory_topk(sigs, queries, k=3)
 
     def _corpus_profile(spark, sf_dir):

@@ -33,6 +33,18 @@ TABLES = (
 )
 
 
+#: analyzed-plan memo (round 11): spark.read.parquet lists the directory
+#: and reads the footer schema on the DRIVER every call, and the widen
+#: probe adds an .rdd round-trip — ~0.1-0.2 s of py4j per query BUILD for
+#: a plan that is identical every time (the driver testdata is
+#: read-only). Keyed by (appId, sf_dir, name, widen) and cleared when the
+#: session changes, exactly like queries/hfp.py's _SYNTH_CACHE (no
+#: tz-sensitive expressions here: the ts conversion is integer math +
+#: timestamp_micros). This memoizes a PLAN, never results — every
+#: execution still scans the parquet.
+_READ_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool = False
 ) -> DataFrame:
@@ -48,7 +60,19 @@ def read_table(
     cost dwarfs one small shuffle. Scan-light relational queries must
     NOT widen (measured: the extra exchange nearly doubled the TPC-H
     suite at sf0.1 for zero map-stage benefit).
+
+    Plans are memoized per (session, sf_dir, table, widen) — see
+    _READ_CACHE. Rewriting a table in place mid-session and re-reading
+    it through read_table would serve the stale file listing; the driver
+    testdata this function reads is immutable, and every other reader in
+    the engine goes through spark.read directly.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name, widen)
+    cached = _READ_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if _READ_CACHE and next(iter(_READ_CACHE))[0] != key[0]:
+        _READ_CACHE.clear()  # new session: drop plans bound to the old one
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,7 +85,9 @@ def read_table(
             )
     else:
         df = spark.read.parquet(path)
-    return _widen_small_scan(spark, df) if widen else df
+    out = _widen_small_scan(spark, df) if widen else df
+    _READ_CACHE[key] = out
+    return out
 
 
 def _widen_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
