@@ -477,7 +477,26 @@ def minhash_signatures(
 
     Docs with zero shingles (empty text) drop out — they cannot near-dup.
     """
-    exploded = shingle_frame(df, text_col, id_col, shingle_n).select(
+    return signatures_from_shingles(
+        shingle_frame(df, text_col, id_col, shingle_n), num_perm, seed, hash_fn
+    )
+
+
+def signatures_from_shingles(
+    sh: DataFrame,
+    num_perm: int = 64,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """minhash_signatures over an ALREADY-DERIVED (id, shingles) frame —
+    the sharing seam (round 11, guide §1.2: remove duplicated passes):
+    minhash_lsh_pairs / incremental_minhash_pairs need the shingle frame
+    TWICE, once hashed into signatures and once as the exact-Jaccard
+    verify side. Deriving signatures from the verify side's checkpointed
+    shingle frame makes the normalize->split->distinct corpus pass run
+    ONCE instead of twice; values are identical by construction (same
+    shingles in, same hash/permutation math)."""
+    exploded = sh.select(
         "id", F.explode(_hash31(F.col("shingles"), hash_fn)).alias("h")
     )
     # one F.expr per permutation instead of composed F calls: identical
@@ -558,7 +577,29 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     _check_verify_mode(verify, threshold)
 
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed, hash_fn)
+    # ONE shingle pass (round 11): the checkpointed verify-side shingle
+    # frame also feeds the signature sketch, so the corpus-wide
+    # normalize->split->distinct chain runs once instead of twice
+    # (before: the signature pipeline re-derived it from the raw scan —
+    # plans/r11/dedup_minhash_lsh_before.txt operators (1)-(9) vs the
+    # checkpoint job). Signature values are unchanged: same shingles in,
+    # same hash/permutation math.
+    #
+    # localCheckpoint, not cache(): the frame is read by the sketch and
+    # by both sides of the verify join; a CacheManager cache is never
+    # releasable from inside this lazy function (the consuming action is
+    # the caller's), and repeated invocation on the same plan spams
+    # "Asked to cache already cached data". Lazy local checkpoint
+    # materializes once at the first action, every consumer reads the
+    # blocks, and the ContextCleaner frees them on GC (VERDICT r6 #1).
+    # Trade, stated: lineage is truncated, so losing an executor mid-job
+    # fails the JOB (rerun) instead of recomputing the lost blocks — the
+    # same job-level-retry stance as cluster.py's iterative checkpoints;
+    # a deployment that must survive executor loss inside one dedup job
+    # should persist the index with build_minhash_index (parquet) and
+    # join against that.
+    sh = shingle_frame(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    sig = signatures_from_shingles(sh, num_perm, seed, hash_fn)
     banded = banded_keys(sig, num_perm, bands, hash_fn)
     cands = (
         banded.alias("a")
@@ -573,19 +614,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # localCheckpoint, not cache(): the shingle frame is read by both sides
-    # of the verify join; a CacheManager cache is never releasable from
-    # inside this lazy function (the consuming action is the caller's), and
-    # repeated invocation on the same plan spams "Asked to cache already
-    # cached data". Lazy local checkpoint materializes once at the first
-    # action, both join branches read the blocks, and the ContextCleaner
-    # frees them on GC (VERDICT r6 #1). Trade, stated: lineage is
-    # truncated, so losing an executor mid-join fails the JOB (rerun)
-    # instead of recomputing the lost blocks — the same job-level-retry
-    # stance as cluster.py's iterative checkpoints; a deployment that
-    # must survive executor loss inside one dedup job should persist the
-    # index with build_minhash_index (parquet) and join against that.
-    sh = shingle_frame(df, text_col, id_col, shingle_n).localCheckpoint(eager=False)
     if verify == "counts":
         return _verify_jaccard_pairs_counts(cands, sh, threshold)
     return _verify_jaccard_pairs(cands, sh, threshold)
@@ -689,9 +717,14 @@ def incremental_minhash_pairs(
                 batch_rows = new_docs.count()
             verify = _auto_incremental_verify(threshold, index_rows, batch_rows)
     _check_verify_mode(verify, threshold)
-    new_sig = minhash_signatures(
-        new_docs, text_col, id_col, num_perm, shingle_n, seed, hash_fn
-    )
+    # ONE batch shingle pass (round 11, same seam as minhash_lsh_pairs):
+    # the batch's shingle frame feeds both the signature sketch and the
+    # verify union below; checkpointing it runs the batch's
+    # normalize->split->distinct once. Values unchanged.
+    new_sh = shingle_frame(
+        new_docs, text_col, id_col, shingle_n
+    ).localCheckpoint(eager=False)
+    new_sig = signatures_from_shingles(new_sh, num_perm, seed, hash_fn)
     new_banded = banded_keys(new_sig, num_perm, bands, hash_fn)
     cross = (
         new_banded.alias("a")
@@ -724,7 +757,6 @@ def incremental_minhash_pairs(
         )
         cands = cands.unionByName(within)
     cands = cands.distinct()
-    new_sh = shingle_frame(new_docs, text_col, id_col, shingle_n)
     all_sh = index_shingles.unionByName(new_sh)
     if verify == "counts":
         return _verify_jaccard_pairs_counts(cands, all_sh, threshold)

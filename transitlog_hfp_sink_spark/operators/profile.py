@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 from transitlog_hfp_sink_spark.operators.dedup import normalize_text
 from transitlog_hfp_sink_spark.operators.textanalysis import (
-    quality_score,
+    STOPWORDS,
+    _quality_from_parts,
+    punct_ratio,
     whitespace_token_count,
 )
 
@@ -51,11 +53,37 @@ def corpus_profile(
     empty_doc_rate.
     """
     c = F.col(text_col)
-    staged = df.select(
+    # STAGED projection (round 11, guide §1.2/§4.2 analogue in pure
+    # expressions): the flat quality_score(c) + md5(normalize_text(c))
+    # select re-derives the regex-normalize chain ~7x and the word split
+    # ~6x per row, because higher-order-function lambdas carry unique
+    # variable ids that defeat codegen common-subexpression elimination
+    # (the exact trap textanalysis.analyze_documents documents, measured
+    # ~4x there). Materializing norm -> words -> wordlen/stopword as
+    # aliased columns makes each expensive derivation run ONCE per row;
+    # CollapseProject keeps the stages because every alias is non-cheap
+    # and multiply referenced. Same math from the same staged pieces —
+    # _quality_from_parts is the single shared rule set — so every
+    # output value is bit-identical to the flat form.
+    s1 = df.select(
         *[F.col(g) for g in group_cols],
+        c.alias(text_col),
+        normalize_text(c).alias("__norm"),
+    )
+    s2 = s1.select(
+        "*",
+        F.split(F.col("__norm"), " ").alias("__words"),
         whitespace_token_count(c).cast("bigint").alias("__nt"),
-        F.md5(normalize_text(c)).alias("__fp"),
-        quality_score(c).alias("__q"),
+    )
+    words = F.col("__words")
+    n_words = F.size(words)
+    wl = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
+    sw = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) / n_words
+    staged = s2.select(
+        *[F.col(g) for g in group_cols],
+        F.col("__nt"),
+        F.md5(F.col("__norm")).alias("__fp"),
+        _quality_from_parts(F.col("__nt"), wl, sw, punct_ratio(c)).alias("__q"),
     )
     n_distinct = (
         F.count_distinct(F.col("__fp"))

@@ -1060,7 +1060,21 @@ def semantic_dedup(
         if len(centroids) <= ASSIGN_ARROW_THRESHOLD
         else codebook_assign_arrow
     )
-    base = assign(df, centroids, id_col, vec_col, keep_vec=True)
+    # localCheckpoint (round 11, guide §1.2: remove duplicated passes):
+    # the assignment output feeds FOUR consumers — the cluster-size agg,
+    # both pair-join sides, and keep's anti-join left side — and only the
+    # two pair-join sides shuffle on the same key, so exchange reuse
+    # cannot fold the others: before this, the n*k distance kernel
+    # re-ran up to 4x per action (plans/r11/embedding_semdedup_before.txt
+    # shows the scan+assign subtree at operators (1), (16), (34), (41)).
+    # One lazy checkpoint materializes it once; every consumer reads the
+    # blocks. Same lifecycle/failure stance as minhash_lsh_pairs' shingle
+    # checkpoint (lazy, ContextCleaner-freed, job-level retry on executor
+    # loss). Values identical — checkpointing changes where rows are
+    # read from, not what they are.
+    base = assign(df, centroids, id_col, vec_col, keep_vec=True).localCheckpoint(
+        eager=False
+    )
     join_keys = ["cluster_id"]
     if max_cluster_rows is not None:
         # two shapes for the sub-split's cluster sizes, matched to the

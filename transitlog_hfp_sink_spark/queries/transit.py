@@ -151,7 +151,29 @@ def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_resets").cast("double").alias("v2"),
     )
     latest = spark.table("vehicles_latest")
-    latest_kin = latest.select(
+
+    # Exchange-reuse pin (round 11, guide §2.4 — same idiom as the
+    # round-11 reuse pins in operators/lm.py): latest_kin and latest_pos
+    # consume the SAME vehicles_latest aggregate, but per-branch column
+    # pruning trims its max_by list to 5 vs 3 functions, making the two
+    # partial-aggregate subtrees canonically unequal — each branch then
+    # re-sorts and re-aggregates the full 40-column dedup checkpoint
+    # (the two largest map stages of the round-11 profile: 5.9 + 4.7
+    # core-s of 37.4). A never-false predicate referencing the OTHER
+    # branch's columns keeps all 8 aggregate functions in both branches,
+    # so the sort+partial-agg+exchange is computed once and reused.
+    # coalesce(length(cast(c as string)), 0) > -1 is a result identity
+    # (length >= 0, null -> 0) the optimizer cannot fold away, and
+    # filters on aggregate outputs cannot push below the aggregate.
+    def _pin(*cols):
+        p = F.lit(True)
+        for c in cols:
+            p = p & (
+                F.coalesce(F.length(F.col(c).cast("string")), F.lit(0)) > -1
+            )
+        return p
+
+    latest_kin = latest.where(_pin("lat", "long")).select(
         F.lit("latest_kin").alias("leg"),
         F.col("unique_vehicle_id").alias("k1"),
         F.concat_ws("|", k("event_type"), k("route_id")).alias("k2"),
@@ -160,7 +182,7 @@ def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spd").alias("v1"),
         F.col("odo").alias("v2"),
     )
-    latest_pos = latest.select(
+    latest_pos = latest.where(_pin("event_type", "route_id", "spd", "odo")).select(
         F.lit("latest_pos").alias("leg"),
         F.col("unique_vehicle_id").alias("k1"),
         ns.alias("k2"),
