@@ -280,11 +280,18 @@ def bench_overrides():
 
     def _lm_unigram(spark, sf_dir):
         # unigram leg only (the registry entry now unions in the bigram
-        # model; keep this name's timing comparable across rounds)
-        from transitlog_hfp_sink_spark.operators.lm import lm_score, train_unigram_lm
+        # model; keep this name's timing comparable across rounds).
+        # Self-scoring composition: train + score share ONE checkpointed
+        # token frame (round 11, the q_lm_score seam) — same values.
+        from transitlog_hfp_sink_spark.operators.lm import (
+            doc_tokens,
+            lm_score_from_tokens,
+            train_unigram_from_tokens,
+        )
 
         docs = read_table(spark, sf_dir, "documents", widen=True)
-        return lm_score(docs, train_unigram_lm(docs, "text", k=0.5), "text", "doc_id", k=0.5)
+        toks = doc_tokens(docs, "text", "doc_id").localCheckpoint(eager=False)
+        return lm_score_from_tokens(toks, train_unigram_from_tokens(toks, k=0.5), k=0.5)
 
     _pq_state: dict = {}
 
@@ -434,15 +441,31 @@ def bench_overrides():
 
     def _nb_classifier(spark, sf_dir):
         # hashed-feature Naive-Bayes train + score (the registry's 'nb'
-        # leg of lm_score_documents, timed standalone)
+        # leg of lm_score_documents, timed standalone). Self-scoring
+        # composition: weights + score share ONE checkpointed hashed-
+        # feature frame (round 11, the q_lm_score seam) — same values.
         from transitlog_hfp_sink_spark.operators.classifier import (
-            nb_score,
-            train_nb_classifier,
+            hashed_feature,
+            nb_prior,
+            nb_score_from_features,
+            nb_weights_from_features,
         )
+        from transitlog_hfp_sink_spark.operators.lm import doc_tokens
 
         docs = read_table(spark, sf_dir, "documents", widen=True)
-        weights, prior = train_nb_classifier(docs, "text", "lang", "en")
-        return nb_score(docs, weights, prior)
+        feats = (
+            doc_tokens(docs, "text", "doc_id", extra_cols=("lang",))
+            .select(
+                "doc_id",
+                (F.col("lang") == "en").alias("__pos"),
+                hashed_feature(F.col("term"), 4096, "nbf").alias("feature"),
+            )
+            .where(F.col("feature").isNotNull())
+            .localCheckpoint(eager=False)
+        )
+        weights = nb_weights_from_features(feats, num_features=4096)
+        prior = nb_prior(docs, "lang", "en")
+        return nb_score_from_features(feats, weights, prior, num_features=4096)
 
     def _spans(spark, sf_dir):
         # duplicated-substring coverage (the 'span' leg of
@@ -454,11 +477,25 @@ def bench_overrides():
         return duplicated_window_stats(docs, "text", "doc_id", n=8)
 
     def _lm_bigram(spark, sf_dir):
-        from transitlog_hfp_sink_spark.operators.lm import bigram_score, train_bigram_lm
+        # Self-scoring composition: tables + score share ONE checkpointed
+        # bigram frame; the vocab stat derives from a checkpointed token
+        # frame instead of a third full tokenize (round 11, the
+        # q_lm_score seam) — same values.
+        from transitlog_hfp_sink_spark.operators.lm import (
+            _doc_bigrams,
+            bigram_score_from_bigrams,
+            bigram_tables_from_bigrams,
+            doc_tokens,
+            vocab_stat_from_tokens,
+        )
 
         docs = read_table(spark, sf_dir, "documents", widen=True)
-        pairs, hist, vstat = train_bigram_lm(docs, "text", "doc_id")
-        return bigram_score(docs, pairs, hist, vstat, "text", "doc_id", k=0.5)
+        bi = _doc_bigrams(docs, "text", "doc_id").localCheckpoint(eager=False)
+        pairs, hist = bigram_tables_from_bigrams(bi)
+        # vstat keeps its own single tokenize pass (one consumer — a
+        # checkpoint would add block-write cost for zero sharing)
+        vstat = vocab_stat_from_tokens(doc_tokens(docs, "text", "doc_id"))
+        return bigram_score_from_bigrams(bi, pairs, hist, vstat, k=0.5)
 
     def _text_quality_classic(spark, sf_dir):
         # pre-round-3 projection (no C4/Gopher structural columns) so the

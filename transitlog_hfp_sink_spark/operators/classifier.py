@@ -84,18 +84,32 @@ def train_nb_classifier(
         docs, text_col, num_features, salt,
         (F.col(label_col) == positive).alias("__pos"),
     )
+    weights = nb_weights_from_features(feats, num_features, k)
+    prior = nb_prior(docs, label_col, positive, k)
+    return weights, prior
+
+
+def nb_weights_from_features(
+    feats: DataFrame, num_features: int = 4096, k: float = SMOOTH_K
+) -> DataFrame:
+    """The weights table over an ALREADY-DERIVED (__pos, feature) frame —
+    the self-scoring seam (round 11, the lm.doc_tokens idiom): q_lm_score
+    and the bench nb leg lazily localCheckpoint one hashed-feature frame
+    carrying (doc_id, __pos, feature) and feed it to both training and
+    scoring, so the corpus-wide tokenize+hash runs once per execution.
+    Value-identical to the docs form: same features in, same counts."""
     # result-identity filter (feature = pmod(md5(..)) over never-NULL
     # tokens): nb_score's broadcast weights join infers IsNotNull(feature)
     # on this subtree; stating it here keeps the tot/weights/unseen_w
     # branches' exchanges canonically equal so the tokenize+hash partial
     # count runs once per execution (the lm.py reuse idiom, guide §2.4)
-    feats = feats.where(F.col("feature").isNotNull())
+    feats = feats.select("__pos", "feature").where(F.col("feature").isNotNull())
     cnt = feats.groupBy("feature").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("c_neg"),
     )
     tot = cnt.agg(F.sum("c_pos").alias("t_pos"), F.sum("c_neg").alias("t_neg"))
-    weights = cnt.crossJoin(F.broadcast(tot)).select(
+    return cnt.crossJoin(F.broadcast(tot)).select(
         "feature",
         "c_pos",
         "c_neg",
@@ -106,13 +120,21 @@ def train_nb_classifier(
             - F.log((F.col("c_neg") + k) / (F.col("t_neg") + k * num_features))
         ).alias("w"),
     )
-    prior = docs.agg(
+
+
+def nb_prior(
+    docs: DataFrame,
+    label_col: str = "lang",
+    positive: str = "en",
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """The 1-row class prior (a label-column scan, no tokenize)."""
+    return docs.agg(
         F.sum(F.when(F.col(label_col) == positive, 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col(label_col) != positive, 1).otherwise(0)).alias("n_neg"),
     ).select(
         (F.log(F.col("n_pos") + k) - F.log(F.col("n_neg") + k)).alias("prior")
     )
-    return weights, prior
 
 
 def _unseen_w(weights: DataFrame, num_features: int, k: float) -> DataFrame:
@@ -152,6 +174,19 @@ def nb_score(
     feats = _doc_features(
         docs, text_col, num_features, salt, F.col(id_col).alias("doc_id")
     )
+    return nb_score_from_features(feats, weights, prior, num_features, k)
+
+
+def nb_score_from_features(
+    feats: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    num_features: int = 4096,
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """nb_score over an ALREADY-DERIVED (doc_id, feature) frame — the
+    self-scoring seam (see nb_weights_from_features)."""
+    feats = feats.select("doc_id", "feature")
     joined = (
         feats.join(F.broadcast(weights.select("feature", "w")), on="feature", how="left")
         .crossJoin(F.broadcast(_unseen_w(weights, num_features, k)))

@@ -42,6 +42,41 @@ def train_unigram_lm(
     toks = docs.select(
         F.explode(F.split(normalize_text(text_col), " ")).alias("term")
     )
+    return train_unigram_from_tokens(toks, k)
+
+
+def doc_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *extra_cols, term) — one row per token occurrence, the
+    derivation every model in this family starts from (round 11 sharing
+    seam, guide §1.2: remove duplicated passes). Self-scoring
+    compositions (train + score over the SAME corpus — ml.q_lm_score,
+    the bench legs) lazily localCheckpoint this frame so the corpus-wide
+    normalize+split+explode runs ONCE per execution instead of once per
+    train/score consumer. Values are exactly what the per-operator
+    tokenizes produce: same normalize, same split, same explode."""
+    s1 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        normalize_text(text_col).alias("__norm"),
+    )
+    return s1.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(F.split(F.col("__norm"), " ")).alias("term"),
+    )
+
+
+def train_unigram_from_tokens(toks: DataFrame, k: float = SMOOTH_K) -> DataFrame:
+    """train_unigram_lm over an ALREADY-DERIVED token frame (any frame
+    with a `term` column; other columns are ignored by the aggregation).
+    Same math from the same tokens, so the model is value-identical to
+    the docs form."""
+    toks = toks.select("term")
     # identity filter, same reuse rationale as train_bigram_lm: lm_score's
     # broadcast model join infers IsNotNull(term) on this subtree; stating
     # it here keeps the stats and model branches' exchanges canonically
@@ -92,6 +127,16 @@ def lm_score(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     )
+    return lm_score_from_tokens(toks, lm, k)
+
+
+def lm_score_from_tokens(
+    toks: DataFrame, lm: DataFrame, k: float = SMOOTH_K
+) -> DataFrame:
+    """lm_score over an ALREADY-DERIVED (doc_id, term) token frame —
+    the self-scoring seam (see doc_tokens). Value-identical to the docs
+    form: same tokens in, same join/aggregate math."""
+    toks = toks.select("doc_id", "term")
     joined = (
         toks.join(F.broadcast(lm.select("term", "logp")), on="term", how="left")
         .crossJoin(F.broadcast(oov_logp(lm, k)))
@@ -149,6 +194,20 @@ def train_bigram_lm(
     are ~100s of MB; beyond that, drop the hint and the term join
     degrades to a shuffle join)."""
     bi = _doc_bigrams(docs, text_col, id_col)
+    pairs, hist = bigram_tables_from_bigrams(bi)
+    vstat = (
+        docs.select(F.explode(F.split(normalize_text(text_col), " ")).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    return pairs, hist, vstat
+
+
+def bigram_tables_from_bigrams(bi: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(pairs, hist) over an ALREADY-DERIVED (doc_id, prev, term) bigram
+    frame — the self-scoring seam (see doc_tokens): q_lm_score and the
+    bench bigram leg lazily localCheckpoint one _doc_bigrams frame and
+    feed it to both the tables and the score, so the corpus-wide bigram
+    explode runs once per execution. Value-identical to the docs form."""
     # result-identity filter (split() tokens are never NULL): the score
     # join later infers exactly this IsNotNull on its broadcast build
     # side, and without it here the pairs/hist branches' exchanges stop
@@ -159,11 +218,16 @@ def train_bigram_lm(
     bi = bi.where(F.col("prev").isNotNull() & F.col("term").isNotNull())
     pairs = bi.groupBy("prev", "term").agg(F.count("*").alias("c2"))
     hist = pairs.groupBy("prev").agg(F.sum("c2").alias("c1h"))
-    vstat = (
-        docs.select(F.explode(F.split(normalize_text(text_col), " ")).alias("t"))
-        .agg(F.count_distinct("t").alias("v"))
+    return pairs, hist
+
+
+def vocab_stat_from_tokens(toks: DataFrame) -> DataFrame:
+    """1-row (v) distinct-token count from an ALREADY-DERIVED token
+    frame — train_bigram_lm's vstat without its third tokenize pass when
+    the composition already has doc_tokens checkpointed."""
+    return toks.select(F.col("term").alias("t")).agg(
+        F.count_distinct("t").alias("v")
     )
-    return pairs, hist, vstat
 
 
 def bigram_score(
@@ -180,6 +244,18 @@ def bigram_score(
     unseen pairs/histories take the smoothed mass (c2=0 / c1h=0), so a
     disjoint corpus scores cleanly. DECIMAL-summed like lm_score."""
     bi = _doc_bigrams(docs, text_col, id_col)
+    return bigram_score_from_bigrams(bi, pairs, hist, vstat, k)
+
+
+def bigram_score_from_bigrams(
+    bi: DataFrame,
+    pairs: DataFrame,
+    hist: DataFrame,
+    vstat: DataFrame,
+    k: float = SMOOTH_K,
+) -> DataFrame:
+    """bigram_score over an ALREADY-DERIVED (doc_id, prev, term) frame —
+    the self-scoring seam (see bigram_tables_from_bigrams)."""
     joined = (
         bi.join(F.broadcast(pairs), on=["prev", "term"], how="left")
         .join(F.broadcast(hist), on="prev", how="left")

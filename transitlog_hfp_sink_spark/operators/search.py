@@ -216,7 +216,23 @@ def bm25_search(
     # two ~9-11 core-s stages in the round-11 profile). Pinning the
     # partial-aggregate column set makes ReuseExchange fire, so the
     # corpus-sized map work runs once (guide §2.4).
-    tf = tf.where((F.col("tf") > 0) & F.col("dl").isNotNull())
+    #
+    # localCheckpoint on top (round 11): the pin guarantees CANONICAL
+    # equality, but AQE's runtime stage cache still materialized the tf
+    # exchange twice when bm25_search is composed under a union
+    # (hybrid retrieval: event-log profile showed two 32-task map
+    # stages, 15.3 + 8.7 core-s, writing byte-identical 1.18 MB shuffle
+    # output). One lazy checkpoint of the already-aggregated tf frame —
+    # rows bounded by matched-term postings, far below corpus size at
+    # any scale — makes the sharing structural instead of
+    # cache-dependent: measured 2.66 -> 2.31 s (hybrid) and
+    # 1.96 -> 1.61 s (standalone) per fresh-plan bench run at sf0.1,
+    # results hash-identical. Same lifecycle/failure stance as the
+    # dedup shingle checkpoints (lazy, ContextCleaner-freed, job-level
+    # retry on executor loss).
+    tf = tf.where((F.col("tf") > 0) & F.col("dl").isNotNull()).localCheckpoint(
+        eager=False
+    )
     dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), on="term")

@@ -1360,35 +1360,63 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-unit log terms are deterministic doubles summed as
     DECIMAL(20,10), so all legs hash-match DuckDB."""
     from transitlog_hfp_sink_spark.operators.classifier import (
-        nb_score,
-        train_nb_classifier,
+        hashed_feature,
+        nb_prior,
+        nb_score_from_features,
+        nb_weights_from_features,
     )
     from transitlog_hfp_sink_spark.operators.lm import (
-        bigram_score,
-        lm_score,
-        train_bigram_lm,
-        train_unigram_lm,
+        _doc_bigrams,
+        bigram_score_from_bigrams,
+        bigram_tables_from_bigrams,
+        doc_tokens,
+        lm_score_from_tokens,
+        train_unigram_from_tokens,
+        vocab_stat_from_tokens,
     )
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    lm = train_unigram_lm(docs, "text", k=0.5)
-    uni = lm_score(docs, lm, "text", "doc_id", k=0.5).select(
+    # Self-scoring composition (round 11, guide §1.2): every leg both
+    # trains on and scores THE SAME corpus, so each shared derivation is
+    # lazily checkpointed once per execution instead of re-tokenizing per
+    # train/score consumer — toks feeds unigram train + unigram score +
+    # the bigram vocab stat + the nb feature hash; the bigram frame feeds
+    # tables + score; the hashed-feature frame feeds weights + score.
+    # Values are identical by construction (same derivations, same
+    # math — the *_from_* seams are the exact operator bodies). Same
+    # lazy-checkpoint lifecycle/failure stance as the dedup shingle
+    # checkpoints (ContextCleaner-freed, job-level retry).
+    toks = doc_tokens(docs, "text", "doc_id", extra_cols=("lang",)).localCheckpoint(
+        eager=False
+    )
+    lm = train_unigram_from_tokens(toks, k=0.5)
+    uni = lm_score_from_tokens(toks, lm, k=0.5).select(
         F.lit("unigram").alias("part"),
         "doc_id",
         F.col("n_tokens").alias("n_units"),
         F.col("avg_nll").alias("score"),
     )
-    pairs, hist, vstat = train_bigram_lm(docs, "text", "doc_id")
-    bi = bigram_score(docs, pairs, hist, vstat, "text", "doc_id", k=0.5).select(
+    bi_frame = _doc_bigrams(docs, "text", "doc_id").localCheckpoint(eager=False)
+    pairs, hist = bigram_tables_from_bigrams(bi_frame)
+    vstat = vocab_stat_from_tokens(toks)
+    bi = bigram_score_from_bigrams(bi_frame, pairs, hist, vstat, k=0.5).select(
         F.lit("bigram").alias("part"),
         "doc_id",
         "n_units",
         F.col("avg_nll").alias("score"),
     )
-    weights, prior = train_nb_classifier(
-        docs, "text", "lang", "en", num_features=4096, k=0.5
+    feats = (
+        toks.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__pos"),
+            hashed_feature(F.col("term"), 4096, "nbf").alias("feature"),
+        )
+        .where(F.col("feature").isNotNull())
+        .localCheckpoint(eager=False)
     )
-    nb = nb_score(docs, weights, prior, "text", "doc_id", num_features=4096).select(
+    weights = nb_weights_from_features(feats, num_features=4096, k=0.5)
+    prior = nb_prior(docs, "lang", "en", k=0.5)
+    nb = nb_score_from_features(feats, weights, prior, num_features=4096, k=0.5).select(
         F.lit("nb").alias("part"),
         "doc_id",
         F.col("n_tokens").alias("n_units"),

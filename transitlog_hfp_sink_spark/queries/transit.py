@@ -66,6 +66,17 @@ NULL_K = "∅"
 #: views' plans bake the timezone at analysis time.
 _REGISTERED: dict[tuple[str, str, str], bool] = {}
 
+#: built-plan memo (round 11, guide §1.2 applied to the DRIVER side):
+#: constructing the eight legs costs ~2,100 py4j round trips (~0.73 s
+#: per build, paid inside every bench run and every driver re-eval). The
+#: plan is pure construction over the memoized catalog views — no lazy
+#: checkpoint or other run-scoped state is created per call (the dedup
+#: materialization is _REGISTERED's, a disclosed measurement-mode
+#: decision since round 7) — so the same immutable DataFrame serves
+#: every caller; each materialization still executes from the parquet
+#: inputs. Keyed and invalidated exactly like _REGISTERED.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transitlog_hfp_sink_spark.catalog import register_catalog
@@ -75,6 +86,9 @@ def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         spark.conf.get("spark.sql.session.timeZone"),
     )
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if key not in _REGISTERED:
         # materialize_dedup: the seven legs below each query a view over
         # vehicles_dedup; one localCheckpoint at registration replaces
@@ -207,6 +221,8 @@ def q_transit_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gap
     for leg in (hw, bunch, otp, odo, latest_kin, latest_pos, hist):
         out = out.unionByName(leg)
+    _PLAN_CACHE.clear()  # one live session/SF at a time, like _REGISTERED
+    _PLAN_CACHE[key] = out
     return out
 
 
