@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.operators.dedup import fixup_words, raw_words
 
 #: add-k smoothing mass, matching operators/lm.py
 SMOOTH_K = 0.5
@@ -50,10 +50,14 @@ def _doc_features(
     docs: DataFrame, text_col: str, num_features: int, salt: str, *extra: Column
 ) -> DataFrame:
     """One row per token occurrence: (*extra, feature). Normalization is
-    staged once per document; hashing is per token occurrence (bag
-    semantics — repeated tokens count repeatedly, as in fastText)."""
-    toks = docs.select(
-        *extra, F.explode(F.split(normalize_text(text_col), " ")).alias("__term")
+    staged once per document (round 11: the raw-split -> fixup fast
+    tokenizer, value-identical to split(normalize_text(c), " "));
+    hashing is per token occurrence (bag semantics — repeated tokens
+    count repeatedly, as in fastText)."""
+    s1 = docs.select(*extra, raw_words(text_col).alias("__w0"))
+    toks = s1.select(
+        *[c for c in s1.columns if c != "__w0"],
+        F.explode(fixup_words(F.col("__w0"))).alias("__term"),
     )
     return toks.select(
         *[c for c in toks.columns if c != "__term"],

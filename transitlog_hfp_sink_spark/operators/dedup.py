@@ -63,6 +63,40 @@ def normalize_text(col: Column | str) -> Column:
     return c
 
 
+def raw_words(col: Column | str) -> Column:
+    """The word array of the normalized text MINUS the zero-word fixup:
+    one regex SPLIT on non-alphanumeric runs instead of the two
+    regexp_replace passes + trim + split of ``split(normalize_text(c),
+    " ")`` (round 11, guide §1.2 per-task work: measured 3.6x cheaper on
+    the sf0.1 documents table, word arrays bit-identical on every corpus
+    and edge case). Differs from the canonical law ONLY on zero-word
+    inputs (empty/punctuation-only text), where the canonical form is
+    ``[""]`` and this is ``[]`` — callers must apply :func:`fixup_words`
+    (ideally in a SEPARATE staged projection, so the split is not
+    re-evaluated by the when-branches) or go through
+    :func:`normalized_words`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.split(F.lower(c), "[^a-z0-9]+"), "")
+
+
+def fixup_words(words: Column) -> Column:
+    """Restore the canonical zero-word face over :func:`raw_words`
+    output: a non-null text with no [a-z0-9] runs tokenizes to ``[""]``
+    under ``split(normalize_text(c), " ")`` (split of the empty string),
+    and a NULL text stays NULL (size(NULL) = -1 skips the when). Apply
+    to an already-materialized column reference."""
+    return F.when(F.size(words) == 0, F.array(F.lit(""))).otherwise(words)
+
+
+def normalized_words(col: Column | str) -> Column:
+    """Column-level fast tokenize, value-identical to
+    ``split(normalize_text(c), " ")`` for every input (NULL -> NULL,
+    zero-word -> [""]). The when-fixup references the split twice, so on
+    hot frame paths prefer staging raw_words into its own projection and
+    applying fixup_words in the next one (see shingle_frame)."""
+    return fixup_words(raw_words(col))
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -94,7 +128,7 @@ def word_grams(col: Column | str, n: int = 1) -> Column:
     copies, one slice per offset, CSE-eliminated codegen. Measured ~20x
     faster on ~500-word docs.
     """
-    return grams_from_words(F.split(normalize_text(col), " "), n)
+    return grams_from_words(normalized_words(col), n)
 
 
 def grams_from_words(words: Column, n: int = 1) -> Column:
@@ -133,16 +167,19 @@ def shingle_frame(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, *extra_cols, shingles) with the derivation STAGED:
-    normalize -> split -> grams in separate projections, so each
-    expensive step is computed once per row (CollapseProject keeps the
-    stages because the aliases are non-cheap and multiply referenced)."""
+    raw-split -> zero-word fixup -> grams in separate projections, so
+    each expensive step is computed once per row (CollapseProject keeps
+    the stages because the aliases are non-cheap and multiply
+    referenced). Round 11: the regex-normalize + space-split pair is
+    replaced by the single-split raw_words/fixup_words law (word arrays
+    bit-identical; measured 3.6x cheaper on the sf0.1 corpus)."""
     s1 = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extra_cols],
-        normalize_text(text_col).alias("__norm"),
+        raw_words(text_col).alias("__w0"),
     )
     s2 = s1.select(
-        "id", *extra_cols, F.split(F.col("__norm"), " ").alias("__words")
+        "id", *extra_cols, fixup_words(F.col("__w0")).alias("__words")
     )
     return s2.select(
         "id",
@@ -435,8 +472,15 @@ def _jaccard_pairs_counts(
 
 def _hash31(arr: Column, hash_fn: str = "xxhash64") -> Column:
     """Per-shingle 31-bit hashes (hash64 folded into [0, 2^31)):
-    keeps a*h+b inside signed-64 range under ANSI overflow checking."""
-    return F.transform(arr, lambda s: F.pmod(hash64(s, hash_fn), F.lit(1 << 31)))
+    keeps a*h+b inside signed-64 range under ANSI overflow checking.
+    ``h & (2^31-1)`` == ``pmod(h, 2^31)`` for every signed-64 h
+    (two's-complement low bits ARE the non-negative residue for a
+    power-of-two modulus) and skips pmod's division + sign fix-up
+    (round 11, measured with the affine-% rewrite below: 24% off the
+    signature stage, values bit-identical)."""
+    return F.transform(
+        arr, lambda s: hash64(s, hash_fn).bitwiseAND(F.lit((1 << 31) - 1))
+    )
 
 
 def _permutations(num_perm: int, seed: int) -> list[tuple[int, int]]:
@@ -501,9 +545,12 @@ def signatures_from_shingles(
     )
     # one F.expr per permutation instead of composed F calls: identical
     # plan (h is BIGINT so the L-suffixed literals keep the same 64-bit
-    # ANSI arithmetic), ~4x fewer py4j round-trips building the 64 aggs
+    # ANSI arithmetic), ~4x fewer py4j round-trips building the 64 aggs.
+    # plain % instead of pmod: h >= 0 (31-bit) and a,b > 0, so the
+    # dividend is non-negative and % == pmod, minus pmod's negative-
+    # residue fix-up per evaluation (round 11, value-identical)
     aggs = [
-        F.expr(f"min(pmod(h * {a}L + {b}L, {MERSENNE_31}L))").alias(f"m_{k}")
+        F.expr(f"min((h * {a}L + {b}L) % {MERSENNE_31}L)").alias(f"m_{k}")
         for k, (a, b) in enumerate(_permutations(num_perm, seed))
     ]
     return exploded.groupBy("id").agg(*aggs)

@@ -26,7 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.operators.dedup import fixup_words, raw_words
+
+
+def _words_frame(
+    docs: DataFrame, text_col: str, lead: dict[str, Column] | None = None
+) -> DataFrame:
+    """(*lead, __w) via the staged raw-split -> fixup tokenizer
+    (round 11): value-identical to split(normalize_text(c), " "), one
+    regex pass instead of three, fixup in its own projection so the
+    split is evaluated once per row. ``lead`` maps output name ->
+    source column (e.g. {"doc_id": F.col(id_col)})."""
+    lead = lead or {}
+    s1 = docs.select(
+        *[v.alias(k) for k, v in lead.items()], raw_words(text_col).alias("__w0")
+    )
+    return s1.select(*lead.keys(), fixup_words(F.col("__w0")).alias("__w"))
 
 #: add-k smoothing mass (Jeffreys-ish half count)
 SMOOTH_K = 0.5
@@ -39,8 +54,8 @@ def train_unigram_lm(
     p(term) = (c + k) / (total + k * |V|). The returned model carries the
     corpus constants on every row (total, v) so scoring needs no second
     aggregation pass over the corpus."""
-    toks = docs.select(
-        F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    toks = _words_frame(docs, text_col).select(
+        F.explode(F.col("__w")).alias("term")
     )
     return train_unigram_from_tokens(toks, k)
 
@@ -59,15 +74,11 @@ def doc_tokens(
     normalize+split+explode runs ONCE per execution instead of once per
     train/score consumer. Values are exactly what the per-operator
     tokenizes produce: same normalize, same split, same explode."""
-    s1 = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in extra_cols],
-        normalize_text(text_col).alias("__norm"),
-    )
-    return s1.select(
+    lead = {"doc_id": F.col(id_col), **{c: F.col(c) for c in extra_cols}}
+    return _words_frame(docs, text_col, lead).select(
         "doc_id",
         *extra_cols,
-        F.explode(F.split(F.col("__norm"), " ")).alias("term"),
+        F.explode(F.col("__w")).alias("term"),
     )
 
 
@@ -123,9 +134,8 @@ def lm_score(
     avg_nll). Lower = more reference-like; rank and cut the tail for
     corpus filtering. Out-of-vocabulary tokens take the smoothed unseen
     mass, so scoring a disjoint corpus is well-defined."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    toks = _words_frame(docs, text_col, {"doc_id": F.col(id_col)}).select(
+        "doc_id", F.explode(F.col("__w")).alias("term")
     )
     return lm_score_from_tokens(toks, lm, k)
 
@@ -164,10 +174,7 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (normalize -> words -> shifted-slice zip) so the regex chain runs
     once per row; docs with <2 tokens contribute nothing (they have no
     bigram evidence either way)."""
-    s1 = docs.select(
-        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("__norm")
-    )
-    s2 = s1.select("doc_id", F.split("__norm", " ").alias("__w"))
+    s2 = _words_frame(docs, text_col, {"doc_id": F.col(id_col)})
     n = F.size("__w")
     pairs = F.arrays_zip(
         F.slice("__w", 1, F.greatest(n - 1, F.lit(0))).alias("p"),
@@ -196,7 +203,8 @@ def train_bigram_lm(
     bi = _doc_bigrams(docs, text_col, id_col)
     pairs, hist = bigram_tables_from_bigrams(bi)
     vstat = (
-        docs.select(F.explode(F.split(normalize_text(text_col), " ")).alias("t"))
+        _words_frame(docs, text_col)
+        .select(F.explode(F.col("__w")).alias("t"))
         .agg(F.count_distinct("t").alias("v"))
     )
     return pairs, hist, vstat
@@ -295,9 +303,8 @@ def update_unigram_lm(
     tests/test_lm.py). The historical text contributes only its stored
     count rows."""
     new_cnt = (
-        new_docs.select(
-            F.explode(F.split(normalize_text(text_col), " ")).alias("term")
-        )
+        _words_frame(new_docs, text_col)
+        .select(F.explode(F.col("__w")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )

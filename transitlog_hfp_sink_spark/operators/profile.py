@@ -65,15 +65,26 @@ def corpus_profile(
     # and multiply referenced. Same math from the same staged pieces —
     # _quality_from_parts is the single shared rule set — so every
     # output value is bit-identical to the flat form.
+    # round 11: words via the staged raw-split -> fixup fast tokenizer,
+    # the normalized string reconstructed as concat_ws(" ", words) —
+    # both value-identical to the regex chain (see dedup.raw_words)
+    from transitlog_hfp_sink_spark.operators.dedup import fixup_words, raw_words
+
     s1 = df.select(
         *[F.col(g) for g in group_cols],
         c.alias(text_col),
-        normalize_text(c).alias("__norm"),
+        raw_words(c).alias("__w0"),
     )
     s2 = s1.select(
-        "*",
-        F.split(F.col("__norm"), " ").alias("__words"),
+        *[F.col(g) for g in group_cols],
+        F.col(text_col),
+        fixup_words(F.col("__w0")).alias("__words"),
         whitespace_token_count(c).cast("bigint").alias("__nt"),
+    ).withColumn(
+        "__norm",
+        F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat_ws(" ", F.col("__words"))
+        ),
     )
     words = F.col("__words")
     n_words = F.size(words)

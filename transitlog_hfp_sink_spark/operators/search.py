@@ -34,7 +34,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from transitlog_hfp_sink_spark.operators.dedup import normalize_text
+from transitlog_hfp_sink_spark.operators.dedup import (
+    fixup_words as _fixup_words,
+    normalized_words,
+    raw_words as _raw_words,
+)
 from transitlog_hfp_sink_spark.functions.localrel import values_df
 
 #: BM25 parameters (Robertson/Sparck Jones defaults, Lucene-compatible)
@@ -47,8 +51,10 @@ RRF_K = 60
 
 def search_tokens(col: Column | str) -> Column:
     """Lowercased word tokens of the normalized text (the indexing unit).
-    Shares dedup.normalize_text so search and dedup agree on vocabulary."""
-    return F.split(normalize_text(col), " ")
+    Shares dedup's tokenizer law (round 11: the single-split fast form,
+    value-identical to split(normalize_text(c), " ")) so search and
+    dedup agree on vocabulary."""
+    return normalized_words(col)
 
 
 def build_postings(
@@ -64,9 +70,12 @@ def build_postings(
     map-side combine). At 100 TB persist both, bucketed by term / doc_id,
     and this build cost is paid once, not per query.
     """
+    # staged raw-split -> fixup (round 11): the when-fixup would
+    # re-evaluate the split in its else-branch if inlined in one
+    # projection (see dedup.raw_words)
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), search_tokens(text_col).alias("__toks")
-    )
+        F.col(id_col).alias("doc_id"), _raw_words(text_col).alias("__w0")
+    ).select("doc_id", _fixup_words(F.col("__w0")).alias("__toks"))
     # explode_OUTER + null filter: the non-outer explode makes
     # InferFiltersFromGenerate clone the regex tokenizer into a size()>0
     # filter pushed below the widening exchange (single-task re-tokenize
@@ -190,8 +199,8 @@ def bm25_search(
         "query_id", F.explode(F.array_distinct(search_tokens("qtext"))).alias("term")
     )
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), search_tokens(text_col).alias("__toks")
-    )
+        F.col(id_col).alias("doc_id"), _raw_words(text_col).alias("__w0")
+    ).select("doc_id", _fixup_words(F.col("__w0")).alias("__toks"))
     stats = toks.select("doc_id", F.size("__toks").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

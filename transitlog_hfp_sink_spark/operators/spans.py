@@ -41,7 +41,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from transitlog_hfp_sink_spark.operators.dedup import grams_from_words, normalize_text
+from transitlog_hfp_sink_spark.operators.dedup import (
+    fixup_words,
+    grams_from_words,
+    raw_words,
+)
 
 #: md5 hex prefix length for window hashes: 15 digits = 60 bits, safely
 #: inside BIGINT in both engines (conv() and '0x..'::BIGINT)
@@ -55,9 +59,9 @@ def doc_windows(
     token stream; start is the 0-based token offset, whash the 60-bit
     md5-prefix of the space-joined window text."""
     s1 = docs.select(
-        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("__norm")
+        F.col(id_col).alias("doc_id"), raw_words(text_col).alias("__w0")
     )
-    s2 = s1.select("doc_id", F.split("__norm", " ").alias("__words"))
+    s2 = s1.select("doc_id", fixup_words(F.col("__w0")).alias("__words"))
     grams = s2.select("doc_id", grams_from_words(F.col("__words"), n).alias("__g"))
     # posexplode_OUTER + null filter, not posexplode: the non-outer form
     # makes InferFiltersFromGenerate clone the ENTIRE gram-construction
@@ -107,8 +111,10 @@ def duplicated_window_stats(
         )
     )
     totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(normalize_text(text_col), " ")).cast("bigint").alias("n_tokens"),
+        F.col(id_col).alias("doc_id"), raw_words(text_col).alias("__w0")
+    ).select(
+        "doc_id",
+        F.size(fixup_words(F.col("__w0"))).cast("bigint").alias("n_tokens"),
     ).select(
         "doc_id",
         "n_tokens",

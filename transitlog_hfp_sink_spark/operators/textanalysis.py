@@ -92,7 +92,9 @@ def whitespace_token_count(col: Column | str) -> Column:
 
 
 def _word_array(col: Column | str) -> Column:
-    return F.split(normalize_text(col), " ")
+    from transitlog_hfp_sink_spark.operators.dedup import normalized_words
+
+    return normalized_words(col)
 
 
 def stopword_ratio(col: Column | str) -> Column:
@@ -298,14 +300,30 @@ def analyze_documents(
     # stages intact because each alias is non-cheap and multiply used
     from transitlog_hfp_sink_spark.operators.dedup import grams_from_words
 
-    stage_norm = df.select(
+    # round 11: words via the staged raw-split -> fixup fast tokenizer
+    # (value-identical to split(normalize_text(c), " ")); the normalized
+    # STRING is reconstructed as concat_ws(" ", words) — identical to
+    # the regex chain's output (words joined by single spaces, "" for
+    # zero-word text, NULL for NULL text), one regex pass instead of
+    # three per row
+    from transitlog_hfp_sink_spark.operators.dedup import fixup_words, raw_words
+
+    stage_raw = df.select(
         F.col(id_col),
         *[F.col(x) for x in extra_cols],
         c.alias(text_col),
-        normalize_text(c).alias("__norm"),
+        raw_words(c).alias("__w0"),
     )
-    stage_words = stage_norm.select(
-        "*", F.split(F.col("__norm"), " ").alias("__words")
+    stage_words = stage_raw.select(
+        F.col(id_col),
+        *[F.col(x) for x in extra_cols],
+        F.col(text_col),
+        fixup_words(F.col("__w0")).alias("__words"),
+    ).withColumn(
+        "__norm",
+        F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat_ws(" ", F.col("__words"))
+        ),
     )
     staged = stage_words.select(
         F.col(id_col),
