@@ -167,10 +167,10 @@ def main() -> None:
             report[name]["n_stages"] = len(g["stages"])
             report[name]["stages"] = sorted(
                 g["stages"], key=lambda s: -s["run_ms"])[:10]
-    out = os.path.join(os.path.dirname(EVDIR), f"profile_r11.json")
-    with open("/tmp/profile_r11.json", "w") as f:
+    out = os.environ.get("OUT", "/tmp/profile_r11.json")
+    with open(out, "w") as f:
         json.dump(report, f, indent=1)
-    print("\nwrote /tmp/profile_r11.json")
+    print(f"\nwrote {out}")
     for name, r in sorted(report.items(), key=lambda kv: -kv[1]["exec_warm_s"]):
         print(f"{r['exec_warm_s']:7.3f}s warm  {r.get('warm_core_ms',0)/1000:8.1f} warm-core-s  "
               f"{r.get('n_stages','?'):>3} stages  build {r['build_s']:.3f}s"

