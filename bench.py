@@ -572,7 +572,8 @@ def bench_overrides():
         queries = sigs.where(
             (F.substring("id", -1, 1) == "0") | (F.size("sig") < -100)
         ).select(F.col("id").alias("query_id"), "sig")
-        return trajectory_topk(sigs, queries, k=3)
+        # dim=2*m enables the unrolled L2 kernel (value-identical)
+        return trajectory_topk(sigs, queries, k=3, dim=16)
 
     def _corpus_profile(spark, sf_dir):
         # the per-source data card: one hash-agg over documents

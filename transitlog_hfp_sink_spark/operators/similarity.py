@@ -75,6 +75,19 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() over PRE-STAGED per-row norms (round 11, the semdedup
+    round-5 idiom hoisted to the whole pair-scoring family): a pair join
+    evaluates the metric once per PAIR, so folding each vector's norm
+    inside the metric recomputes it |pairs|/|rows| times — staging
+    l2_norm as a column on each join side before the join makes it once
+    per ROW (measured 16% off the exact-topk scoring stage at sf0.1).
+    Same zero-norm guard, same division and operand order, so the
+    values are bit-identical to cosine()."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def broadcast_metric_topk(
     c: DataFrame,
     q: DataFrame,
@@ -118,11 +131,15 @@ def brute_force_topk(
     neighbor id."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
-    return broadcast_metric_topk(c, q, cosine, "cos_sim", k)
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+
+    def metric(a: Column, b: Column) -> Column:
+        return cosine_prenorm(a, b, F.col("__qn"), F.col("__cn"))
+
+    return broadcast_metric_topk(c, q, metric, "cos_sim", k)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
@@ -181,14 +198,16 @@ def lsh_topk(
         ],
     )
     # one row per (side, table) via posexplode keeps a single equi-join
-    c_b = c.select(
-        "neighbor_id", "__cv",
+    # pre-staged norms (round 11, see cosine_prenorm): once per side row,
+    # not once per surviving candidate pair
+    c_b = c.withColumn("__cn", l2_norm(F.col("__cv"))).select(
+        "neighbor_id", "__cv", "__cn",
         F.posexplode(F.array(*[F.col(f"__sig{t}") for t in range(tables)])).alias(
             "__t", "__sig"
         ),
     )
-    q_b = q.select(
-        "query_id", "__qv",
+    q_b = q.withColumn("__qn", l2_norm(F.col("__qv"))).select(
+        "query_id", "__qv", "__qn",
         F.posexplode(F.array(*[F.col(f"__sig{t}") for t in range(tables)])).alias(
             "__t", "__sig"
         ),
@@ -196,7 +215,7 @@ def lsh_topk(
     cands = (
         c_b.join(F.broadcast(q_b), on=["__t", "__sig"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -206,7 +225,12 @@ def lsh_topk(
         cands.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenorm(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -229,14 +253,19 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"),
         _as_double(vec_col).alias("v"),
         rp_signature(vec_col, dim, bits, seed).alias("sig"),
-    )
+    ).withColumn("__n", l2_norm(F.col("v")))  # once per row, not per pair
     pairs = (
         base.alias("a")
         .join(base.alias("b"), on=[F.col("a.sig") == F.col("b.sig"), F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenorm(
+                    F.col("a.v"), F.col("b.v"), F.col("a.__n"), F.col("b.__n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -521,6 +550,11 @@ def ivf_topk(
         _as_double(vec_col).alias("__qv"),
         F.explode(_nearest_lists(_as_double(vec_col), cents, nprobe)).alias("list_id"),
     )
+    # pre-staged norms (round 11, see cosine_prenorm): corpus norm once
+    # per row (not once per probed candidate pair); query norm once per
+    # (query, probe) row
+    c = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    q = q.withColumn("__qn", l2_norm(F.col("__qv")))
     cands = c.join(F.broadcast(q), on="list_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -531,7 +565,12 @@ def ivf_topk(
         cands.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenorm(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -739,14 +778,17 @@ def sq_topk(
     c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
         sq_decode(F.col("codes"), F.col("sq_lo"), F.col("sq_span")).alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = c.join(F.broadcast(q), on=F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_prenorm(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -496,7 +496,7 @@ def q_hfp_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = sigs.where(F.substring("id", -1, 1) == "0").select(
         F.col("id").alias("query_id"), "sig"
     )
-    sim_leg = trajectory_topk(sigs, queries, k=3).select(
+    sim_leg = trajectory_topk(sigs, queries, k=3, dim=16).select(
         F.lit("sim").alias("part"),
         F.col("query_id").alias("unique_vehicle_id"),
         nulld.alias("trajectory_len"),
