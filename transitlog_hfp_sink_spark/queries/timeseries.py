@@ -484,6 +484,27 @@ GROUP BY event_type
 """
 
 
+#: events.parquet footer schema per (session, sf_dir) — a PLAN-level
+#: memo (round 11, the read_table _READ_CACHE pattern): every bounded
+#: streaming entry re-read the parquet footer on each construction,
+#: ~0.1-0.2 s of driver/py4j work for a schema that is immutable for
+#: the life of the session. Caches a schema, never data — each stream
+#: run still reads every input file.
+_EVENTS_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
+def _events_raw_schema(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EVENTS_SCHEMA_MEMO.get(key)
+    if cached is not None:
+        return cached
+    if _EVENTS_SCHEMA_MEMO and next(iter(_EVENTS_SCHEMA_MEMO))[0] != key[0]:
+        _EVENTS_SCHEMA_MEMO.clear()  # new session: drop stale entries
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _EVENTS_SCHEMA_MEMO[key] = schema
+    return schema
+
+
 @contextlib.contextmanager
 def _pinned_stream_confs(spark: SparkSession, timezone: str = "UTC"):
     """Pin the session confs a bounded streaming run depends on, restoring
@@ -571,7 +592,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_stream_confs(spark):
         # raw on-disk schema (ts = int64 nanos under the legacy conf);
         # convert exactly as the batch reader does so stream and batch align
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        raw_schema = _events_raw_schema(spark, sf_dir)
         # file-stream sources need a directory; layout-aware (round 8)
         _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
         stream = _rs.option("maxFilesPerTrigger", "1").parquet(_path)
@@ -611,7 +632,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     with _pinned_stream_confs(spark):
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        raw_schema = _events_raw_schema(spark, sf_dir)
         _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
         stream = _rs.parquet(_path)
         if dict(stream.dtypes).get("ts") == "bigint":
@@ -657,7 +678,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_stream_join(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import tempfile
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _events_raw_schema(spark, sf_dir)
 
     def _stream():
         _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
@@ -766,7 +787,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     with _pinned_stream_confs(spark):
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        raw_schema = _events_raw_schema(spark, sf_dir)
 
         def _stream():
             _rs, _path = _events_stream_reader(spark, sf_dir, raw_schema)
