@@ -427,9 +427,16 @@ def bench_overrides():
         from transitlog_hfp_sink_spark.queries.ml import _fixed_codebook
 
         emb = read_table(spark, sf_dir, "embeddings", widen=True)
-        k = sim.adaptive_n_clusters(emb.count())
+        # count + codebook jobs run off the UNwidened memoized read
+        # (round 11): both are layout-independent (a scalar count; an
+        # 8-row filter+orderBy collect — values verified identical), and
+        # the narrow plan skips the widen exchange in each per-run
+        # driver job. The pair compute below keeps the widened frame.
+        emb_narrow = read_table(spark, sf_dir, "embeddings")
+        k = sim.adaptive_n_clusters(emb_narrow.count())
         pairs, keep = sim.semantic_dedup(
-            emb, _fixed_codebook(emb, k), threshold=0.3, max_cluster_rows=1024
+            emb, _fixed_codebook(emb_narrow, k), threshold=0.3,
+            max_cluster_rows=1024,
         )
         return pairs.select("id_a", F.col("id_b").alias("other"), "cos_sim").unionByName(
             keep.select(

@@ -40,3 +40,26 @@ def test_read_table_cache_keys_are_session_bound(spark, sf_dir):
     read_table(spark, sf_dir, "nation")
     assert all(k[0] == app for k in _READ_CACHE)
     assert ("stale-app", sf_dir, "events", False) not in _READ_CACHE
+
+
+def test_synth_vehicles_widen_is_result_invariant(spark, sf_dir):
+    """round 11: q_hfp_vehicles_transform widens the events scan (the
+    full-width flatten is the one synth consumer whose per-row cost
+    dwarfs the widen shuffle). Widening must never change RESULTS —
+    only partitioning — so the widened and plain synth plans must agree
+    row-for-row (order-insensitive hash + count)."""
+    from transitlog_hfp_sink_spark.queries.hfp import synth_vehicles
+
+    plain = synth_vehicles(spark, sf_dir, widen=False)
+    wide = synth_vehicles(spark, sf_dir, widen=True)
+    assert wide is not plain  # distinct cache slots, no cross-bleed
+
+    def digest(df):
+        return tuple(
+            df.agg(
+                F.count("*"),
+                F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+
+    assert digest(plain) == digest(wide)

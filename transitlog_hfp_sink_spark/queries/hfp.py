@@ -126,10 +126,12 @@ def synth_hfp(events: DataFrame) -> DataFrame:
 #: Column calls (~0.8 s of py4j round-trips) and is identical for every
 #: HFP entry in a run — DataFrames are immutable plans, so reuse is safe.
 #: Keyed by applicationId so a plan never outlives its session.
-_SYNTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SYNTH_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 
-def synth_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_vehicles(
+    spark: SparkSession, sf_dir: str, widen: bool = False
+) -> DataFrame:
     """events -> synthetic raw -> ENGINE transform -> valid vehicles rows.
 
     The cache key includes the SESSION TIMEZONE: Spark resolves
@@ -138,19 +140,30 @@ def synth_vehicles(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan cached under one tz silently mis-renders when executed alongside
     expressions analyzed under another (caught by the round-5 Helsinki +
     concurrency tests: a Helsinki-cached synth plan shifted every tst
-    face by the zone offset for the later UTC caller)."""
+    face by the zone offset for the later UTC caller).
+
+    widen (round 11, guide §2.2): round-robin the single-row-group events
+    scan across the session's cores BEFORE the 40-column flatten — only
+    for the FULL-WIDTH transform consumer (q_hfp_vehicles_transform),
+    whose per-row flatten cost dwarfs the one small shuffle (interleaved
+    A/B at sf0.1: 1.34 -> 0.95 s, rows identical). Column-pruned
+    consumers (vp_per_route, trajectory) measured SLOWER widened — their
+    flatten is nearly free and the extra exchange is pure cost — so the
+    default stays unwidened and each consumer keeps its own cache slot."""
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         spark.conf.get("spark.sql.session.timeZone"),
+        widen,
     )
     cached = _SYNTH_CACHE.get(key)
     if cached is not None:
         return cached
-    raw = synth_hfp(read_table(spark, sf_dir, "events"))
+    raw = synth_hfp(read_table(spark, sf_dir, "events", widen=widen))
     flat = hfp_flatten(raw.where(F.col("schema_valid")))
     out = flat.where(F.col("tst").isNotNull())
-    _SYNTH_CACHE.clear()  # one live session/SF at a time; no unbounded growth
+    if _SYNTH_CACHE and next(iter(_SYNTH_CACHE))[:3] != key[:3]:
+        _SYNTH_CACHE.clear()  # one live session/SF at a time; no unbounded growth
     _SYNTH_CACHE[key] = out
     return out
 
@@ -249,8 +262,12 @@ hfp_vehicles AS (
 # ---------------------------------------------------------------------------
 
 def q_hfp_vehicles_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full 40-column transform (SURVEY §2.3 P1-P40 + F1/F3)."""
-    return synth_vehicles(spark, sf_dir)
+    """The full 40-column transform (SURVEY §2.3 P1-P40 + F1/F3).
+
+    widen=True: this is the one synth consumer that keeps every flattened
+    column, so the per-row flatten dominates and parallelizing the
+    single-row-group scan wins (see synth_vehicles)."""
+    return synth_vehicles(spark, sf_dir, widen=True)
 
 
 def q_hfp_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

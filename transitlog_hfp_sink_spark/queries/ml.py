@@ -761,7 +761,14 @@ def q_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducers). dist2 uses the dot-product form + round-before-argmin so
     the DuckDB twin is bit-identical."""
     emb = read_table(spark, sf_dir, "embeddings", widen=True)
-    return sim.diversity_sample(emb, _fixed_codebook(emb), per_cluster=3)
+    # codebook rows come off the UNwidened memoized read (round 11): the
+    # 8-row filter+orderBy collect is layout-independent (deterministic
+    # values either way, verified identical), and the narrow plan skips
+    # the widen exchange the driver job would otherwise pay per build
+    return sim.diversity_sample(
+        emb, _fixed_codebook(read_table(spark, sf_dir, "embeddings")),
+        per_cluster=3,
+    )
 
 
 def _fixed_codebook(emb: DataFrame, k: int = 8) -> list[list[float]]:
@@ -949,7 +956,12 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cos_sim"),
         F.lit(None).cast("int").alias("rank"),
     )
-    books = _fixed_pq_books(emb, m=8, k=4)
+    # the three fixed-quantizer collects below (PQ books + 2 codebooks)
+    # run off the UNwidened memoized read (round 11): an 8-row
+    # filter+orderBy collect is layout-independent — identical values,
+    # no widen exchange inside the per-build driver jobs
+    emb_narrow = read_table(spark, sf_dir, "embeddings")
+    books = _fixed_pq_books(emb_narrow, m=8, k=4)
     pq_leg = sim.pq_adc_topk(
         sim.pq_encode(emb, books, round_digits=6), queries, books, k=3
     ).select(
@@ -983,7 +995,7 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residual books = the fixed 4-vector PQ books (stand-ins exactly as
     # _fixed_codebook stands in for a trained quantizer); round-to-6
     # before BOTH argmins makes the stored codes replayable in SQL
-    cents8 = _fixed_codebook(emb)
+    cents8 = _fixed_codebook(emb_narrow)
     ivfpq_dir = _tf.mkdtemp(prefix="ivfpq-served-")
     sim.write_ivfpq_index(
         emb, ivfpq_dir, centroids=cents8, codebooks=books, round_digits=6
@@ -995,7 +1007,9 @@ def q_embedding_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_dist2").alias("cos_sim"),
         "rank",
     )
-    sd_pairs, sd_keep = sim.semantic_dedup(emb, _fixed_codebook(emb), threshold=0.3)
+    sd_pairs, sd_keep = sim.semantic_dedup(
+        emb, _fixed_codebook(emb_narrow), threshold=0.3
+    )
     sd_pair_leg = sd_pairs.select(
         F.lit("semdedup_pair").alias("part"),
         F.col("id_a"),
