@@ -1049,22 +1049,27 @@ def measure_suite(spark, qs) -> dict:
     return full
 
 
-def _write_report(full: dict) -> None:
+def _write_report(full: dict, out_dir: str | None = None) -> None:
     timings = full["queries"]
     # full-precision metrics always land in a committed file the judge can
     # read regardless of any console-capture limits (VERDICT r3 #3:
     # BENCH_r03's 40-query line overflowed the driver's 2000-char tail
     # buffer and parsed as null)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.json"), "w") as f:
+    if out_dir is None:
+        out_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(out_dir, "BENCH.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
     # stdout contract: ONE compact JSON line, printed LAST so a tail
     # capture always holds it complete; per-query tpch detail stays in the
     # file and headline timings are 2-decimal to keep the line well under
-    # the capture budget. If the headline set ever grows past the budget,
-    # the fastest entries are elided (count recorded) rather than letting
-    # the line truncate mid-JSON.
+    # the capture budget. The `queries` map is NEVER elided or truncated
+    # (VERDICT r11 #1: eliding the fastest entries made the driver's PERF
+    # comparison mark them "dropped_from_bench"); if the line exceeds the
+    # budget, NON-ESSENTIAL metadata keys are dropped instead, in the
+    # declared priority order below, until it fits. With every optional
+    # key dropped the line is metric/value/unit/sf/queries — ~1.5k chars
+    # at 44 entries — so all timings always reach the driver.
     compact = {
         k: v
         for k, v in full.items()
@@ -1073,13 +1078,22 @@ def _write_report(full: dict) -> None:
     }
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["detail_file"] = "BENCH.json"
+    # least-essential first; everything here also lives in BENCH.json
+    drop_order = [
+        "calibration_rows", "hfp_transform_rows_per_s_band",
+        "hfp_streaming_rows_per_s_band", "calibration_end_s",
+        "calibration_drift", "tpch_22_shapes_count", "timing",
+        "bench_attempt", "median_query_spread", "window_count",
+        "gate_fallback", "headline_query_count", "detail_file",
+        "calibration_s", "hfp_streaming_pipeline_rows_per_s",
+        "hfp_transform_rows_per_s", "tpch_22_shapes_total_s",
+    ]
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:
-        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-        while len(line) > 1800 and slowest:
-            slowest.pop()
-            compact["queries"] = {k: round(v, 2) for k, v in slowest}
-            compact["queries_elided"] = len(timings) - len(slowest)
+    for key in drop_order:
+        if len(line) <= 1800:
+            break
+        if key in compact:
+            del compact[key]
             line = json.dumps(compact, separators=(",", ":"))
     sys.stdout.flush()
     print("\n" + line, flush=True)

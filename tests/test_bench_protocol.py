@@ -80,3 +80,52 @@ def test_merge_windows_even_count():
     m = bench.merge_windows(ws)
     assert m["queries"]["qa"] == 1.5
     assert m["queries_spread"]["qa"] == round(1.0 / 1.5, 3)
+
+
+def test_write_report_never_elides_queries(tmp_path, capsys):
+    """VERDICT r11 #1: the one-line stdout JSON must carry EVERY query
+    timing at any plausible length — over-budget lines shed optional
+    metadata keys, never `queries` entries (the old elision made the
+    driver's PERF comparison mark the fastest queries
+    "dropped_from_bench")."""
+    import json as _json
+
+    # 60 long-named queries: far past the 44 real entries and past the
+    # 1800-char budget with all metadata present
+    qs = {f"query_with_a_rather_long_name_{i:02d}": 0.1 + i / 100
+          for i in range(60)}
+    full = _window(1, qs, 0.75, 0.76)
+    full["tpch_22_shapes_count"] = 22
+    full["calibration_rows"] = 3_200_000_000
+    full["headline_query_count"] = len(qs)
+    bench._write_report(full, out_dir=str(tmp_path))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = _json.loads(line)
+    assert set(parsed["queries"]) == set(qs)
+    assert "queries_elided" not in parsed
+    # essentials survive the shedding
+    for k in ("metric", "value", "unit", "sf", "queries"):
+        assert k in parsed
+    # this pathological 60-long-name set can't fit even bare, so every
+    # sheddable key must be gone (queries were kept at their expense)
+    for k in ("calibration_rows", "hfp_transform_rows_per_s_band",
+              "timing", "detail_file", "calibration_s"):
+        assert k not in parsed
+    # the full-precision file still has everything
+    detail = _json.loads((tmp_path / "BENCH.json").read_text())
+    assert set(detail["queries"]) == set(qs)
+    assert detail["calibration_rows"] == 3_200_000_000
+
+
+def test_write_report_keeps_metadata_when_it_fits(tmp_path, capsys):
+    """Under the budget nothing is shed: bench_normalize.py's keys stay
+    on the compact line."""
+    import json as _json
+
+    full = _window(1, {"qa": 1.0, "qb": 2.0}, 0.75, 0.76)
+    bench._write_report(full, out_dir=str(tmp_path))
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = _json.loads(line)
+    for k in ("calibration_s", "calibration_end_s", "queries",
+              "hfp_transform_rows_per_s", "detail_file"):
+        assert k in parsed

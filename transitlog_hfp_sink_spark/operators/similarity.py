@@ -1153,48 +1153,172 @@ def semantic_dedup(
                 ),
             )
         join_keys = ["cluster_id", "__sub"]
-    # per-row norm computed ONCE before the pair join (round 5): the
-    # within-cluster join evaluates O(sum |c|^2) pairs, and cosine()
-    # would re-fold both vectors' norms per PAIR — 3x the interpreted
-    # higher-order-function work. Same l2_norm expression, same division
-    # order, same zero-norm guard => bit-identical cos_sim values (the
-    # semdedup oracle legs stay hash-green).
+    # per-row norm computed ONCE before the pair scoring (round 5): the
+    # within-cluster scoring evaluates O(sum |c|^2) pairs, and cosine()
+    # would re-fold both vectors' norms per PAIR — 3x the per-element
+    # work. Same l2_norm expression, same division order, same zero-norm
+    # guard => bit-identical cos_sim values (the semdedup oracle legs
+    # stay hash-green). The norm stays a JVM expression so the norm law
+    # is shared with every other cosine site.
     base = base.withColumn("__nrm", l2_norm(F.col("vec")))
-    a = base.select(
-        *join_keys,
-        F.col(id_col).alias("id_a"),
-        F.col("dist2").alias("__da"),
-        F.col("vec").alias("__va"),
-        F.col("__nrm").alias("__na"),
+    # Arrow pair kernel (round 12, guide §4 + VERDICT r11 #3): the
+    # within-cluster self-join materialized ~|pairs| rows each carrying
+    # TWO dim-64 double arrays, then folded the dot per pair through an
+    # interpreted higher-order aggregate — the largest remaining
+    # compute-bound stage of the round-11 bench (and round 11 measured
+    # expression-level unrolling 6.7x WORSE at dim 64, so the only road
+    # down is a vectorized kernel). Instead: group the (id, dist2, vec,
+    # nrm) rows by cluster key — ONE exchange of row-sized payloads, no
+    # pair-row materialization with vectors — and score all intra-group
+    # pairs in numpy.
+    #
+    # Bit-exactness law (the oracle hash-checks cos_sim):
+    # - dot: the JVM fold is aggregate(zip_with(a,b,x*y), 0.0, acc+v) —
+    #   products then STRICTLY left-to-right double adds. The kernel
+    #   folds `acc += V[:,d][ia] * V[:,d][ib]` for d = 0..dim-1: the
+    #   same multiply and the same add sequence per pair in IEEE
+    #   float64, so the sums are bit-identical (numpy does not fuse).
+    #   Zero-padding ragged rows to the group max dim is exact for
+    #   same-dim pairs: each pad step adds +0.0*+0.0, and a left fold
+    #   from +0.0 can never hold -0.0, so acc + 0.0 == acc bitwise.
+    # - denom/guard: cos = dot/ (na*nb) with the same NULL/NaN routing
+    #   as F.when(denom > 0, ...): NULL norms (NULL vec) and zero norms
+    #   give 0.0; a NaN denom takes the division branch (Spark orders
+    #   NaN greatest, so `NaN > 0` is TRUE) and yields NaN.
+    # - rounding: stays in the JVM (F.round HALF_UP on the shortest
+    #   decimal repr) — the kernel emits the RAW cosine and only
+    #   prefilters at threshold - 1e-6, a strict superset of the exact
+    #   post-round cut (round moves a double by at most 5e-7), keeping
+    #   NaNs (Spark: NaN >= t is TRUE, matching the old filter).
+    # - pair set: positions sorted by id (bytewise for strings — Spark
+    #   compares UTF8 bytes), upper-triangle pairs, equal ids excluded —
+    #   exactly the rows `a.join(b, keys).where(id_a < id_b)` produced.
+    #   Pairs whose dims differ are emitted only when the old plan gave
+    #   them a non-NULL cosine (NULL norms or zero denom => 0.0); a
+    #   differing-dim pair with positive norms had cos NULL and never
+    #   survived the filter, so it is not emitted at all.
+    # - loser (the dropped-id rule) is decided in-kernel where NULL
+    #   dist2 (NULL vec) is still distinguishable from NaN dist2 (NaN
+    #   components): `when(__da >= __db, id_b).otherwise(id_a)` picks
+    #   id_b iff both dists are non-NULL and da >= db under Spark's
+    #   NaN-greatest ordering.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_dt = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.IntegerType(), True),
+            T.StructField("id_a", id_dt, True),
+            T.StructField("id_b", id_dt, True),
+            T.StructField("__cos", T.DoubleType(), True),
+            T.StructField("__loser_is_b", T.BooleanType(), True),
+        ]
     )
-    b = base.select(
-        *join_keys,
-        F.col(id_col).alias("id_b"),
-        F.col("dist2").alias("__db"),
-        F.col("vec").alias("__vb"),
-        F.col("__nrm").alias("__nb"),
-    )
-    denom = F.col("__na") * F.col("__nb")
-    cos = F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(
-        F.lit(0.0)
-    )
-    pairs = (
-        a.join(b, on=join_keys)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cluster_id",
-            "id_a",
-            "id_b",
-            "__da",
-            "__db",
-            F.round(cos, 6).alias("cos_sim"),
+    pre = threshold - 1e-6
+
+    def _pair_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+
+        def _empty():
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.array([], dtype="int32"),
+                    "id_a": pd.array([], dtype=pdf[id_col].dtype),
+                    "id_b": pd.array([], dtype=pdf[id_col].dtype),
+                    "__cos": pd.array([], dtype="float64"),
+                    "__loser_is_b": pd.array([], dtype="bool"),
+                }
+            )
+
+        if n < 2:
+            return _empty()
+        vecs = pdf["vec"].to_numpy()
+        null_vec = np.fromiter((v is None for v in vecs), dtype=bool, count=n)
+        dims = np.fromiter(
+            (0 if m else len(v) for v, m in zip(vecs, null_vec)),
+            dtype=np.int64,
+            count=n,
         )
-        .where(F.col("cos_sim") >= threshold)
+        maxd = int(dims.max())
+        V = np.zeros((n, maxd), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if not null_vec[i] and dims[i]:
+                V[i, : dims[i]] = v
+        nrm = pdf["__nrm"].to_numpy(dtype=np.float64, na_value=np.nan)
+        dist = pdf["dist2"].to_numpy(dtype=np.float64, na_value=np.nan)
+        idvals = pdf[id_col].to_numpy()
+        if idvals.dtype == object:
+            keys = np.array(
+                [x.encode("utf-8") if isinstance(x, str) else x for x in idvals],
+                dtype=object,
+            )
+            order = np.argsort(keys, kind="stable")
+        else:
+            order = np.argsort(idvals, kind="stable")
+        iu, ju = np.triu_indices(n, k=1)
+        ia, ib = order[iu], order[ju]
+        mask = idvals[ia] != idvals[ib]
+        # differing-dim pairs survive only where the old plan's cosine
+        # was non-NULL (see law above)
+        nla, nlb = null_vec[ia], null_vec[ib]
+        denom_all = nrm[ia] * nrm[ib]
+        mask &= (dims[ia] == dims[ib]) | nla | nlb | (denom_all == 0.0)
+        ia, ib = ia[mask], ib[mask]
+        if not len(ia):
+            return _empty()
+        nla, nlb = null_vec[ia], null_vec[ib]
+        acc = np.zeros(len(ia), dtype=np.float64)
+        for d in range(maxd):
+            col = V[:, d]
+            acc += col[ia] * col[ib]
+        denom = nrm[ia] * nrm[ib]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            take_div = ~(nla | nlb) & ((denom > 0.0) | np.isnan(denom))
+            cos = np.where(take_div, acc / denom, 0.0)
+        emit = (cos >= pre) | np.isnan(cos)
+        if not emit.any():
+            return _empty()
+        ia, ib, cos = ia[emit], ib[emit], cos[emit]
+        nla, nlb = nla[emit], nlb[emit]
+        da, db = dist[ia], dist[ib]
+        nan_da = np.isnan(da) & ~nla
+        nan_db = np.isnan(db) & ~nlb
+        with np.errstate(invalid="ignore"):
+            loser_is_b = (
+                ~nla & ~nlb & (nan_da | (~nan_db & (da >= db)))
+            )
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"].to_numpy()[ia],
+                "id_a": idvals[ia],
+                "id_b": idvals[ib],
+                "__cos": cos,
+                "__loser_is_b": loser_is_b,
+            }
+        )
+
+    # NULL ids / NULL cluster keys never paired under the old equi-join
+    # (NULL < x and NULL = NULL are not TRUE); excluding them here also
+    # keeps integer id columns from degrading to float64 in pandas.
+    kernel_in = base.select(*join_keys, id_col, "dist2", "vec", "__nrm")
+    for k_ in (id_col, *join_keys):
+        kernel_in = kernel_in.where(F.col(k_).isNotNull())
+    scored = kernel_in.groupBy(*join_keys).applyInPandas(
+        _pair_kernel, schema=out_schema
     )
+    pairs = scored.select(
+        "cluster_id",
+        "id_a",
+        "id_b",
+        "__loser_is_b",
+        F.round(F.col("__cos"), 6).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
     # the pair member LATER in (dist2 DESC, id ASC) keep order is dropped;
     # id_a < id_b always holds here, so on a dist2 tie id_b loses
     dropped = pairs.select(
-        F.when(F.col("__da") >= F.col("__db"), F.col("id_b"))
+        F.when(F.col("__loser_is_b"), F.col("id_b"))
         .otherwise(F.col("id_a"))
         .alias(id_col)
     ).distinct()
