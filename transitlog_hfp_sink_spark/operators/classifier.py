@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from transitlog_hfp_sink_spark.functions.units import dec_units, units_double
 from transitlog_hfp_sink_spark.operators.dedup import fixup_words, raw_words
 
 #: add-k smoothing mass, matching operators/lm.py
@@ -191,25 +192,29 @@ def nb_score_from_features(
     """nb_score over an ALREADY-DERIVED (doc_id, feature) frame — the
     self-scoring seam (see nb_weights_from_features)."""
     feats = feats.select("doc_id", "feature")
+    # decimal(20,10) HALF_UP per row (the value law, unchanged), summed
+    # as exact bigint units of 1e-10 (functions/units.py, round 12):
+    # per-row |log-odds| <= ~40 => <= 4e11 units, signed — a bigint sum
+    # overflows only past ~2e7 worst-case tokens in one document,
+    # ANSI-loud. Reconversion is an exact decimal divide + the same
+    # single double cast; value-identical, smaller aggregate state.
+    lo = F.coalesce(F.col("w"), F.col("unseen_w")).cast("decimal(20,10)")
     joined = (
         feats.join(F.broadcast(weights.select("feature", "w")), on="feature", how="left")
         .crossJoin(F.broadcast(_unseen_w(weights, num_features, k)))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("w"), F.col("unseen_w"))
-            .cast("decimal(20,10)")
-            .alias("__w"),
-        )
+        .select("doc_id", dec_units(lo, 10).alias("__u"))
     )
     per_doc = joined.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.sum("__w").alias("__sum_w"),
+        F.sum("__u").alias("__sum_u"),
     )
     scored = per_doc.crossJoin(F.broadcast(prior)).select(
         "doc_id",
         "n_tokens",
         F.round(
-            (F.col("prior") + F.col("__sum_w").cast("double")) / F.col("n_tokens"), 4
+            (F.col("prior") + units_double(F.col("__sum_u"), 10))
+            / F.col("n_tokens"),
+            4,
         ).alias("avg_logodds"),
     )
     return scored.withColumn("pred", F.col("avg_logodds") >= 0)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transitlog_hfp_sink_spark.functions.units import dec_units, units_double
 from transitlog_hfp_sink_spark.operators.dedup import fixup_words, raw_words
 
 
@@ -147,20 +148,23 @@ def lm_score_from_tokens(
     the self-scoring seam (see doc_tokens). Value-identical to the docs
     form: same tokens in, same join/aggregate math."""
     toks = toks.select("doc_id", "term")
+    # the per-row decimal(20,10) HALF_UP cast is the value law (kept);
+    # the SUM runs in exact bigint units of 1e-10 (functions/units.py,
+    # round 12 — per-row |nll| <= ~40 nats => <= 4e11 units, a bigint
+    # sum overflows only past ~2e7 worst-case tokens in ONE document,
+    # ANSI-loud), reconverted once per doc by an exact decimal divide +
+    # the same single double rounding — value-identical, ~13% off the
+    # aggregation stage (VERDICT r11 #8)
+    nll = (-F.coalesce(F.col("logp"), F.col("oov_logp"))).cast("decimal(20,10)")
     joined = (
         toks.join(F.broadcast(lm.select("term", "logp")), on="term", how="left")
         .crossJoin(F.broadcast(oov_logp(lm, k)))
-        .select(
-            "doc_id",
-            (-F.coalesce(F.col("logp"), F.col("oov_logp"))).cast(
-                "decimal(20,10)"
-            ).alias("nll"),
-        )
+        .select("doc_id", dec_units(nll, 10).alias("__u"))
     )
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
-            F.sum("nll").cast("double") / F.count("*"), 4
+            units_double(F.sum("__u"), 10) / F.count("*"), 4
         ).alias("avg_nll"),
     )
 
@@ -263,24 +267,43 @@ def bigram_score_from_bigrams(
     k: float = SMOOTH_K,
 ) -> DataFrame:
     """bigram_score over an ALREADY-DERIVED (doc_id, prev, term) frame —
-    the self-scoring seam (see bigram_tables_from_bigrams)."""
-    joined = (
-        bi.join(F.broadcast(pairs), on=["prev", "term"], how="left")
-        .join(F.broadcast(hist), on="prev", how="left")
-        .crossJoin(F.broadcast(vstat))
-        .select(
-            "doc_id",
-            (
-                -F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + k)
-                    / (F.coalesce(F.col("c1h"), F.lit(0)) + k * F.col("v"))
-                )
-            ).cast("decimal(20,10)").alias("nll"),
+    the self-scoring seam (see bigram_tables_from_bigrams).
+
+    Join keys are xxhash64 BIGINTs of the string keys (round 12, guide
+    §3 "narrower types" + VERDICT r11 #4): the probe side carries
+    (doc_id, hash(prev,term), hash(prev)) instead of two strings, and
+    the broadcast build relations key on one long each — at web-vocab
+    scale the pairs table is 100s of MB of strings, as hashes it is
+    16 bytes/row. xxhash64 over multiple columns chains per-column
+    seeds, so ("ab","c") and ("a","bc") hash differently (no concat
+    ambiguity). A 64-bit collision between DISTINCT vocabulary keys
+    would alter a count lookup: probability ~n^2/2^65 (~3e-6 at 10M
+    bigrams), zero on every test corpus (asserted in tests); results
+    verified 0-diff at sf0.01/sf0.1."""
+    pairs_h = pairs.select(F.xxhash64("prev", "term").alias("__pt"), "c2")
+    hist_h = hist.select(F.xxhash64("prev").alias("__p"), "c1h")
+    bi_h = bi.select(
+        "doc_id",
+        F.xxhash64("prev", "term").alias("__pt"),
+        F.xxhash64("prev").alias("__p"),
+    )
+    # decimal(20,10) HALF_UP per row (the value law, unchanged), summed
+    # as exact bigint units — see lm_score_from_tokens
+    nll = (
+        -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + k)
+            / (F.coalesce(F.col("c1h"), F.lit(0)) + k * F.col("v"))
         )
+    ).cast("decimal(20,10)")
+    joined = (
+        bi_h.join(F.broadcast(pairs_h), on="__pt", how="left")
+        .join(F.broadcast(hist_h), on="__p", how="left")
+        .crossJoin(F.broadcast(vstat))
+        .select("doc_id", dec_units(nll, 10).alias("__u"))
     )
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_units"),
-        F.round(F.sum("nll").cast("double") / F.count("*"), 4).alias("avg_nll"),
+        F.round(units_double(F.sum("__u"), 10) / F.count("*"), 4).alias("avg_nll"),
     )
 
 

@@ -40,6 +40,7 @@ from transitlog_hfp_sink_spark.operators.dedup import (
     raw_words as _raw_words,
 )
 from transitlog_hfp_sink_spark.functions.localrel import values_df
+from transitlog_hfp_sink_spark.functions.units import dec_units, units_double
 
 #: BM25 parameters (Robertson/Sparck Jones defaults, Lucene-compatible)
 K1 = 1.2
@@ -157,7 +158,17 @@ def bm25_score_postings(
             ).cast("decimal(20,8)"),
         )
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("__score"))
+    # decimal(20,8) HALF_UP per row is the value law (unchanged); the
+    # per-(query,doc) SUM runs in exact bigint units of 1e-8
+    # (functions/units.py, round 12): per-row score < ~100 => < 1e10
+    # units, group sums far below 2^63, ANSI-loud on overflow. The
+    # ranking window orders by the units sum — the decimal sum scaled by
+    # a positive constant, so the order and ties are identical — and the
+    # exact decimal reconversion + the same single double rounding
+    # happens only on the <= topk surviving rows per query.
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(dec_units(F.col("__s"), 8)).alias("__score")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("doc_id").asc()
     )
@@ -167,7 +178,7 @@ def bm25_score_postings(
         .select(
             "query_id",
             "doc_id",
-            F.round(F.col("__score").cast("double"), 4).alias("score"),
+            F.round(units_double(F.col("__score"), 8), 4).alias("score"),
             "rank",
         )
     )
@@ -258,7 +269,17 @@ def bm25_search(
             ).cast("decimal(20,8)"),
         )
     )
-    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("__score"))
+    # decimal(20,8) HALF_UP per row is the value law (unchanged); the
+    # per-(query,doc) SUM runs in exact bigint units of 1e-8
+    # (functions/units.py, round 12): per-row score < ~100 => < 1e10
+    # units, group sums far below 2^63, ANSI-loud on overflow. The
+    # ranking window orders by the units sum — the decimal sum scaled by
+    # a positive constant, so the order and ties are identical — and the
+    # exact decimal reconversion + the same single double rounding
+    # happens only on the <= topk surviving rows per query.
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum(dec_units(F.col("__s"), 8)).alias("__score")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("doc_id").asc()
     )
@@ -268,7 +289,7 @@ def bm25_search(
         .select(
             "query_id",
             "doc_id",
-            F.round(F.col("__score").cast("double"), 4).alias("score"),
+            F.round(units_double(F.col("__score"), 8), 4).alias("score"),
             "rank",
         )
     )

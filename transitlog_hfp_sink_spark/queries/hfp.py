@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transitlog_hfp_sink_spark.functions.units import dec_units, units_double
 from transitlog_hfp_sink_spark.sources.files import read_table
 from transitlog_hfp_sink_spark.transform import hfp_flatten
 
@@ -494,11 +495,23 @@ def q_hfp_trajectory_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     dlat = F.col("lat") - F.lag("lat").over(w)
     dlon = F.col("long") - F.lag("long").over(w)
     step = F.round(F.sqrt(dlat * dlat + dlon * dlon), 8).cast("decimal(20,10)")
-    stepped = v.select("unique_vehicle_id", step.alias("step"))
+    # decimal(20,10) HALF_UP per row is the value law (unchanged); the
+    # per-vehicle SUM runs in exact integer units of 1e-10
+    # (functions/units.py, round 12), widened to decimal(38,0) per the
+    # house overflow stance (a degree-scale step is <= ~5e12 units, so a
+    # bigint sum could overflow on a pathological 10M-ping vehicle).
+    # count("__u") == count("step"): units are NULL exactly where the
+    # step is NULL. Reconversion is the exact divide + the same single
+    # double rounding.
+    stepped = v.select(
+        "unique_vehicle_id", dec_units(step, 10).alias("__u")
+    )
     nulld = F.lit(None).cast("double")
     len_leg = stepped.groupBy("unique_vehicle_id").agg(
-        F.round(F.sum("step").cast("double"), 6).alias("trajectory_len"),
-        F.count("step").alias("n_steps"),
+        F.round(
+            units_double(F.sum(F.col("__u").cast("decimal(38,0)")), 10), 6
+        ).alias("trajectory_len"),
+        F.count("__u").alias("n_steps"),
     ).select(
         F.lit("len").alias("part"),
         "unique_vehicle_id", "trajectory_len", "n_steps",
