@@ -553,6 +553,7 @@ def bench_overrides():
         # trajectory top-k over signature vectors: one hash-agg to build
         # signatures, broadcast queries, map-only distance scan
         from transitlog_hfp_sink_spark.operators.trajsim import (
+            signature_queries,
             trajectory_signatures,
             trajectory_topk,
         )
@@ -567,18 +568,12 @@ def bench_overrides():
         sigs = trajectory_signatures(
             v, "unique_vehicle_id", ("tst", "jrn"), "lat", "long", m=8
         )
-        # the `| size(sig) < -100` disjunct is a result identity (size()
-        # of the non-null signature array is >= 0) that references the
-        # aggregate output, so the query-id predicate cannot be split
-        # and pushed below the signature aggregation: without it the
-        # filter reaches the SCAN and the query side re-runs the whole
-        # synth+window+aggregate pipeline (round-11 profile: 10 stages,
-        # 1.5 s wall for 1.7 core-s — pure stage latency). Pinned above
-        # the agg, ReuseExchange folds the query side into the corpus
-        # side's exchange (guide §2.4); results row-identical (verified).
-        queries = sigs.where(
-            (F.substring("id", -1, 1) == "0") | (F.size("sig") < -100)
-        ).select(F.col("id").alias("query_id"), "sig")
+        # signature_queries pins the query filter ABOVE the signature
+        # aggregation so ReuseExchange folds the query side into the
+        # corpus side's exchange (the round-11 bench idiom, now the
+        # library's self-search helper — rows identical to the naive
+        # filter, pinned in tests/test_trajsim.py)
+        queries = signature_queries(sigs, F.substring("id", -1, 1) == "0")
         # dim=2*m enables the unrolled L2 kernel (value-identical)
         return trajectory_topk(sigs, queries, k=3, dim=16)
 
@@ -732,6 +727,8 @@ def merge_windows(windows: list[dict]) -> dict:
         return meds, spreads
 
     merged["queries"], merged["queries_spread"] = med_map("queries")
+    if all("queries_first_run" in w for w in windows):
+        merged["queries_first_run"], _ = med_map("queries_first_run")
     merged["tpch_queries"], merged["tpch_queries_spread"] = med_map(
         "tpch_queries"
     )
@@ -957,13 +954,24 @@ def measure_suite(spark, qs) -> dict:
     # (VERDICT r4 #3: min-of-3 still let q1 self-disagree by 27% between
     # the headline and tpch views inside ONE bench file)
     overrides = bench_overrides()
+    # first-run (cold) time recorded alongside min-of-N (round 12,
+    # VERDICT r11 #6): entries with registration-time materialization
+    # (transit_analytics' localCheckpointed dedup input, the *_served
+    # index builds) pay their one-time input derivation in run 1 of this
+    # fresh subprocess, so queries_first_run is the honest cold cost the
+    # min-of-N deliberately excludes. Detail-file only (BENCH.json);
+    # the min-of-N contract of `queries` is unchanged.
+    firsts: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = overrides.get(name) or qs[name]
         best = float("inf")
-        for _ in range(RUNS):
+        for i in range(RUNS):
             t0 = time.time()
             materialize(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if i == 0:
+                firsts[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -1007,6 +1015,7 @@ def measure_suite(spark, qs) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_first_run": firsts,
         "headline_query_count": len(timings),
         "sf": sf,
         "hfp_transform_rows_per_s": int(rows_per_s),
@@ -1074,7 +1083,8 @@ def _write_report(full: dict, out_dir: str | None = None) -> None:
         k: v
         for k, v in full.items()
         if k not in ("tpch_queries", "timing_notes", "calibration_attempts",
-                     "windows", "queries_spread", "tpch_queries_spread")
+                     "windows", "queries_spread", "tpch_queries_spread",
+                     "queries_first_run")
     }
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     compact["detail_file"] = "BENCH.json"

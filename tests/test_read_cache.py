@@ -63,3 +63,13 @@ def test_synth_vehicles_widen_is_result_invariant(spark, sf_dir):
         )
 
     assert digest(plain) == digest(wide)
+
+
+def test_embeddings_vec_id_unique(spark):
+    """ADVICE r11: _fixed_codebook's narrow-vs-widened collect identity
+    rests on vec_id being unique (orderBy('vec_id') must be a total
+    order). Pin the invariant on every test SF."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        emb = spark.read.parquet(sf + "/embeddings.parquet")
+        assert emb.count() == emb.select("vec_id").distinct().count(), sf

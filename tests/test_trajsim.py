@@ -239,3 +239,38 @@ def test_hot_key_million_point_trajectory_bounded(spark):
     for g, e in zip(got, expected):
         assert abs(g - e) < 1e-9
     assert sigs["cold"]["n_points"] == 10
+
+
+def test_signature_queries_identity_and_reuse(spark):
+    """signature_queries is a RESULT IDENTITY over the naive filter
+    (round 12: the bench reuse-pin idiom moved into the library), and
+    the pinned filter must not reach the scan — the plan's filter stays
+    above the signature aggregation."""
+    from transitlog_hfp_sink_spark.operators.trajsim import (
+        signature_queries,
+        trajectory_signatures,
+    )
+
+    pts = spark.range(200).select(
+        F.concat(F.lit("v"), (F.col("id") % 7).cast("string")).alias(
+            "unique_vehicle_id"
+        ),
+        F.col("id").alias("tst"),
+        (F.col("id") * 0.01).alias("lat"),
+        (F.col("id") * -0.02).alias("long"),
+    )
+    sigs = trajectory_signatures(
+        pts, "unique_vehicle_id", ("tst",), "lat", "long", m=8
+    )
+    pred = F.substring("id", -1, 1).isin("0", "1")
+    naive = sigs.where(pred).select(F.col("id").alias("query_id"), "sig")
+    pinned = signature_queries(sigs, pred)
+    assert sorted(map(repr, naive.collect())) == sorted(
+        map(repr, pinned.collect())
+    )
+    # the pin keeps the filter above the aggregation: the optimized plan
+    # must not push a size(sig)-bearing filter below the HashAggregate
+    plan = pinned._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = plan.find("Aggregate")
+    filt_pos = plan.find("Filter")
+    assert agg_pos != -1 and filt_pos != -1 and filt_pos < agg_pos

@@ -307,6 +307,32 @@ def dtw_refine(
     )
 
 
+def signature_queries(
+    signatures: DataFrame, predicate: Column, id_out: str = "query_id"
+) -> DataFrame:
+    """A query subset OF THE SIGNATURE TABLE ITSELF (self-search), with
+    the filter PINNED ABOVE the signature aggregation (round 12 — the
+    round-11 bench idiom moved into the library so production callers
+    get the same plan).
+
+    A naive ``signatures.where(predicate)`` lets the optimizer split the
+    predicate and push it below the per-trajectory aggregation, so the
+    query side re-derives the whole scan->window->aggregate pipeline
+    instead of reusing the corpus side's exchange (round-11 profile: 10
+    nearly-serial stages re-run for the query side). Appending the
+    always-false disjunct ``size(sig) < -100`` — a RESULT IDENTITY:
+    size() of a non-null array is >= 0 and size(NULL) is -1, both above
+    -100, so the disjunct is false for every row — references the
+    aggregate output, which makes the predicate non-splittable: it stays
+    above the aggregation and ReuseExchange folds the query side into
+    the corpus side's exchange (guide §2.4). Rows are identical to the
+    naive filter (pinned in tests/test_trajsim.py)."""
+    pinned = predicate | (F.size("sig") < -100)
+    return signatures.where(pinned).select(
+        F.col("id").alias(id_out), "sig"
+    )
+
+
 def trajectory_topk(
     signatures: DataFrame,
     queries: DataFrame,

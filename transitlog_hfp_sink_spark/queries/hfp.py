@@ -151,19 +151,26 @@ def synth_vehicles(
     consumers (vp_per_route, trajectory) measured SLOWER widened — their
     flatten is nearly free and the extra exchange is pure cost — so the
     default stays unwidened and each consumer keeps its own cache slot."""
-    key = (
+    # cache key = (shared prefix, per-consumer variant): every entry in
+    # the cache must share ONE live (app, sf_dir, tz) prefix — only the
+    # widen flag may vary — so the purge below compares prefixes across
+    # ALL entries (ADVICE r11: the old first-entry [:3] slice was
+    # correct only because inserts follow a matching-prefix check, and
+    # would silently break if a variant field were appended without
+    # updating both slices)
+    prefix = (
         spark.sparkContext.applicationId,
         sf_dir,
         spark.conf.get("spark.sql.session.timeZone"),
-        widen,
     )
+    key = (*prefix, widen)
     cached = _SYNTH_CACHE.get(key)
     if cached is not None:
         return cached
     raw = synth_hfp(read_table(spark, sf_dir, "events", widen=widen))
     flat = hfp_flatten(raw.where(F.col("schema_valid")))
     out = flat.where(F.col("tst").isNotNull())
-    if _SYNTH_CACHE and next(iter(_SYNTH_CACHE))[:3] != key[:3]:
+    if any(k[: len(prefix)] != prefix for k in _SYNTH_CACHE):
         _SYNTH_CACHE.clear()  # one live session/SF at a time; no unbounded growth
     _SYNTH_CACHE[key] = out
     return out

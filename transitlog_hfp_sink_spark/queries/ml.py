@@ -777,7 +777,13 @@ def _fixed_codebook(emb: DataFrame, k: int = 8) -> list[list[float]]:
     sees its centroids). Shared by the diversity and semantic-dedup
     legs so both sides of the oracle agree on the same literal (the
     oracle SQL pins k=8, the registry value; scale callers pass
-    similarity.adaptive_n_clusters(n) instead — VERDICT r4 #2)."""
+    similarity.adaptive_n_clusters(n) instead — VERDICT r4 #2).
+
+    INVARIANT (ADVICE r11): vec_id is UNIQUE in the embeddings table —
+    orderBy("vec_id") is then a total order, so the collected codebook
+    is identical under any physical layout (the narrow-read
+    redirection of round 11 rests on this). Asserted per-SF in
+    tests/test_read_cache.py::test_embeddings_vec_id_unique."""
     cents_rows = (
         emb.where(F.col("vec_id") < k)
         .orderBy("vec_id")
