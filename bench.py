@@ -1051,7 +1051,10 @@ def measure_suite(spark, qs) -> dict:
                 "analog is reading the partitioned dedup sink. The r7 "
                 "5.13->3.09s delta is therefore a measurement-mode change "
                 "plus the shared-derivation win, attributed in SCALING.md "
-                "round 8; the cold first-run cost is recorded there too."
+                "round 8. Since round 12 (VERDICT r11 #6) the cold cost is "
+                "also measured in-band: queries_first_run.transit_analytics "
+                "is run 1 of this fresh subprocess and pays the one-time "
+                "registration/materialization."
             ),
         },
     }
