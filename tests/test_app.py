@@ -6,9 +6,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_app_subprocess_end_to_end(spark, tmp_path):
     from hfp_fixtures import make_hfp_rows
 
@@ -70,6 +73,7 @@ def test_app_bad_sink_spec_exits_nonzero(tmp_path):
     assert proc.returncode == 1  # Main.java:31-38: log + close + fail
 
 
+@pytest.mark.slow
 def test_app_maintenance_subcommands_end_to_end(spark, tmp_path):
     """VERDICT r3 #9: retention + compaction as app subcommands
     (TimescaleDB compress_chunks/drop_chunks background-job parity),
@@ -127,6 +131,7 @@ def test_app_maintenance_subcommands_end_to_end(spark, tmp_path):
     assert kept.count() > 0
 
 
+@pytest.mark.slow
 def test_app_refresh_rollup_subcommand(spark, tmp_path):
     """refresh-rollup subcommand end-to-end: build a rollup store, damage
     it by doubling a partition's files, refresh the day via the CLI,
@@ -173,6 +178,7 @@ def test_app_refresh_rollup_subcommand(spark, tmp_path):
     assert sink.read().agg(F.sum("n")).first()[0] == truth
 
 
+@pytest.mark.slow
 def test_app_backfill_subcommand_idempotent(spark, tmp_path):
     """backfill subcommand: reprocess raw drops into an existing sink via
     natural-key MERGE — overlapping rows don't duplicate, new rows land,
@@ -222,6 +228,7 @@ def test_app_backfill_subcommand_idempotent(spark, tmp_path):
     assert n_expected >= n_initial
 
 
+@pytest.mark.slow
 def test_app_export_subcommand_both_formats(spark, tmp_path):
     """export subcommand: JSONL and WDS training exports driven as real
     subprocesses, each verified by reading the shards back."""
@@ -271,6 +278,7 @@ def test_app_export_subcommand_both_formats(spark, tmp_path):
         assert bytes(r["data"]) == src_bytes[r["key"]]
 
 
+@pytest.mark.slow
 def test_app_build_index_subcommand(spark, tmp_path):
     """build-index subcommand: persisted BM25 postings (fresh +
     incremental update) and IVF-flat index built as real subprocesses;
@@ -413,6 +421,7 @@ def test_app_build_index_subcommand(spark, tmp_path):
     assert "cannot be combined" in proc.stderr
 
 
+@pytest.mark.slow
 def test_app_build_index_ivfpq_and_incremental(spark, tmp_path):
     """Round 9: `build-index --kind ivfpq` writes the composed serving
     layout (codes partitioned by list_id + quantizers/manifest meta);
@@ -475,6 +484,7 @@ def test_app_build_index_ivfpq_and_incremental(spark, tmp_path):
     assert served == single_shot and served
 
 
+@pytest.mark.slow
 def test_app_sql_subcommand_materialize_dedup(tmp_path):
     """Round 8 (VERDICT r7 #8): `app sql` exposes the catalog's psql-parity
     surface from the CLI, including --materialize-dedup and the view
@@ -513,6 +523,7 @@ def test_app_sql_bad_histogram_bounds_is_argparse_error():
         assert "expected lo,hi,nbuckets" in proc.stderr, (bad, proc.stderr[-500:])
 
 
+@pytest.mark.slow
 def test_app_build_index_n_buckets_flag(spark, tmp_path):
     """--n-buckets (round-8 review: the production sizing rule needs a
     CLI knob) controls the postings partition count; the written layout

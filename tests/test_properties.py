@@ -79,6 +79,7 @@ def py_norm_words(text):
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_jaccard_pairs_match_python(spark, texts):
     """ngram_jaccard_pairs (unigram, unblocked) vs pure-Python set math on
     arbitrary messy text."""

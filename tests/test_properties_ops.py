@@ -2,6 +2,7 @@
 agree with a pure-Python referee on arbitrary small inputs — duplicated
 spans, count-min estimates, Bloom membership, SemDeDup keep rule."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 # small lowercase-word texts: tiny alphabet forces real duplication
@@ -375,6 +376,7 @@ def test_minhash_lsh_pairs_verify_and_guaranteed_recall(spark, word_lists, thr):
     assert got_counts == got
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None)
 @given(_docs, st.sampled_from([0.34, 0.5, 1.0]))
 def test_jaccard_prune_equivalence_property(spark, word_lists, thr):
